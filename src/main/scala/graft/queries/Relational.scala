@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The relational spine: scan → filter → project → aggregate → sort.
+  *
+  * Covers SURVEY.md §2.2 (projection/selection/filtering), §2.3 (column
+  * arithmetic), §2.7 (sorting) — the reference's `df[cols]`, `df[mask]`,
+  * comparison/boolean ops (`/root/reference/baloo/core/generic.py:51-104`),
+  * element-wise arithmetic (`weld_ops.py:232-275,417-459`) and
+  * `sort_values` (`frame.py:755-796`; single-column only there — Spark's
+  * `orderBy` is multi-column for free).
+  *
+  * All plans are pure `DataFrame` API: filters and projections reach the
+  * parquet scan (PushedFilters / ReadSchema), sorts are range-partitioned
+  * shuffles — nothing here would change shape at 1000 executors.
+  */
+object Relational extends QueryModule {
+
+  /** TPC-H Q1-shaped flagship: the baloo benchmark pipeline
+    * (filter → agg → groupby, `/root/reference/benchmarks/run.py:12-19`)
+    * recast on lineitem. Partial aggregation map-side, one shuffle on the
+    * 6-value group key.
+    */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Q.dsum(col("l_quantity")).as("sum_qty"),
+        Q.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        Q.davg(col("l_quantity")).as("avg_qty"),
+        Q.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** 3-predicate filter (baloo bench op 1: `run.py:13`, kernel
+    * `weld_filter` `weld_ops.py:97-133`). All three predicates push to
+    * parquet; projection prunes the scan to 5 columns.
+    */
+  def qFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 10.0 && col("l_discount") < 0.08 && col("l_returnflag") =!= "A")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Multi-column projection, order-preserving (`frame.py:352-362`). */
+  def qProj(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Element-wise scalar arithmetic (baloo bench op 3: `run.py:15-17`,
+    * kernel `weld_element_wise_op` `weld_ops.py:417-459`): *2, +1, -23,
+    * plus col⊕col (`weld_array_op` `weld_ops.py:232-275`) and pow.
+    * Per-row IEEE arithmetic is deterministic — no rounding needed.
+    */
+  def qScalarOps(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * 2.0).as("price_x2"),
+        (col("l_quantity") + 1.0).as("qty_p1"),
+        (col("l_tax") - 23.0).as("tax_m23"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
+        pow(col("l_quantity"), 2.0).as("qty_sq"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Comparisons + boolean algebra producing bool columns
+    * (`weld_compare` `weld_ops.py:51-94`, `weld_array_op`, `weld_invert`).
+    */
+  def qBoolOps(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") > 25.0).as("big_qty"),
+        (col("l_discount") >= 0.05).as("deep_disc"),
+        ((col("l_quantity") > 25.0) && (col("l_discount") >= 0.05)).as("both"),
+        ((col("l_quantity") > 25.0) || (col("l_discount") >= 0.05)).as("either"),
+        (!(col("l_quantity") > 25.0)).as("small_qty"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Multi-column sort with mixed direction (`sort_values`
+    * `frame.py:755-796`; descending = negate-key there, native here).
+    * Tie-broken to a total order for the oracle hash.
+    */
+  def qSort(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy(col("l_quantity").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+
+  /** astype: numeric↔numeric lazy casts (`series.py:211-217`,
+    * `weld_utils.py:240-309`).
+    */
+  def qAstype(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty_i64"),
+        col("l_quantity").cast("int").as("qty_i32"),
+        col("l_linenumber").cast("double").as("ln_f64"),
+        col("l_extendedprice").cast("long").as("price_i64"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg(_, _)),
+    "q_filter" -> (qFilter(_, _)),
+    "q_proj" -> (qProj(_, _)),
+    "q_scalar_ops" -> (qScalarOps(_, _)),
+    "q_bool_ops" -> (qBoolOps(_, _)),
+    "q_sort" -> (qSort(_, _)),
+    "q_astype" -> (qAstype(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${Q.sqlDsum("l_quantity")} AS sum_qty,
+         |  ${Q.sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  ${Q.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${Q.sqlDavg("l_quantity")} AS avg_qty,
+         |  ${Q.sqlDavg("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity > 10.0 AND l_discount < 0.08 AND l_returnflag <> 'A'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_proj" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scalar_ops" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * 2.0 AS price_x2,
+        |  l_quantity + 1.0 AS qty_p1,
+        |  l_tax - 23.0 AS tax_m23,
+        |  l_extendedprice * (1.0 - l_discount) AS net_price,
+        |  pow(l_quantity, 2.0) AS qty_sq
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_bool_ops" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_quantity > 25.0 AS big_qty,
+        |  l_discount >= 0.05 AS deep_disc,
+        |  l_quantity > 25.0 AND l_discount >= 0.05 AS both,
+        |  l_quantity > 25.0 OR l_discount >= 0.05 AS either,
+        |  NOT (l_quantity > 25.0) AS small_qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC""".stripMargin,
+    // NB: Spark's non-ANSI double→int cast truncates toward zero while
+    // DuckDB's CAST rounds to nearest — the oracle spells out trunc().
+    "q_astype" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(trunc(l_quantity) AS BIGINT) AS qty_i64,
+        |  CAST(trunc(l_quantity) AS INTEGER) AS qty_i32,
+        |  CAST(l_linenumber AS DOUBLE) AS ln_f64,
+        |  CAST(trunc(l_extendedprice) AS BIGINT) AS price_i64
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+}
