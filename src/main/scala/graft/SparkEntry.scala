@@ -11,7 +11,7 @@ import graft.queries._
   */
 object SparkEntry {
   /** All query modules; each covers one SURVEY.md §2 area. */
-  def modules: Seq[QueryModule] = Seq(Relational)
+  def modules: Seq[QueryModule] = Seq(Relational, Aggregations, GroupBys)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -20,6 +20,10 @@ object Tables {
   def prep(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
+    // read the raw int64 nanos and derive a micros timestamp in events().
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 
@@ -35,7 +39,16 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+  /** events.ts is TIMESTAMP(NANOS) in the parquet footer — surfaced here
+    * as both the raw nanos (`ts_ns: long`) and a truncated-to-micros real
+    * timestamp (`ts`), matching DuckDB's `CAST(ts AS TIMESTAMP)`.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    load(spark, sfDir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }

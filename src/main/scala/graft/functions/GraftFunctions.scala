@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.functions.call_function
+
+/** Registration of graft's custom Catalyst expressions into a session's
+  * function registry, plus Scala-facing `Column` helpers.
+  *
+  * On a cluster the same builders are injected through
+  * [[graft.extensions.GraftExtensions]] (`spark.sql.extensions=` config),
+  * so SQL users get the functions without any driver-side call.
+  */
+object GraftFunctions {
+
+  /** (name, builder) for every custom function we expose. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_prod" -> ((children: Seq[Expression]) =>
+      ProductAgg(Cast(children.head, DoubleType)))
+  )
+
+  /** Idempotently register all graft functions into `spark`'s registry. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!registry.functionExists(id)) {
+        registry.registerFunction(
+          id, new ExpressionInfo(builder.getClass.getCanonicalName, name), builder)
+      }
+    }
+  }
+
+  /** Product of all non-null values (NULL for empty/all-null input) —
+    * reference `Series.prod` / `GroupBy.prod`.
+    */
+  def prod(c: Column): Column = call_function("graft_prod", c)
+}

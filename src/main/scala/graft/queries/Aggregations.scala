@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.GraftFunctions.prod
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.5 — full-column aggregations.
+  *
+  * Reference: `Series.sum/prod/min/max/count/mean/var/std`
+  * (`/root/reference/baloo/core/series.py:350-366`, kernels
+  * `baloo/weld/weld_aggs.py`), multi-agg `Series.agg(list)` /
+  * `DataFrame.agg` (`series.py:370-388`, `frame.py:594-666`) whose result
+  * is a little table keyed by aggregation name with all values f64.
+  *
+  * Spark shape: ONE `agg(...)` computes every measure in a single pass
+  * (partial/final hash agg — the multi-agg CSE the reference hand-builds
+  * in `weld_aggs.py:186-268` is free here); the name-keyed matrix is a
+  * trailing `stack` over the one-row result, so the 100 TB scan happens
+  * exactly once.
+  *
+  * Float determinism vs the oracle: sums/means/vars go through exact
+  * decimal moments ([[Q.dsum]]/[[Q.davg]]/[[Q.dvar]]); `prod` over the
+  * whole column saturates to +inf identically on both engines (every
+  * l_quantity ≥ 1), and per-group products are over small integers
+  * (exact in double).
+  */
+object Aggregations extends QueryModule {
+
+  /** Per-column aggregate row (`DataFrame._aggregate_columns`
+    * `frame.py:594-639`): every reduction in one pass over lineitem.
+    */
+  def qAggRow(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      Q.dsum(col("l_quantity")).as("sum_qty"),
+      Q.davg(col("l_quantity")).as("mean_qty"),
+      Q.dvar(col("l_quantity")).as("var_qty"),
+      Q.dstd(col("l_quantity")).as("std_qty"),
+      count(col("l_quantity")).as("count_qty"),
+      prod(col("l_quantity")).as("prod_qty"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"),
+      Q.dsum(col("l_extendedprice")).as("sum_price"),
+      Q.davg(col("l_extendedprice")).as("mean_price"))
+
+  /** Baloo's `Series.agg(['min','max','sum','mean','var','std','count',
+    * 'prod'])` result shape — rows keyed by agg name, all f64
+    * (`series.py:370-388,622-627`). One aggregation pass + `stack`.
+    */
+  def qAggMatrix(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      min(col("l_quantity")).cast("double").as("vmin"),
+      max(col("l_quantity")).cast("double").as("vmax"),
+      Q.dsum(col("l_quantity")).as("vsum"),
+      Q.davg(col("l_quantity")).as("vmean"),
+      Q.dvar(col("l_quantity")).as("vvar"),
+      Q.dstd(col("l_quantity")).as("vstd"),
+      count(col("l_quantity")).cast("double").as("vcount"),
+      prod(col("l_quantity")).as("vprod"))
+    .selectExpr(
+      """stack(8,
+        |  'count', vcount, 'max', vmax, 'mean', vmean, 'min', vmin,
+        |  'prod', vprod, 'std', vstd, 'sum', vsum, 'var', vvar
+        |) AS (agg, value)""".stripMargin)
+    .orderBy("agg")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_row" -> (qAggRow(_, _)),
+    "q_agg_matrix" -> (qAggMatrix(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_agg_row" ->
+      s"""SELECT
+         |  min(l_quantity) AS min_qty,
+         |  max(l_quantity) AS max_qty,
+         |  ${Q.sqlDsum("l_quantity")} AS sum_qty,
+         |  ${Q.sqlDavg("l_quantity")} AS mean_qty,
+         |  ${Q.sqlDvar("l_quantity")} AS var_qty,
+         |  ${Q.sqlDstd("l_quantity")} AS std_qty,
+         |  count(l_quantity) AS count_qty,
+         |  product(l_quantity) AS prod_qty,
+         |  min(l_extendedprice) AS min_price,
+         |  max(l_extendedprice) AS max_price,
+         |  ${Q.sqlDsum("l_extendedprice")} AS sum_price,
+         |  ${Q.sqlDavg("l_extendedprice")} AS mean_price
+         |FROM lineitem""".stripMargin,
+    "q_agg_matrix" ->
+      s"""WITH m AS (SELECT
+         |  CAST(min(l_quantity) AS DOUBLE) AS vmin,
+         |  CAST(max(l_quantity) AS DOUBLE) AS vmax,
+         |  ${Q.sqlDsum("l_quantity")} AS vsum,
+         |  ${Q.sqlDavg("l_quantity")} AS vmean,
+         |  ${Q.sqlDvar("l_quantity")} AS vvar,
+         |  ${Q.sqlDstd("l_quantity")} AS vstd,
+         |  CAST(count(l_quantity) AS DOUBLE) AS vcount,
+         |  product(l_quantity) AS vprod
+         |FROM lineitem)
+         |SELECT 'count' AS agg, vcount AS value FROM m
+         |UNION ALL SELECT 'max', vmax FROM m
+         |UNION ALL SELECT 'mean', vmean FROM m
+         |UNION ALL SELECT 'min', vmin FROM m
+         |UNION ALL SELECT 'prod', vprod FROM m
+         |UNION ALL SELECT 'std', vstd FROM m
+         |UNION ALL SELECT 'sum', vsum FROM m
+         |UNION ALL SELECT 'var', vvar FROM m
+         |ORDER BY agg""".stripMargin)
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.GraftFunctions.prod
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.6 — grouped aggregation.
+  *
+  * Reference: `df.groupby(by).{sum,prod,min,max,mean,var,std,size}`
+  * (`/root/reference/baloo/core/groupby.py`). The reference needs two
+  * codegen strategies — one-pass `dictmerger` for sum/prod/min/max and a
+  * group-materializing two-phase path for mean/var/std
+  * (`baloo/weld/weld_group.py:68-284`); Spark's hash aggregate streams
+  * ALL of these with partial (map-side) + final aggregation around one
+  * shuffle on the group key, so both families are the same single-pass
+  * plan here — including our custom `graft_prod` DeclarativeAggregate.
+  *
+  * Scale: groupBy(low-cardinality keys) partial-aggregates to tiny
+  * map-side state before the shuffle, so bytes shuffled ∝ #groups ×
+  * #partitions, not #rows — the pattern that survives 100 TB. Group
+  * output order is nondeterministic in both the reference (hash order,
+  * `README.md:29-30`) and Spark; every query here orders by its key for
+  * the oracle hash.
+  */
+object GroupBys extends QueryModule {
+
+  /** dictmerger family (`groupby.py:33-37`): sum/min/max/count per group. */
+  def qGroupSum(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        Q.dsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** Grouped product — per-order product of line numbers (≤ 7! so exact
+    * in double; associative merge keeps it order-independent).
+    */
+  def qGroupProd(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(prod(col("l_linenumber")).as("prod_ln"))
+      .orderBy("l_orderkey")
+
+  /** groupmerger family (`groupby.py:39-54`): mean/var/std per group,
+    * f64 results (`groupby.py:94-101`) — sample variance, matching
+    * DuckDB's var_samp convention, via exact decimal moments.
+    */
+  def qGroupMoments(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Q.davg(col("l_quantity")).as("mean_qty"),
+        Q.dvar(col("l_quantity")).as("var_qty"),
+        Q.dstd(col("l_quantity")).as("std_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** `GroupBy.size` (`groupby.py:103-104`). */
+  def qGroupSize(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("size"))
+      .orderBy("event_type")
+
+  /** The baloo benchmark's groupby-var (2 int-ish keys → var of a float
+    * column; `/root/reference/benchmarks/run.py:18`) recast on events.
+    */
+  def qGroupVar2Key(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), (col("user_id") % 10).as("user_mod"))
+      .agg(Q.dvar(col("value")).as("var_value"))
+      .orderBy("event_type", "user_mod")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_group_sum" -> (qGroupSum(_, _)),
+    "q_group_prod" -> (qGroupProd(_, _)),
+    "q_group_moments" -> (qGroupMoments(_, _)),
+    "q_group_size" -> (qGroupSize(_, _)),
+    "q_group_var_2key" -> (qGroupVar2Key(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_group_sum" ->
+      s"""SELECT o_orderpriority,
+         |  ${Q.sqlDsum("o_totalprice")} AS sum_price,
+         |  min(o_totalprice) AS min_price,
+         |  max(o_totalprice) AS max_price,
+         |  count(*) AS n
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_group_prod" ->
+      """SELECT l_orderkey, product(l_linenumber) AS prod_ln
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_group_moments" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${Q.sqlDavg("l_quantity")} AS mean_qty,
+         |  ${Q.sqlDvar("l_quantity")} AS var_qty,
+         |  ${Q.sqlDstd("l_quantity")} AS std_qty
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_group_size" ->
+      """SELECT event_type, count(*) AS size
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_group_var_2key" ->
+      s"""SELECT event_type, user_id % 10 AS user_mod,
+         |  ${Q.sqlDvar("value")} AS var_value
+         |FROM events GROUP BY event_type, user_id % 10
+         |ORDER BY event_type, user_mod""".stripMargin)
+}

@@ -27,6 +27,28 @@ object Q {
   /** Order-independent mean: exact decimal sum / non-null count. */
   def davg(c: Column): Column = sum(c.cast(dec)).cast(DoubleType) / count(c)
 
+  /** Order-independent sample variance via exact decimal moments:
+    * (Σx² − (Σx)²/n) / (n−1), with both sums carried in decimal and the
+    * final scalar arithmetic done in double — bit-identical on any engine
+    * that evaluates the same expression on the same three scalars. The
+    * reference's var is sample variance (`weld_aggs.py:113-151`).
+    *
+    * Determinism constraint: the decimal sums must stay under 2^53 in
+    * unscaled units (≈9e11 at scale 4) — beyond that DuckDB's
+    * decimal→double cast double-rounds (hugeint→double, then /10^s)
+    * while Spark rounds once, and the last ulp can differ. So use this
+    * on bounded columns (quantities, rates), not large money columns.
+    */
+  def dvar(c: Column): Column = {
+    val s1 = sum(c.cast(dec)).cast(DoubleType)
+    val s2 = sum((c * c).cast(dec)).cast(DoubleType)
+    val n = count(c).cast(DoubleType)
+    (s2 - (s1 * s1) / n) / (n - lit(1.0))
+  }
+
+  /** Order-independent sample std = sqrt(dvar). */
+  def dstd(c: Column): Column = sqrt(dvar(c))
+
   /** Round to grain 1e-4 — used for true floating moments (var/std) on
     * small-magnitude columns where the cross-engine error is ≪ 1e-8.
     */
@@ -35,4 +57,11 @@ object Q {
   /** DuckDB-side spellings of the same helpers. */
   def sqlDsum(e: String): String = s"CAST(sum(CAST(($e) AS DECIMAL(28,4))) AS DOUBLE)"
   def sqlDavg(e: String): String = s"CAST(sum(CAST(($e) AS DECIMAL(28,4))) AS DOUBLE) / count($e)"
+  def sqlDvar(e: String): String = {
+    val s1 = sqlDsum(e)
+    val s2 = s"CAST(sum(CAST((($e)*($e)) AS DECIMAL(28,4))) AS DOUBLE)"
+    val n = s"CAST(count($e) AS DOUBLE)"
+    s"(($s2) - (($s1)*($s1))/($n)) / (($n) - 1.0)"
+  }
+  def sqlDstd(e: String): String = s"sqrt(${sqlDvar(e)})"
 }
