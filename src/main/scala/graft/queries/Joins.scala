@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.8 — joins.
+  *
+  * Reference: `DataFrame.merge/join` (`/root/reference/baloo/core/frame.py:
+  * 798-980`) — equi-join only, sort-merge only, single-threaded, and
+  * restricted to UNIQUE, pre-sorted keys (`frame.py:860-870`). Spark drops
+  * every restriction: duplicate keys, unsorted input, and all four `how`
+  * kinds are native, plus semi/anti which the reference lacks.
+  *
+  * Scale notes baked into each query:
+  *  - fact ⋈ dimension uses `broadcast(dim)` — at 100 TB the fact side
+  *    never shuffles for a 15k-row dimension;
+  *  - fact ⋈ fact (self-join) shuffles both sides on the join key once —
+  *    Catalyst plans sort-merge with AQE skew splitting;
+  *  - outer-join NULL fill is native (the reference emits `-999`
+  *    sentinels, `weld_ops.py:370-414`; we use SQL NULL per SURVEY §1.3).
+  * Row order after a Spark join is partition-nondeterministic, so every
+  * query re-sorts on a total order; NULLS FIRST is spelled on both sides
+  * (Spark's asc default) since DuckDB defaults to NULLS LAST.
+  */
+object Joins extends QueryModule {
+
+  /** Inner fact⋈dim with explicit broadcast (`merge(how='inner')`,
+    * kernel `weld_joins.py:76-156`).
+    */
+  def qJoinInner(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** Left join keeping customers with no orders (NULL-filled right side;
+    * reference fills sentinel via `weld_iloc_indices_with_missing`).
+    */
+  def qJoinLeft(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+
+  /** Right join (`merge(how='right')`). */
+  def qJoinRight(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "right")
+      .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+
+  /** Full outer join with gaps on BOTH sides: high-balance suppliers vs
+    * per-supplier lineitem counts (`merge(how='outer')`,
+    * `weld_joins.py:159-286`); the coalesced key is the reference's
+    * merged-key index column.
+    */
+  def qJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") > 5000.0)
+      .select("s_suppkey", "s_name")
+    val la = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 45.0)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n_items"))
+    sup.join(la, col("s_suppkey") === col("l_suppkey"), "full_outer")
+      .select(
+        coalesce(col("s_suppkey"), col("l_suppkey")).as("suppkey"),
+        col("s_name"), col("n_items"))
+      .orderBy("suppkey")
+  }
+
+  /** Multi-key equi-join (reference `on=['a','b']`,
+    * `_generate_checks` `weld_joins.py:60-73`) as a lineitem self-join on
+    * the (orderkey, linenumber) unique key.
+    */
+  def qJoinMultiKey(s: SparkSession, dir: String): DataFrame = {
+    val qty = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val price = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    qty.join(price, Seq("l_orderkey", "l_linenumber"), "inner")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount")
+  }
+
+  /** Index alignment (`weld_align`, `weld_joins.py:289-344`; used by
+    * `df['c'] = series` when indexes differ, `frame.py:414-425`): attach
+    * a per-order aggregate series back onto every lineitem row = left
+    * join on the index key.
+    */
+  def qAlign(s: SparkSession, dir: String): DataFrame = {
+    val series = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey").agg(Q.dsum(col("l_quantity")).as("order_qty"))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .join(series, Seq("l_orderkey"), "left")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+  }
+
+  /** Semi/anti joins — beyond the reference (SURVEY §2.8 "not present"),
+    * table stakes for a Spark engine: EXISTS / NOT EXISTS without
+    * materializing the right side's payload.
+    */
+  def qJoinSemi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  def qJoinAnti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner" -> (qJoinInner(_, _)),
+    "q_join_left" -> (qJoinLeft(_, _)),
+    "q_join_right" -> (qJoinRight(_, _)),
+    "q_join_outer" -> (qJoinOuter(_, _)),
+    "q_join_multikey" -> (qJoinMultiKey(_, _)),
+    "q_align" -> (qAlign(_, _)),
+    "q_join_semi" -> (qJoinSemi(_, _)),
+    "q_join_anti" -> (qJoinAnti(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_join_right" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_join_outer" ->
+      """SELECT coalesce(s_suppkey, l_suppkey) AS suppkey, s_name, n_items
+        |FROM (SELECT s_suppkey, s_name FROM supplier WHERE s_acctbal > 5000.0) s
+        |FULL OUTER JOIN (
+        |  SELECT l_suppkey, count(*) AS n_items FROM lineitem
+        |  WHERE l_quantity > 45.0 GROUP BY l_suppkey) la
+        |ON s_suppkey = l_suppkey
+        |ORDER BY suppkey""".stripMargin,
+    "q_join_multikey" ->
+      """SELECT a.l_orderkey, a.l_linenumber, a.l_quantity,
+        |       b.l_extendedprice, b.l_discount
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem) a
+        |JOIN (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |      FROM lineitem) b
+        |USING (l_orderkey, l_linenumber)
+        |ORDER BY a.l_orderkey, a.l_linenumber, a.l_quantity,
+        |  b.l_extendedprice, b.l_discount""".stripMargin,
+    "q_align" ->
+      s"""SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, s.order_qty
+         |FROM lineitem l
+         |LEFT JOIN (SELECT l_orderkey, ${Q.sqlDsum("l_quantity")} AS order_qty
+         |           FROM lineitem GROUP BY l_orderkey) s
+         |USING (l_orderkey)
+         |ORDER BY l.l_orderkey, l.l_linenumber, l.l_quantity""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Ordinal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.2 positional ops — head/tail/slice/iloc.
+  *
+  * Reference semantics are positions in the array (`frame.py:371-378,
+  * 460-514`, `core/indexing.py`); Spark has no row positions, so these
+  * are defined as positions under an explicit total order — here
+  * (l_orderkey, l_linenumber). head/tail compile to
+  * TakeOrderedAndProject (no full sort materialized); slice/iloc use
+  * [[graft.operators.Ordinal]] (range-partitioned sort + zipWithIndex,
+  * no single-partition window — see its scaladoc for the 100 TB
+  * rationale).
+  */
+object Positional extends QueryModule {
+
+  // (l_orderkey, l_linenumber) is NOT unique in the testdata (planted
+  // near-duplicates); all four output columns together are, so they form
+  // the total order that makes positions deterministic.
+  private val orderCols = Seq(col("l_orderkey"), col("l_linenumber"),
+    col("l_quantity"), col("l_extendedprice"))
+
+  private def li(s: SparkSession, dir: String) =
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  /** head(n) (`frame.py:460-483`): sort + limit ⇒ per-partition top-k,
+    * merged on one reducer — k rows, not the whole table, cross the wire.
+    */
+  def qHead(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).orderBy(orderCols: _*).limit(100)
+
+  /** tail(n) (`frame.py:485-514`): top-k under the reversed order,
+    * re-sorted ascending — still TakeOrderedAndProject, never a global
+    * ordinal.
+    */
+  def qTail(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .orderBy(col("l_orderkey").desc, col("l_linenumber").desc,
+        col("l_quantity").desc, col("l_extendedprice").desc).limit(50)
+      .orderBy(orderCols: _*)
+
+  /** df[a:b] positional slice (`weld_slice` `weld_ops.py:136-187`). */
+  def qSlice(s: SparkSession, dir: String): DataFrame =
+    Ordinal.slice(li(s, dir), orderCols, 100L, 200L).orderBy("ord")
+
+  /** iloc[int] scalar row lookup (`weld_iloc_int` `weld_ops.py:307-330`). */
+  def qIloc(s: SparkSession, dir: String): DataFrame =
+    Ordinal.iloc(li(s, dir), orderCols, 1234L)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_head" -> (qHead(_, _)),
+    "q_tail" -> (qTail(_, _)),
+    "q_slice" -> (qSlice(_, _)),
+    "q_iloc" -> (qIloc(_, _)))
+
+  private val cols = "l_orderkey, l_linenumber, l_quantity, l_extendedprice"
+  private val ord = "l_orderkey, l_linenumber, l_quantity, l_extendedprice"
+  private val ordDesc =
+    "l_orderkey DESC, l_linenumber DESC, l_quantity DESC, l_extendedprice DESC"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_head" ->
+      s"SELECT $cols FROM lineitem ORDER BY $ord LIMIT 100",
+    "q_tail" ->
+      s"""SELECT * FROM (
+         |  SELECT $cols FROM lineitem
+         |  ORDER BY $ordDesc LIMIT 50)
+         |ORDER BY $ord""".stripMargin,
+    "q_slice" ->
+      s"""SELECT * FROM (
+         |  SELECT $cols,
+         |    row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+        |                       l_quantity, l_extendedprice) - 1 AS ord
+         |  FROM lineitem)
+         |WHERE ord >= 100 AND ord < 200 ORDER BY ord""".stripMargin,
+    "q_iloc" ->
+      s"""SELECT * FROM (
+         |  SELECT $cols,
+         |    row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+        |                       l_quantity, l_extendedprice) - 1 AS ord
+         |  FROM lineitem)
+         |WHERE ord = 1234""".stripMargin)
+}

@@ -46,13 +46,13 @@ object Relational extends QueryModule {
     Tables.lineitem(s, dir)
       .filter(col("l_quantity") > 10.0 && col("l_discount") < 0.08 && col("l_returnflag") =!= "A")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
 
   /** Multi-column projection, order-preserving (`frame.py:352-362`). */
   def qProj(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
 
   /** Element-wise scalar arithmetic (baloo bench op 3: `run.py:15-17`,
     * kernel `weld_element_wise_op` `weld_ops.py:417-459`): *2, +1, -23,
@@ -68,7 +68,8 @@ object Relational extends QueryModule {
         (col("l_tax") - 23.0).as("tax_m23"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
         pow(col("l_quantity"), 2.0).as("qty_sq"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "price_x2", "qty_p1", "tax_m23",
+        "net_price", "qty_sq")
 
   /** Comparisons + boolean algebra producing bool columns
     * (`weld_compare` `weld_ops.py:51-94`, `weld_array_op`, `weld_invert`).
@@ -82,7 +83,8 @@ object Relational extends QueryModule {
         ((col("l_quantity") > 25.0) && (col("l_discount") >= 0.05)).as("both"),
         ((col("l_quantity") > 25.0) || (col("l_discount") >= 0.05)).as("either"),
         (!(col("l_quantity") > 25.0)).as("small_qty"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "big_qty", "deep_disc", "both",
+        "either", "small_qty")
 
   /** Multi-column sort with mixed direction (`sort_values`
     * `frame.py:755-796`; descending = negate-key there, native here).
@@ -91,7 +93,8 @@ object Relational extends QueryModule {
   def qSort(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .orderBy(col("l_quantity").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .orderBy(col("l_quantity").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc, col("l_extendedprice").asc)
 
   /** astype: numeric↔numeric lazy casts (`series.py:211-217`,
     * `weld_utils.py:240-309`).
@@ -104,7 +107,7 @@ object Relational extends QueryModule {
         col("l_quantity").cast("int").as("qty_i32"),
         col("l_linenumber").cast("double").as("ln_f64"),
         col("l_extendedprice").cast("long").as("price_i64"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "qty_i64", "price_i64")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _)),
@@ -131,10 +134,11 @@ object Relational extends QueryModule {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
         |FROM lineitem
         |WHERE l_quantity > 10.0 AND l_discount < 0.08 AND l_returnflag <> 'A'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag""".stripMargin,
     "q_proj" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin,
     "q_scalar_ops" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_extendedprice * 2.0 AS price_x2,
@@ -142,7 +146,8 @@ object Relational extends QueryModule {
         |  l_tax - 23.0 AS tax_m23,
         |  l_extendedprice * (1.0 - l_discount) AS net_price,
         |  pow(l_quantity, 2.0) AS qty_sq
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, price_x2, qty_p1,
+        |  tax_m23, net_price, qty_sq""".stripMargin,
     "q_bool_ops" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_quantity > 25.0 AS big_qty,
@@ -150,11 +155,13 @@ object Relational extends QueryModule {
         |  l_quantity > 25.0 AND l_discount >= 0.05 AS both,
         |  l_quantity > 25.0 OR l_discount >= 0.05 AS either,
         |  NOT (l_quantity > 25.0) AS small_qty
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, big_qty, deep_disc,
+        |  "both", either, small_qty""".stripMargin,
     "q_sort" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
-        |ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC""".stripMargin,
+        |ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC,
+        |  l_extendedprice ASC""".stripMargin,
     // NB: Spark's non-ANSI double→int cast truncates toward zero while
     // DuckDB's CAST rounds to nearest — the oracle spells out trunc().
     "q_astype" ->
@@ -163,5 +170,6 @@ object Relational extends QueryModule {
         |  CAST(trunc(l_quantity) AS INTEGER) AS qty_i32,
         |  CAST(l_linenumber AS DOUBLE) AS ln_f64,
         |  CAST(trunc(l_extendedprice) AS BIGINT) AS price_i64
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, qty_i64, price_i64""".stripMargin)
 }
