@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.5 `unique` / `drop_duplicates` + the exact-dedup leg of
+  * the LLM-pipeline dedup suite.
+  *
+  * Reference: `Series.unique` (hash-distinct, order not preserved —
+  * `/root/reference/baloo/core/series.py:390-403`) and
+  * `DataFrame.drop_duplicates(subset, keep)` where `keep ∈
+  * {'+','*','min','max'}` applies a MERGER to the non-key columns
+  * (`frame.py:982-1024`, `weld_ops.py:572-655`) — NOT pandas first/last.
+  * Both map to groupBy-agg: one shuffle on the subset key with map-side
+  * partial aggregation, the exact shape that survives 100 TB. The
+  * pandas-style `keep='first'` the reference lacks is added via a
+  * window over the subset key — partitioned, never single-node.
+  *
+  * Exact text dedup (LLM-pipeline): group documents by md5(text) and
+  * keep the lowest doc_id — content-hash grouping shuffles 16-byte
+  * digests, not documents.
+  */
+object Dedup extends QueryModule {
+
+  /** `Series.unique` — distinct values of one column. */
+  def qUnique(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_quantity").distinct()
+      .orderBy("l_quantity")
+
+  /** `drop_duplicates(subset=[okey,ln], keep='min')` — min-merge the
+    * payload columns per key (`weld_ops.py:572-655`).
+    */
+  def qDropDupMin(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(min(col("l_quantity")).as("l_quantity"),
+        min(col("l_extendedprice")).as("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** `drop_duplicates(keep='+')` — sum-merge the payload columns. */
+  def qDropDupSum(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(Q.dsum(col("l_quantity")).as("sum_qty"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** pandas-style `keep='first'` under an explicit total order — the
+    * variant the reference cannot express; `row_number` over a
+    * partitioned window (no global sort).
+    */
+  def qDropDupFirst(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey", "l_linenumber")
+      .orderBy(col("l_quantity").asc, col("l_extendedprice").asc)
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Exact content dedup on documents via md5 content hash. */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unique" -> (qUnique(_, _)),
+    "q_drop_dup_min" -> (qDropDupMin(_, _)),
+    "q_drop_dup_sum" -> (qDropDupSum(_, _)),
+    "q_drop_dup_first" -> (qDropDupFirst(_, _)),
+    "q_dedup_exact" -> (qDedupExact(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_unique" ->
+      "SELECT DISTINCT l_quantity FROM lineitem ORDER BY l_quantity",
+    "q_drop_dup_min" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  min(l_quantity) AS l_quantity,
+        |  min(l_extendedprice) AS l_extendedprice
+        |FROM lineitem GROUP BY l_orderkey, l_linenumber
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_drop_dup_sum" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${Q.sqlDsum("l_quantity")} AS sum_qty,
+         |  max(l_extendedprice) AS max_price
+         |FROM lineitem GROUP BY l_orderkey, l_linenumber
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_drop_dup_first" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |      ORDER BY l_quantity ASC, l_extendedprice ASC) AS rn
+        |  FROM lineitem)
+        |WHERE rn = 1 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)
+}
