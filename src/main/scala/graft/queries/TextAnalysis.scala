@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline text analysis over `documents` (beyond-reference suite;
+  * builder brief + SURVEY.md §7.4): token counting, quality scoring,
+  * language ID, document fingerprinting.
+  *
+  * Everything is codegen'd `functions._` / higher-order array
+  * expressions over a single scan — no UDFs, no shuffle except the
+  * final presentation sort, so each of these streams at parquet-scan
+  * speed at any scale. Ratios are single double divisions of exact
+  * integer counts — bit-deterministic across engines.
+  */
+object TextAnalysis extends QueryModule {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Token counting: whitespace tokens + regex word tokens (the BPE-ish
+    * pre-tokenizer split `[a-z]+|[0-9]`).
+    */
+  def qTextTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]")).as("n_re_tokens"),
+        length(col("text")).as("n_chars_actual"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length, punctuation count, stopword ratio, mean
+    * word length, and a composite score.
+    */
+  def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        regexp_count(col("text"), lit("[.,!?;:]")).as("n_punct"),
+        size(col("words")).as("n_words"),
+        expr(s"size(filter(words, w -> w IN ${inList(stopwords)}))").as("n_stop"),
+        (expr(s"size(filter(words, w -> w IN ${inList(stopwords)}))")
+          / size(col("words"))).as("stop_ratio"),
+        (expr("aggregate(transform(words, w -> length(w)), 0, (a, x) -> a + x)")
+          / size(col("words"))).as("mean_word_len"))
+      .orderBy("doc_id")
+
+  /** Language ID by stopword-marker voting with a fixed tie-break order —
+    * the n-gram-heuristic shape (count marker hits per language, argmax).
+    */
+  def qTextLangid(s: SparkSession, dir: String): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "and", "of"),
+      "fr" -> Seq("le", "la", "et"),
+      "de" -> Seq("der", "und", "die"),
+      "es" -> Seq("el", "los", "y"))
+    val scored = Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(
+        Seq(col("doc_id"), col("lang")) ++
+          markers.toSeq.sortBy(_._1).map { case (l, ws) =>
+            expr(s"size(filter(words, w -> w IN ${inList(ws)}))").as(s"s_$l")
+          }: _*)
+    scored
+      .withColumn("pred",
+        when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de")
+          && col("s_en") >= col("s_es"), "en")
+          .when(col("s_fr") >= col("s_de") && col("s_fr") >= col("s_es"), "fr")
+          .when(col("s_de") >= col("s_es"), "de")
+          .otherwise("es"))
+      .withColumn("hit", col("pred") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text — the content-defined fingerprint used for near-exact dedup.
+    */
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> (qTextTokens(_, _)),
+    "q_text_quality" -> (qTextQuality(_, _)),
+    "q_text_langid" -> (qTextLangid(_, _)),
+    "q_text_fingerprint" -> (qTextFingerprint(_, _)))
+
+  private val stopSql = inList(stopwords)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]')) AS INTEGER) AS n_re_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INTEGER) AS n_chars,
+         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INTEGER) AS n_punct,
+         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+         |  CAST(len(list_filter(string_split(text, ' '), w -> w IN $stopSql)) AS INTEGER) AS n_stop,
+         |  len(list_filter(string_split(text, ' '), w -> w IN $stopSql))
+         |    / len(string_split(text, ' ')) AS stop_ratio,
+         |  list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+         |    / len(string_split(text, ' ')) AS mean_word_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      """WITH sc AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','und','die'))) AS INTEGER) AS s_de,
+        |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','and','of'))) AS INTEGER) AS s_en,
+        |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','los','y'))) AS INTEGER) AS s_es,
+        |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','et'))) AS INTEGER) AS s_fr
+        |FROM documents)
+        |SELECT doc_id, lang, s_de, s_en, s_es, s_fr,
+        |  CASE
+        |    WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+        |    WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+        |    WHEN s_de >= s_es THEN 'de'
+        |    ELSE 'es' END AS pred,
+        |  (CASE
+        |    WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+        |    WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+        |    WHEN s_de >= s_es THEN 'de'
+        |    ELSE 'es' END) = lang AS hit
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
