@@ -13,7 +13,8 @@ object SparkEntry {
   /** All query modules; each covers one SURVEY.md §2 area. */
   def modules: Seq[QueryModule] =
     Seq(Relational, Aggregations, GroupBys, Joins, Positional,
-      Strings, MissingData, Dedup, TextAnalysis, Similarity, Fingerprints)
+      Strings, MissingData, Dedup, TextAnalysis, Similarity, Fingerprints,
+      UnaryMath, Windows, MultimodalQ)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

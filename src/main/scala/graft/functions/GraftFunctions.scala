@@ -18,7 +18,9 @@ object GraftFunctions {
   /** (name, builder) for every custom function we expose. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_prod" -> ((children: Seq[Expression]) =>
-      ProductAgg(Cast(children.head, DoubleType)))
+      ProductAgg(Cast(children.head, DoubleType))),
+    "graft_erf" -> ((children: Seq[Expression]) =>
+      Erf(Cast(children.head, DoubleType)))
   )
 
   /** Idempotently register all graft functions into `spark`'s registry. */
@@ -37,4 +39,7 @@ object GraftFunctions {
     * reference `Series.prod` / `GroupBy.prod`.
     */
   def prod(c: Column): Column = call_function("graft_prod", c)
+
+  /** Gauss error function — reference `baloo/functions/unary.py` `erf`. */
+  def erf(c: Column): Column = call_function("graft_erf", c)
 }

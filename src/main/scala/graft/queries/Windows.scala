@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** SURVEY.md §2.9 — window / event-time analytics (beyond-reference: the
+  * reference has NO window functions or streaming at all; these are the
+  * batch faces of the streaming ops in `graft.streaming`).
+  *
+  * Scale notes: every analytic window here is PARTITIONED (by user) —
+  * ranking/lag/lead/rolling state stays distributed; tumbling/sliding
+  * aggregation is a plain groupBy on the bucketed timestamp, i.e. one
+  * shuffle with map-side partial aggregation. Running sums go through
+  * decimal (order-independent, oracle-exact).
+  */
+object Windows extends QueryModule {
+
+  private val dec = DecimalType(28, 4)
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select("event_id", "user_id", "event_type", "value", "ts")
+
+  /** Ranking + offset functions per user ((user_id, ts) is unique;
+    * event_id appended for belt-and-braces totality).
+    */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .select(
+        col("user_id"), col("event_id"), col("ts"), col("value"),
+        row_number().over(w).as("rn"),
+        lag("value", 1).over(w).as("prev_value"),
+        lead("value", 1).over(w).as("next_value"),
+        sum(col("value").cast(dec)).over(wRun).cast(DoubleType).as("running_sum"))
+      .orderBy("user_id", "rn")
+  }
+
+  /** Rolling 3-row mean per user (2 preceding .. current). */
+  def qWindowMoving(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-2, Window.currentRow)
+    ev(s, dir)
+      .select(
+        col("user_id"), col("event_id"), col("ts"), col("value"),
+        (sum(col("value").cast(dec)).over(w).cast(DoubleType)
+          / count(lit(1)).over(w)).as("mov_avg3"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** Tumbling 1-hour event-time windows — `window(ts, '1 hour')`; the
+    * batch twin of the streaming tumbling aggregation.
+    */
+  def qWindowTumbling(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("bucket", "event_type")
+
+  /** Sliding 1-hour windows every 30 minutes — each event lands in two
+    * windows; equivalent to the union of two offset tumbling grids.
+    */
+  def qWindowSliding(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("n"), col("sum_value"))
+      .orderBy("bucket")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_rank" -> (qWindowRank(_, _)),
+    "q_window_moving" -> (qWindowMoving(_, _)),
+    "q_window_tumbling" -> (qWindowTumbling(_, _)),
+    "q_window_sliding" -> (qWindowSliding(_, _)))
+
+  // DuckDB reads ts as TIMESTAMP_NS; CAST to TIMESTAMP truncates to the
+  // same micros Spark's events loader derives (ts_ns DIV 1000).
+  private val evSql =
+    """SELECT event_id, user_id, event_type, value,
+      |  CAST(ts AS TIMESTAMP) AS ts FROM events""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_window_rank" ->
+      s"""WITH e AS ($evSql)
+         |SELECT user_id, event_id, ts, value,
+         |  CAST(row_number() OVER w AS INTEGER) AS rn,
+         |  lag(value, 1) OVER w AS prev_value,
+         |  lead(value, 1) OVER w AS next_value,
+         |  CAST(sum(CAST(value AS DECIMAL(28,4))) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS running_sum
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY user_id, rn""".stripMargin,
+    "q_window_moving" ->
+      s"""WITH e AS ($evSql)
+         |SELECT user_id, event_id, ts, value,
+         |  CAST(sum(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE)
+         |    / count(*) OVER w AS mov_avg3
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_window_tumbling" ->
+      s"""WITH e AS ($evSql)
+         |SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+         |  count(*) AS n, ${Q.sqlDsum("value")} AS sum_value
+         |FROM e GROUP BY bucket, event_type
+         |ORDER BY bucket, event_type""".stripMargin,
+    "q_window_sliding" ->
+      s"""WITH e AS ($evSql)
+         |SELECT bucket, count(*) AS n, ${Q.sqlDsum("value")} AS sum_value
+         |FROM (
+         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, value FROM e
+         |  UNION ALL
+         |  SELECT time_bucket(INTERVAL '1 hour', ts,
+         |    INTERVAL '30 minutes') AS bucket, value FROM e)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin)
+}
