@@ -1,0 +1,258 @@
+package graft.core
+
+import graft.operators.Ordinal
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** The pandas-shaped frame — analog of the reference `DataFrame`
+  * (`/root/reference/baloo/core/frame.py:18`): named columns + explicit
+  * index columns, every method a 1-10 line translation onto
+  * `org.apache.spark.sql` (SURVEY.md §7.0 design stance).
+  *
+  * Index semantics: Spark rows have no identity, so the index is just a
+  * set of ordinary columns tagged in `indexCols` (SURVEY.md §1.1). A
+  * default positional index is available via [[BalooFrame.withRangeIndex]]
+  * (range-partitioned ordinal — never a single-partition window).
+  *
+  * Missing data is SQL NULL, not the reference's −999 sentinels
+  * (SURVEY.md §1.3 decision).
+  */
+final class BalooFrame(val df: DataFrame, val indexCols: Seq[String]) {
+
+  private def dataCols: Seq[String] = df.columns.filterNot(indexCols.contains).toSeq
+  private def numericDataCols: Seq[String] = {
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    dataCols.filter(c => types(c).isInstanceOf[NumericType])
+  }
+  private def keep(cols: Seq[String]): Seq[Column] = cols.map(col)
+
+  // ---- projection (frame.py:350-362) ----
+  def apply(name: String): BalooSeries = {
+    require(df.columns.contains(name), s"KeyError: $name")
+    new BalooSeries(df.select(keep(indexCols) :+ col(name): _*), indexCols, name)
+  }
+  def select(cols: String*): BalooFrame = {
+    cols.foreach(c => require(df.columns.contains(c), s"KeyError: $c"))
+    new BalooFrame(df.select(keep(indexCols ++ cols): _*), indexCols)
+  }
+
+  // ---- filter by bool Series (frame.py:363-370) ----
+  def filter(mask: BalooSeries): BalooFrame = {
+    val m = mask.df.withColumnRenamed(mask.name, "__mask")
+    new BalooFrame(df.join(m.filter(col("__mask")), indexCols, "left_semi"), indexCols)
+  }
+  def where(cond: Column): BalooFrame = new BalooFrame(df.filter(cond), indexCols)
+
+  // ---- positional (frame.py:371-378,460-514; ordinal strategy §7.3) ----
+  def head(n: Int): BalooFrame =
+    new BalooFrame(df.orderBy(keep(indexCols): _*).limit(n), indexCols)
+  def tail(n: Int): BalooFrame = {
+    val rev = indexCols.map(c => col(c).desc)
+    new BalooFrame(df.orderBy(rev: _*).limit(n).orderBy(keep(indexCols): _*), indexCols)
+  }
+  def slice(start: Long, stop: Long): BalooFrame =
+    new BalooFrame(
+      Ordinal.slice(df, keep(indexCols), start, stop).drop("ord"), indexCols)
+  def iloc(i: Long): BalooFrame =
+    new BalooFrame(Ordinal.iloc(df, keep(indexCols), i).drop("ord"), indexCols)
+
+  // ---- setitem with index alignment (frame.py:414-425, weld_align) ----
+  def withColumn(name: String, series: BalooSeries): BalooFrame = {
+    val s = series.df.withColumnRenamed(series.name, name)
+    new BalooFrame(df.drop(name).join(s, indexCols, "left"), indexCols)
+  }
+  def withColumn(name: String, c: Column): BalooFrame =
+    new BalooFrame(df.withColumn(name, c), indexCols)
+
+  // ---- broadcast arithmetic over numeric columns (frame.py:260-289) ----
+  private def mapNumeric(f: Column => Column): BalooFrame = {
+    val projected = df.columns.toSeq.map {
+      case c if numericDataCols.contains(c) => f(col(c)).as(c)
+      case c => col(c)
+    }
+    new BalooFrame(df.select(projected: _*), indexCols)
+  }
+  def +(v: Double): BalooFrame = mapNumeric(_ + lit(v))
+  def -(v: Double): BalooFrame = mapNumeric(_ - lit(v))
+  def *(v: Double): BalooFrame = mapNumeric(_ * lit(v))
+  def /(v: Double): BalooFrame = mapNumeric(_ / lit(v))
+  def **(v: Double): BalooFrame = mapNumeric(pow(_, v))
+
+  // ---- astype (frame.py:291-321) ----
+  def astype(t: String): BalooFrame = mapNumeric(_.cast(t))
+  def astype(types: Map[String, String]): BalooFrame = {
+    val projected = df.columns.toSeq.map(c =>
+      types.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c)))
+    new BalooFrame(df.select(projected: _*), indexCols)
+  }
+
+  // ---- missing data (frame.py:1026-1072) ----
+  def fillna(v: Any): BalooFrame = new BalooFrame(
+    v match {
+      case d: Double => df.na.fill(d)
+      case l: Long => df.na.fill(l)
+      case s: String => df.na.fill(s)
+      case other => df.na.fill(other.toString)
+    }, indexCols)
+  def fillna(values: Map[String, Any]): BalooFrame =
+    new BalooFrame(df.na.fill(values), indexCols)
+  def dropna(): BalooFrame = new BalooFrame(df.na.drop(dataCols), indexCols)
+  def dropna(subset: Seq[String]): BalooFrame =
+    new BalooFrame(df.na.drop(subset), indexCols)
+
+  // ---- per-column aggregate row (frame.py:594-639; f64 results) ----
+  def aggAll(how: String): DataFrame = {
+    val exprs = numericDataCols.map { c =>
+      (how match {
+        case "sum" => sum(col(c))
+        case "prod" => graft.functions.GraftFunctions.prod(col(c))
+        case "min" => min(col(c))
+        case "max" => max(col(c))
+        case "count" => count(col(c))
+        case "mean" => avg(col(c))
+        case "var" => var_samp(col(c))
+        case "std" => stddev_samp(col(c))
+        case other => throw new IllegalArgumentException(s"unknown agg: $other")
+      }).cast("double").as(c)
+    }
+    df.agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Multi-agg matrix: rows keyed by agg name × numeric columns
+    * (frame.py:641-666) — ONE aggregation pass + stack.
+    */
+  def agg(aggs: Seq[String]): DataFrame = {
+    val exprs = for (a <- aggs; c <- numericDataCols) yield (a match {
+      case "sum" => sum(col(c))
+      case "prod" => graft.functions.GraftFunctions.prod(col(c))
+      case "min" => min(col(c))
+      case "max" => max(col(c))
+      case "count" => count(col(c))
+      case "mean" => avg(col(c))
+      case "var" => var_samp(col(c))
+      case "std" => stddev_samp(col(c))
+      case other => throw new IllegalArgumentException(s"unknown agg: $other")
+    }).cast("double").as(s"${a}__$c")
+    val one = df.agg(exprs.head, exprs.tail: _*)
+    val stackArgs = aggs.map(a =>
+      (s"'$a'" +: numericDataCols.map(c => s"`${a}__$c`")).mkString(", ")).mkString(", ")
+    one.selectExpr(
+      s"stack(${aggs.size}, $stackArgs) AS (agg, ${numericDataCols.map(c => s"`$c`").mkString(", ")})")
+  }
+
+  // ---- groupby (frame.py:1074-1097) ----
+  def groupby(by: String*): BalooGroupBy = {
+    require(by.nonEmpty && by.size < df.columns.length, "cannot group by all columns")
+    new BalooGroupBy(this, by)
+  }
+
+  // ---- sorting (frame.py:733-796; multi-column, both directions) ----
+  def sortValues(by: Seq[String], ascending: Boolean = true): BalooFrame = {
+    val order = by.map(c => if (ascending) col(c).asc else col(c).desc)
+    new BalooFrame(df.orderBy(order: _*), indexCols)
+  }
+  def sortIndex(ascending: Boolean = true): BalooFrame =
+    sortValues(indexCols, ascending)
+
+  // ---- dedup (frame.py:982-1024; keep ∈ {+,*,min,max} = merger) ----
+  def dropDuplicates(subset: Seq[String], keep: String): BalooFrame = {
+    val others = dataCols.filterNot(subset.contains)
+    val aggs = others.map { c =>
+      (keep match {
+        case "min" => min(col(c))
+        case "max" => max(col(c))
+        case "+" => sum(col(c))
+        case "*" => graft.functions.GraftFunctions.prod(col(c))
+        case other => throw new IllegalArgumentException(s"unknown keep: $other")
+      }).as(c)
+    }
+    new BalooFrame(
+      df.groupBy(subset.map(col): _*).agg(aggs.head, aggs.tail: _*), subset)
+  }
+
+  /** pandas-style keep=first under the index order (beyond reference). */
+  def dropDuplicatesFirst(subset: Seq[String]): BalooFrame = {
+    val w = Window.partitionBy(subset.map(col): _*)
+      .orderBy(keep(indexCols): _*)
+    new BalooFrame(
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn"),
+      indexCols)
+  }
+
+  // ---- merge/join (frame.py:798-980) ----
+  /** Equi-join on `on` columns; non-key name collisions suffixed
+    * `_x`/`_y` (`_compute_new_names` frame.py:1265-1275); on-columns
+    * become the result index (frame.py:1279-1306). No uniqueness or
+    * sortedness restriction — Spark's join handles duplicates natively.
+    */
+  def merge(other: BalooFrame, on: Seq[String], how: String = "inner",
+      suffixes: (String, String) = ("_x", "_y")): BalooFrame = {
+    val collisions = (df.columns.toSet -- on)
+      .intersect(other.df.columns.toSet -- on)
+    val left = collisions.foldLeft(df)((d, c) =>
+      d.withColumnRenamed(c, c + suffixes._1))
+    val right = collisions.foldLeft(other.df)((d, c) =>
+      d.withColumnRenamed(c, c + suffixes._2))
+    val sparkHow = how match {
+      case "outer" => "full_outer"
+      case h => h
+    }
+    new BalooFrame(left.join(right, on, sparkHow), on)
+  }
+
+  def join(other: BalooFrame, how: String = "left"): BalooFrame = {
+    require(indexCols == other.indexCols, "join requires matching index names")
+    merge(other, indexCols, how)
+  }
+
+  // ---- index management (frame.py rename/drop/reset/set_index) ----
+  def rename(mapping: Map[String, String]): BalooFrame =
+    new BalooFrame(
+      mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) },
+      indexCols.map(c => mapping.getOrElse(c, c)))
+  def drop(cols: String*): BalooFrame =
+    new BalooFrame(df.drop(cols: _*), indexCols.filterNot(cols.contains))
+  def setIndex(cols: String*): BalooFrame = new BalooFrame(df, cols)
+  def resetIndex(): BalooFrame = new BalooFrame(df, Nil)
+
+  /** Attach a positional RangeIndex under the current sort order —
+    * distributed ordinal, not a single-partition window.
+    */
+  def withRangeIndex(name: String = "index"): BalooFrame = {
+    val order = if (indexCols.nonEmpty) keep(indexCols) else df.columns.toSeq.map(col)
+    new BalooFrame(Ordinal.withOrdinal(df, order, name), Seq(name))
+  }
+
+  def toDF: DataFrame = df
+}
+
+/** Deferred grouping descriptor — analog of reference `GroupBy`
+  * (`/root/reference/baloo/core/groupby.py:11`). Group keys become the
+  * result index; all strategies are Spark's single-pass partial+final
+  * hash aggregate (the reference's dictmerger/groupmerger split is
+  * unnecessary — SURVEY.md §2.6).
+  */
+final class BalooGroupBy(frame: BalooFrame, by: Seq[String]) {
+  private def valueCols: Seq[String] = {
+    val types = frame.df.schema.fields.map(f => f.name -> f.dataType).toMap
+    frame.df.columns.toSeq
+      .filterNot(by.contains).filterNot(frame.indexCols.contains)
+      .filter(c => types(c).isInstanceOf[NumericType])
+  }
+  private def run(f: String => Column): BalooFrame = {
+    val aggs = valueCols.map(c => f(c).as(c))
+    new BalooFrame(frame.df.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*), by)
+  }
+  def sum(): BalooFrame = run(c => org.apache.spark.sql.functions.sum(col(c)))
+  def prod(): BalooFrame = run(c => graft.functions.GraftFunctions.prod(col(c)))
+  def min(): BalooFrame = run(c => org.apache.spark.sql.functions.min(col(c)))
+  def max(): BalooFrame = run(c => org.apache.spark.sql.functions.max(col(c)))
+  def mean(): BalooFrame = run(c => avg(col(c)).cast("double"))
+  def variance(): BalooFrame = run(c => var_samp(col(c)).cast("double"))
+  def std(): BalooFrame = run(c => stddev_samp(col(c)).cast("double"))
+  def size(): BalooFrame =
+    new BalooFrame(
+      frame.df.groupBy(by.map(col): _*).agg(count(lit(1)).as("size")), by)
+}

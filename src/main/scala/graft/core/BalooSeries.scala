@@ -1,0 +1,178 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One named, typed column + the frame's index columns — the analog of
+  * the reference `Series` (`/root/reference/baloo/core/series.py:17`),
+  * realized as a thin view over a Spark `DataFrame` holding
+  * `indexCols :+ name`.
+  *
+  * All operators build new lazy plans; nothing executes until an action
+  * (`collect`, `count`, writes) — the same contract as the reference's
+  * `evaluate()` model (SURVEY.md §1.4), inherited from `Dataset` for free.
+  */
+final class BalooSeries(val df: DataFrame, val indexCols: Seq[String], val name: String) {
+
+  def col_ : Column = col(name)
+  private def rebuild(c: Column, newName: String = name): BalooSeries =
+    new BalooSeries(
+      df.select((indexCols.map(col) :+ c.as(newName)): _*), indexCols, newName)
+
+  // ---- comparisons (reference generic.py:51-67) → bool Series ----
+  def <(v: Any): BalooSeries = rebuild(col_ < lit(v))
+  def <=(v: Any): BalooSeries = rebuild(col_ <= lit(v))
+  def >(v: Any): BalooSeries = rebuild(col_ > lit(v))
+  def >=(v: Any): BalooSeries = rebuild(col_ >= lit(v))
+  def ===(v: Any): BalooSeries = rebuild(col_ === lit(v))
+  def !==(v: Any): BalooSeries = rebuild(col_ =!= lit(v))
+
+  // ---- bool algebra (generic.py:95-104, series.py:196-201,260-266) ----
+  def &(o: BalooSeries): BalooSeries = zip(o, _ && _)
+  def |(o: BalooSeries): BalooSeries = zip(o, _ || _)
+  def unary_! : BalooSeries = rebuild(!col_)
+
+  // ---- arithmetic (generic.py:75-92, series.py:203-209) ----
+  def +(v: Double): BalooSeries = rebuild(col_ + lit(v))
+  def -(v: Double): BalooSeries = rebuild(col_ - lit(v))
+  def *(v: Double): BalooSeries = rebuild(col_ * lit(v))
+  def /(v: Double): BalooSeries = rebuild(col_ / lit(v))
+  def **(v: Double): BalooSeries = rebuild(pow(col_, v))
+  def +(o: BalooSeries): BalooSeries = zip(o, _ + _)
+  def -(o: BalooSeries): BalooSeries = zip(o, _ - _)
+  def *(o: BalooSeries): BalooSeries = zip(o, _ * _)
+  def /(o: BalooSeries): BalooSeries = zip(o, _ / _)
+
+  /** Align on index (inner) then combine — the reference requires equal
+    * lengths and zips positionally (`weld_ops.py:232-275`); with explicit
+    * index columns the equivalent is an index equi-join.
+    */
+  private def zip(o: BalooSeries, f: (Column, Column) => Column): BalooSeries = {
+    require(indexCols.nonEmpty, "column⊕column requires an index")
+    val left = df
+    val right = o.df.withColumnRenamed(o.name, s"${o.name}__r")
+    val joined = left.join(right, indexCols, "inner")
+    new BalooSeries(
+      joined.select((indexCols.map(col) :+ f(col(name), col(s"${o.name}__r")).as(name)): _*),
+      indexCols, name)
+  }
+
+  // ---- selection ----
+  def filter(mask: BalooSeries): BalooSeries = {
+    val m = mask.df.withColumnRenamed(mask.name, "__mask")
+    new BalooSeries(
+      df.join(m.filter(col("__mask")), indexCols, "left_semi"), indexCols, name)
+  }
+
+  // ---- missing data (series.py:186-194,405-439) ----
+  def isna: BalooSeries = rebuild(col_.isNull)
+  def notna: BalooSeries = rebuild(col_.isNotNull)
+  def fillna(v: Any): BalooSeries = rebuild(coalesce(col_, lit(v)))
+  def dropna(): BalooSeries = new BalooSeries(df.filter(col_.isNotNull), indexCols, name)
+
+  // ---- casts / unary fns ----
+  def astype(t: String): BalooSeries = rebuild(col_.cast(t))
+  def apply(f: Column => Column): BalooSeries = rebuild(f(col_))
+
+  // ---- aggregations (series.py:350-388; results f64 per reference) ----
+  def sum(): Double = aggScalar(org.apache.spark.sql.functions.sum(col_))
+  def prod(): Double = aggScalar(graft.functions.GraftFunctions.prod(col_))
+  def min(): Double = aggScalar(org.apache.spark.sql.functions.min(col_))
+  def max(): Double = aggScalar(org.apache.spark.sql.functions.max(col_))
+  def count(): Long = df.filter(col_.isNotNull).count()
+  def mean(): Double = aggScalar(avg(col_))
+  def variance(): Double = aggScalar(var_samp(col_))
+  def std(): Double = aggScalar(stddev_samp(col_))
+  private def aggScalar(c: Column): Double =
+    df.agg(c.cast("double")).head().getDouble(0)
+
+  /** Multi-agg → Series keyed by agg name, all f64 (series.py:370-388). */
+  def agg(aggs: Seq[String]): DataFrame = {
+    val exprs = aggs.map {
+      case "sum" => org.apache.spark.sql.functions.sum(col_).cast("double").as("sum")
+      case "prod" => graft.functions.GraftFunctions.prod(col_).as("prod")
+      case "min" => org.apache.spark.sql.functions.min(col_).cast("double").as("min")
+      case "max" => org.apache.spark.sql.functions.max(col_).cast("double").as("max")
+      case "count" => org.apache.spark.sql.functions.count(col_).cast("double").as("count")
+      case "mean" => avg(col_).cast("double").as("mean")
+      case "var" => var_samp(col_).cast("double").as("var")
+      case "std" => stddev_samp(col_).cast("double").as("std")
+      case other => throw new IllegalArgumentException(s"unknown agg: $other")
+    }
+    val one = df.agg(exprs.head, exprs.tail: _*)
+    val stackArgs = aggs.map(a => s"'$a', `$a`").mkString(", ")
+    one.selectExpr(s"stack(${aggs.size}, $stackArgs) AS (agg, value)")
+  }
+
+  /** Hash-distinct values (series.py:390-403; order NOT preserved there,
+    * not here either).
+    */
+  def unique(): DataFrame = df.select(name).distinct()
+
+  def str: BalooStr = new BalooStr(this)
+
+  def toDF: DataFrame = df
+}
+
+/** The `.str` accessor — the reference's 11 byte-string ops
+  * (`/root/reference/baloo/core/strings.py`), every one a codegen'd
+  * `Column` expression (SURVEY.md §2.4 mappings).
+  */
+final class BalooStr(s: BalooSeries) {
+  private def c: Column = s.col_
+  private def re(expr: Column): BalooSeries =
+    new BalooSeries(
+      s.df.select((s.indexCols.map(col) :+ expr.as(s.name)): _*), s.indexCols, s.name)
+
+  def lower(): BalooSeries = re(org.apache.spark.sql.functions.lower(c))
+  def upper(): BalooSeries = re(org.apache.spark.sql.functions.upper(c))
+
+  /** First char upper + rest lower (NOT initcap — strings.py:32-40). */
+  def capitalize(): BalooSeries =
+    re(concat(org.apache.spark.sql.functions.upper(substring(c, 1, 1)),
+      org.apache.spark.sql.functions.lower(c.substr(lit(2), length(c)))))
+
+  /** i-th char, negative from end, NULL out of range (strings.py:42-56). */
+  def get(i: Int): BalooSeries = {
+    val pos = if (i >= 0) lit(i + 1) else length(c) + lit(i + 1)
+    re(when(pos >= 1 && pos <= length(c), c.substr(pos, lit(1))))
+  }
+
+  def strip(): BalooSeries = re(trim(c))
+
+  /** [start, stop) substring, step 1 (strings.py:70-93). */
+  def slice(start: Int, stop: Int): BalooSeries =
+    re(c.substr(lit(start + 1), lit(math.max(stop - start, 0))))
+
+  def contains(pat: String): BalooSeries = re(c.contains(pat))
+  def startswith(pat: String): BalooSeries = re(c.startsWith(pat))
+  def endswith(pat: String): BalooSeries = re(c.endsWith(pat))
+
+  /** First index of `sub` in [start, end) else −1 (strings.py:143-169). */
+  def find(sub: String, start: Int = 0): BalooSeries = {
+    val pos = locate(sub, c, start + 1)
+    re((pos - 1).cast("int"))
+  }
+
+  /** Replace FIRST occurrence only (strings.py:171-188). */
+  def replace(pat: String, rep: String): BalooSeries = {
+    val pos = locate(pat, c)
+    re(when(pos > 0,
+      concat(c.substr(lit(1), pos - 1), lit(rep),
+        c.substr(pos + lit(pat.length), length(c))))
+      .otherwise(c))
+  }
+
+  /** Split once on the first `pat`; keep left or right part
+    * (strings.py:191-219).
+    */
+  def split(pat: String, side: String): BalooSeries = {
+    val pos = locate(pat, c)
+    side match {
+      case "left" => re(when(pos > 0, c.substr(lit(1), pos - 1)).otherwise(c))
+      case "right" => re(when(pos > 0,
+        c.substr(pos + lit(pat.length), length(c))))
+      case other => throw new IllegalArgumentException(s"side must be left|right, got $other")
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming operators over the events stream shape
+  * (`event_id, user_id, event_type, value, ts`) — SURVEY.md §2.9: the
+  * reference has NO streaming at all; these are the beyond-reference
+  * extensions, written as plan transforms (`DataFrame => DataFrame`) so
+  * the same code runs on `readStream` sources in production and on
+  * `MemoryStream` in tests.
+  *
+  * Scale notes: watermarks bound state (late data beyond the watermark
+  * is dropped, state for closed windows is freed); stateful
+  * sessionization keys state by user — state size ∝ active users, not
+  * events. Both are the canonical shapes for unbounded input.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window aggregation with a watermark —
+    * the streaming twin of `graft.queries.Windows.qWindowTumbling`.
+    */
+  def tumblingCounts(events: DataFrame,
+      watermark: String = "10 minutes", window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding windows (1h every 30m) with watermark. */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("n"))
+
+  case class Event(event_id: Long, user_id: Long, event_type: String,
+      value: Double, ts: Timestamp)
+  case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)
+  case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+      n: Long, sum_value: Double)
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState`:
+    * a session closes after `gapMs` of user inactivity (processing-time
+    * timeout drives emission) — the `KeyValueGroupedDataset` custom-state
+    * surface the brief calls for.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 5 * 60 * 1000): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs < gapMs =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

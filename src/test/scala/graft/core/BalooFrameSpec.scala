@@ -1,0 +1,140 @@
+package graft.core
+
+import graft.SparkSpec
+
+/** Frame-level operator specs mirroring the reference's
+  * `tests/core/test_frame.py` / `test_join.py` / `test_group.py`
+  * fixtures (`/root/reference/tests/conftest.py:73-111`; see
+  * /root/repo/FIXTURES.md).
+  */
+class BalooFrameSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** df1: a=[0..4] i64, b=[1..5] f32, index idx=[2..6] (conftest.py:93-95). */
+  private def df1 = new BalooFrame(
+    Seq((2L, 0L, 1.0f), (3L, 1L, 2.0f), (4L, 2L, 3.0f), (5L, 3L, 4.0f), (6L, 4L, 5.0f))
+      .toDF("idx", "a", "b"), Seq("idx"))
+
+  /** df2: b=[3,4,5] f32, c=[4,5,6] i64, index idx=[1,3,5] (conftest.py:98-103). */
+  private def df2 = new BalooFrame(
+    Seq((1L, 3.0f, 4L), (3L, 4.0f, 5L), (5L, 5.0f, 6L)).toDF("idx", "b", "c"), Seq("idx"))
+
+  /** df_dupl: a f32 [0,1,1,2,3], b i64 [4,5,5,6,6], c i64 [1..5] (conftest.py:106-111). */
+  private def dfDupl = new BalooFrame(
+    Seq((0L, 0.0f, 4L, 1L), (1L, 1.0f, 5L, 2L), (2L, 1.0f, 5L, 3L),
+      (3L, 2.0f, 6L, 4L), (4L, 3.0f, 6L, 5L)).toDF("idx", "a", "b", "c"), Seq("idx"))
+
+  test("select is order-preserving and KeyErrors on miss") {
+    assertCols(df1.select("b", "a").toDF, Seq("idx", "b", "a"))
+    intercept[IllegalArgumentException](df1.select("nope"))
+  }
+
+  test("filter by bool series keeps matching index rows") {
+    val out = df1.filter(df1("a") > 1L).toDF.orderBy("idx")
+    assertFrame(out, Seq(Seq(4L, 2L, 3.0f), Seq(5L, 3L, 4.0f), Seq(6L, 4L, 5.0f)))
+  }
+
+  test("head/tail/slice/iloc under index order") {
+    assertFrame(df1.head(2).toDF, Seq(Seq(2L, 0L, 1.0f), Seq(3L, 1L, 2.0f)))
+    assertFrame(df1.tail(2).toDF, Seq(Seq(5L, 3L, 4.0f), Seq(6L, 4L, 5.0f)))
+    assertFrame(df1.slice(1, 3).toDF.orderBy("idx"),
+      Seq(Seq(3L, 1L, 2.0f), Seq(4L, 2L, 3.0f)))
+    assertFrame(df1.iloc(4).toDF, Seq(Seq(6L, 4L, 5.0f)))
+  }
+
+  test("withColumn aligns a differently-indexed series (weld_align analog)") {
+    val out = df1.withColumn("c", df2("c")).toDF.orderBy("idx")
+    assertFrame(out, Seq(
+      Seq(2L, 0L, 1.0f, null), Seq(3L, 1L, 2.0f, 5L), Seq(4L, 2L, 3.0f, null),
+      Seq(5L, 3L, 4.0f, 6L), Seq(6L, 4L, 5.0f, null)))
+  }
+
+  test("broadcast arithmetic touches numeric data cols, not the index") {
+    val out = (df1 * 2.0).toDF.orderBy("idx")
+    assertFrame(out, Seq(
+      Seq(2L, 0.0, 2.0), Seq(3L, 2.0, 4.0), Seq(4L, 4.0, 6.0),
+      Seq(5L, 6.0, 8.0), Seq(6L, 8.0, 10.0)))
+  }
+
+  test("astype per-column map") {
+    val out = df1.astype(Map("b" -> "long")).toDF.orderBy("idx")
+    assertFrame(out, Seq(
+      Seq(2L, 0L, 1L), Seq(3L, 1L, 2L), Seq(4L, 2L, 3L), Seq(5L, 3L, 4L), Seq(6L, 4L, 5L)))
+  }
+
+  test("agg matrix: one pass, rows keyed by agg name, f64") {
+    val out = df1.agg(Seq("min", "max", "sum")).orderBy("agg")
+    assertFrame(out, Seq(
+      Seq("max", 4.0, 5.0), Seq("min", 0.0, 1.0), Seq("sum", 10.0, 15.0)))
+  }
+
+  test("sortValues multi-column + descending") {
+    val out = dfDupl.sortValues(Seq("a", "c"), ascending = false).toDF
+    assertFrame(out.select("a", "c"), Seq(
+      Seq(3.0f, 5L), Seq(2.0f, 4L), Seq(1.0f, 3L), Seq(1.0f, 2L), Seq(0.0f, 1L)))
+  }
+
+  test("dropDuplicates keep=min merges payload (reference semantics)") {
+    val out = dfDupl.dropDuplicates(Seq("a", "b"), "min").toDF.orderBy("a")
+    assertFrame(out.select("a", "b", "c"), Seq(
+      Seq(0.0f, 4L, 1L), Seq(1.0f, 5L, 2L), Seq(2.0f, 6L, 4L), Seq(3.0f, 6L, 5L)))
+  }
+
+  test("dropDuplicates keep='+' sums payload") {
+    val out = dfDupl.dropDuplicates(Seq("a", "b"), "+").toDF.orderBy("a")
+    assertFrame(out.select("a", "b", "c"), Seq(
+      Seq(0.0f, 4L, 1L), Seq(1.0f, 5L, 5L), Seq(2.0f, 6L, 4L), Seq(3.0f, 6L, 5L)))
+  }
+
+  test("dropDuplicatesFirst keeps first under index order") {
+    val out = dfDupl.dropDuplicatesFirst(Seq("a", "b")).toDF.orderBy("idx")
+    assertFrame(out.select("idx", "c"), Seq(
+      Seq(0L, 1L), Seq(1L, 2L), Seq(3L, 4L), Seq(4L, 5L)))
+  }
+
+  test("merge inner on index suffixes collisions _x/_y, on-cols become index") {
+    val m = df1.merge(df2, Seq("idx"), "inner")
+    assert(m.indexCols == Seq("idx"))
+    assertCols(m.toDF.select("b_x", "b_y", "c"), Seq("b_x", "b_y", "c"))
+    assertFrame(m.toDF.orderBy("idx").select("idx", "a", "b_x", "b_y", "c"),
+      Seq(Seq(3L, 1L, 2.0f, 4.0f, 5L), Seq(5L, 3L, 4.0f, 5.0f, 6L)))
+  }
+
+  test("merge outer null-fills both sides (reference fills sentinels)") {
+    val m = df1.merge(df2, Seq("idx"), "outer").toDF.orderBy("idx")
+    assertFrame(m.select("idx", "a", "c"), Seq(
+      Seq(1L, null, 4L), Seq(2L, 0L, null), Seq(3L, 1L, 5L), Seq(4L, 2L, null),
+      Seq(5L, 3L, 6L), Seq(6L, 4L, null)))
+  }
+
+  test("groupby sum/mean/size; keys become index; hash order (sorted compare)") {
+    val g = dfDupl.drop("idx").groupby("a")
+    assertFrame(g.sum().toDF.select("a", "b", "c"), Seq(
+      Seq(0.0f, 4L, 1L), Seq(1.0f, 10L, 5L), Seq(2.0f, 6L, 4L), Seq(3.0f, 6L, 5L)),
+      sort = true)
+    assertFrame(g.mean().toDF.select("a", "c"), Seq(
+      Seq(0.0f, 1.0), Seq(1.0f, 2.5), Seq(2.0f, 4.0), Seq(3.0f, 5.0)), sort = true)
+    assertFrame(g.size().toDF, Seq(
+      Seq(0.0f, 1L), Seq(1.0f, 2L), Seq(2.0f, 1L), Seq(3.0f, 1L)), sort = true)
+  }
+
+  test("groupby cannot group by all columns (frame.py:1092-1093)") {
+    intercept[IllegalArgumentException](
+      new BalooFrame(Seq((1L, 2L)).toDF("a", "b"), Nil).groupby("a", "b"))
+  }
+
+  test("rename/drop/setIndex/resetIndex track the index") {
+    val r = df1.rename(Map("idx" -> "i2", "a" -> "a2"))
+    assert(r.indexCols == Seq("i2"))
+    assertCols(r.toDF, Seq("i2", "a2", "b"))
+    assert(df1.drop("a").toDF.columns.toSeq == Seq("idx", "b"))
+    assert(df1.resetIndex().indexCols.isEmpty)
+    assert(df1.resetIndex().setIndex("a").indexCols == Seq("a"))
+  }
+
+  test("withRangeIndex attaches a distributed 0-based ordinal") {
+    val r = df1.withRangeIndex("pos").toDF.orderBy("pos")
+    assertFrame(r.select("pos", "idx"), Seq(
+      Seq(0L, 2L), Seq(1L, 3L), Seq(2L, 4L), Seq(3L, 5L), Seq(4L, 6L)))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Ordinal (distributed positional ids) and Multimodal (stub-codec
+  * pipeline) operator specs.
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withOrdinal assigns contiguous 0-based ids in order, across partitions") {
+    val df = Seq(30, 10, 50, 20, 40).toDF("v").repartition(3)
+    val out = Ordinal.withOrdinal(df, Seq(col("v"))).orderBy("ord")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(out == Seq((10, 0L), (20, 1L), (30, 2L), (40, 3L), (50, 4L)))
+  }
+
+  test("slice and iloc agree with a sorted collect") {
+    val df = (1 to 100).toDF("v").repartition(5)
+    val sliced = Ordinal.slice(df, Seq(col("v")), 10, 13)
+      .orderBy("ord").collect().map(_.getInt(0)).toSeq
+    assert(sliced == Seq(11, 12, 13))
+    assert(Ordinal.iloc(df, Seq(col("v")), 0).head().getInt(0) == 1)
+    assert(Ordinal.iloc(df, Seq(col("v")), 99).head().getInt(0) == 100)
+  }
+
+  test("multimodal decode is deterministic and typed") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", "hello world".getBytes("UTF-8")),
+      Multimodal.MediaRow(2L, "audio", "abcdef".getBytes("UTF-8")),
+      Multimodal.MediaRow(3L, "video", ("x" * 1000).getBytes("UTF-8"))).toDS()
+    val meta = Multimodal.decodeMeta(media).collect().sortBy(_.id)
+    assert(meta.map(_.nBytes).toSeq == Seq(11L, 6L, 1000L))
+    assert(meta(1).sampleRate == 16000 && meta(0).sampleRate == 0)
+    assert(meta(2).nFrames == 1 + 1000 % 300)
+    // determinism: same input → same decoded values
+    val again = Multimodal.decodeMeta(media).collect().sortBy(_.id)
+    assert(meta.toSeq == again.toSeq)
+  }
+
+  test("multimodal features are an L1-normalized histogram") {
+    val media = Seq(Multimodal.MediaRow(1L, "image", "aabb".getBytes("UTF-8"))).toDS()
+    val f = Multimodal.extractFeatures(media).head().features
+    assert(f.length == Multimodal.FeatureDim)
+    assert(math.abs(f.sum - 1.0f) < 1e-6)
+  }
+
+  test("frame sampling keeps every k-th block") {
+    val media = Seq(Multimodal.MediaRow(1L, "video", new Array[Byte](1024))).toDS()
+    val out = Multimodal.sampleFrames(media, 2).head()
+    assert(out.payload.length == 512) // blocks 0 and 2 of 4×256
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Structured Streaming specs driven by MemoryStream — tumbling window
+  * aggregation and stateful sessionization.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling counts aggregate by event-time hour under a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val q = StreamOps.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(
+        StreamOps.Event(1, 1, "click", 1.0, ts("2024-01-01 10:05:00")),
+        StreamOps.Event(2, 1, "click", 2.0, ts("2024-01-01 10:55:00")),
+        StreamOps.Event(3, 2, "view", 5.0, ts("2024-01-01 11:05:00")))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_.toString).toSeq
+      assert(rows == Seq(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session when the inactivity gap is exceeded") {
+    // Batch-mode flatMapGroupsWithState: sessions closed by a LATER event
+    // are emitted; the trailing open session stays in (discarded) state.
+    val events = Seq(
+      StreamOps.Event(1, 7, "click", 1.0, ts("2024-01-01 10:00:00")),
+      StreamOps.Event(2, 7, "click", 2.0, ts("2024-01-01 10:02:00")),
+      StreamOps.Event(3, 7, "click", 4.0, ts("2024-01-01 10:30:00")), // new session
+      StreamOps.Event(4, 8, "view", 9.0, ts("2024-01-01 09:00:00")),
+      StreamOps.Event(5, 8, "view", 1.0, ts("2024-01-01 11:00:00")) // new session
+    ).toDS()
+    val closed = StreamOps.sessionize(events).collect().sortBy(_.user_id)
+    assert(closed.length == 2)
+    val s7 = closed(0)
+    assert(s7.user_id == 7 && s7.n == 2 && s7.sum_value == 3.0
+      && s7.start == ts("2024-01-01 10:00:00") && s7.end == ts("2024-01-01 10:02:00"))
+    val s8 = closed(1)
+    assert(s8.user_id == 8 && s8.n == 1 && s8.sum_value == 9.0)
+  }
+
+  test("sliding counts place each event in two windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val q = StreamOps.slidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(StreamOps.Event(1, 1, "click", 1.0, ts("2024-01-01 10:40:00")))
+      q.processAllAvailable()
+      val buckets = spark.table("sliding_test").collect()
+        .map(_.getTimestamp(0).toString).sorted.toSeq
+      assert(buckets == Seq("2024-01-01 10:00:00.0", "2024-01-01 10:30:00.0"))
+    } finally q.stop()
+  }
+}
