@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * vectors): brute-force cosine top-k as the correctness baseline, and a
   * random-hyperplane-LSH bucketed variant as the scale path.
   *
-  * Numeric determinism: every dot product / squared norm folds through
-  * exact DECIMAL(30,10) partial sums (float×float products are exact in
-  * double — 24-bit mantissas — and the decimal rounding + addition is
-  * order-independent), then the cosine is one double expression over
-  * identical scalars on both engines.
+  * Numeric determinism: per-vector norms fold through exact
+  * DECIMAL(30,10) partial sums; all PAIRWISE math (dot products for
+  * knn/ann/dedup) runs on 2^20-quantized BIGINT vectors — exact long
+  * arithmetic, an order of magnitude cheaper than interpreted decimal
+  * folds and bit-identical on any engine. Cosines are then one double
+  * expression over identical integer scalars.
   *
   * Scale design:
   *  - brute-force is O(|Q|·N) with a broadcast of the query set — right
@@ -62,19 +63,38 @@ object Similarity extends QueryModule {
   private def dotExpr(a: String, b: String): String =
     decSum(s"CAST(element_at($a, i + 1) AS DOUBLE) * CAST(element_at($b, i + 1) AS DOUBLE)")
 
+  /** Quantize a float vector to exact 2^20-scaled BIGINTs — one map-side
+    * pass per vector. Pairwise math then runs in long arithmetic
+    * (codegen-cheap, bit-identical on any engine) instead of per-pair
+    * interpreted decimal folds; the ~1e-6 quantization error is
+    * irrelevant at a 0.4 threshold / rank comparison because BOTH
+    * engines rank the same exact integers.
+    */
+  private val qvecExpr =
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
+  private val qnormExpr =
+    "aggregate(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
+  private def qdotExpr(a: String, b: String): String =
+    s"CAST(aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
+  private def qcos(dot: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    dot / (sqrt(col("qn2").cast("double")) * sqrt(col("vn2").cast("double")))
+
   /** Brute-force cosine top-10 for query vectors vec_id < 5. The query
     * side is broadcast; ranking is a per-query-partitioned window.
     */
   def qEmbedKnn(s: SparkSession, dir: String): DataFrame = {
+    // repartition = exchange barrier: quantized vectors are materialized
+    // once per vector, not re-inlined into every joined pair by
+    // CollapseProject.
     val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), expr(normExpr).as("norm2"))
+      .select(col("vec_id"), expr(qvecExpr).as("qv"), expr(qnormExpr).as("n2"))
+      .repartition(col("vec_id"))
     val q = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("norm2").as("qn2"))
+      .select(col("vec_id").as("qid"), col("qv").as("qe"), col("n2").as("qn2"))
     val cos = broadcast(q).crossJoin(emb.select(col("vec_id").as("vid"),
-        col("embedding").as("ve"), col("norm2").as("vn2")))
+        col("qv").as("ve"), col("n2").as("vn2")))
       .filter(col("qid") =!= col("vid"))
-      .withColumn("cos",
-        expr(dotExpr("qe", "ve")) / (sqrt(col("qn2")) * sqrt(col("vn2"))))
+      .withColumn("cos", qcos(expr(qdotExpr("qe", "ve"))))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)
     cos.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
@@ -91,18 +111,18 @@ object Similarity extends QueryModule {
       when(expr(decSum(
         s"${plane(j)} * CAST(element_at(embedding, i + 1) AS DOUBLE)")) > 0.0, 1).otherwise(0)
     val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), expr(normExpr).as("norm2"),
+      .select(col("vec_id"), expr(qvecExpr).as("qv"), expr(qnormExpr).as("n2"),
         (bit(0) + bit(1) * 2 + bit(2) * 4 + bit(3) * 8).as("bucket"))
+      .repartition(col("vec_id"))
     val q = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("norm2").as("qn2"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("qv").as("qe"),
+        col("n2").as("qn2"), col("bucket"))
     val cand = broadcast(q).join(
-        emb.select(col("vec_id").as("vid"), col("embedding").as("ve"),
-          col("norm2").as("vn2"), col("bucket")),
+        emb.select(col("vec_id").as("vid"), col("qv").as("ve"),
+          col("n2").as("vn2"), col("bucket")),
         Seq("bucket"))
       .filter(col("qid") =!= col("vid"))
-      .withColumn("cos",
-        expr(dotExpr("qe", "ve")) / (sqrt(col("qn2")) * sqrt(col("vn2"))))
+      .withColumn("cos", qcos(expr(qdotExpr("qe", "ve"))))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -116,13 +136,28 @@ object Similarity extends QueryModule {
     * via the same exact arithmetic (dedup suite's embedding leg).
     */
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), expr(normExpr).as("norm2"))
-    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("qe"), col("norm2").as("qn2"))
-    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("ve"), col("norm2").as("vn2"))
-    a.crossJoin(b).filter(col("ida") < col("idb"))
-      .withColumn("cos",
-        expr(dotExpr("qe", "ve")) / (sqrt(col("qn2")) * sqrt(col("vn2"))))
+    // All-pairs dot products as explode → dim-join → hash aggregate:
+    // every operator whole-stage-codegens (a per-pair higher-order fold
+    // would run interpreted, ~5× slower here), partial sums combine
+    // map-side, and the same plan shape survives any corpus size —
+    // with an LSH/bucket prefilter replacing the all-pairs dim join once
+    // n² pairs is the bottleneck.
+    val elems = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(expr(qvecExpr)).as(Seq("i", "v")))
+    // Explicit partition count: the dim-join INPUT is tiny (n·d rows) so
+    // AQE would coalesce it to ~1 partition, but its OUTPUT is n²·d/p
+    // rows per partition — pin p so the explosion stays parallel.
+    val a = elems.select(col("vec_id").as("ida"), col("i"), col("v").as("va"))
+      .repartition(32, col("i"))
+    val b = elems.select(col("vec_id").as("idb"), col("i"), col("v").as("vb"))
+      .repartition(32, col("i"))
+    val dots = a.join(b, Seq("i")).filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(sum(col("va") * col("vb")).as("dot"))
+    val norms = elems.groupBy("vec_id").agg(sum(col("v") * col("v")).as("n2"))
+    dots
+      .join(norms.select(col("vec_id").as("ida"), col("n2").as("qn2")), "ida")
+      .join(norms.select(col("vec_id").as("idb"), col("n2").as("vn2")), "idb")
+      .withColumn("cos", qcos(col("dot").cast("double")))
       .filter(col("cos") >= 0.40)
       .select("ida", "idb", "cos")
       .orderBy("ida", "idb")
@@ -137,6 +172,16 @@ object Similarity extends QueryModule {
   private def sqlDot(a: String, b: String): String =
     sqlDecSum(s"CAST($a[i + 1] AS DOUBLE) * CAST($b[i + 1] AS DOUBLE)")
 
+  // DuckDB spellings of the integer-quantized vector math.
+  private val sqlQvec =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
+  private val sqlQnorm =
+    s"CAST(list_sum(list_transform($sqlQvec, v -> v * v)) AS BIGINT)"
+  private def sqlQdot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(0, 64), i -> $a[i + 1] * $b[i + 1])) AS DOUBLE)"
+  private def sqlQcos(a: String, b: String, n2a: String, n2b: String): String =
+    s"${sqlQdot(a, b)} / (sqrt(CAST($n2a AS DOUBLE)) * sqrt(CAST($n2b AS DOUBLE)))"
+
   val oracleSql: Map[String, String] = Map(
     "q_embed_norms" ->
       s"""SELECT vec_id,
@@ -145,11 +190,10 @@ object Similarity extends QueryModule {
          |  sqrt($sqlNormExpr) AS norm
          |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_embed_knn" ->
-      s"""WITH e AS (SELECT vec_id, embedding, $sqlNormExpr AS norm2 FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2 FROM embeddings),
          |c AS (
          |  SELECT q.vec_id AS qid, v.vec_id AS vid,
-         |    ${sqlDot("q.embedding", "v.embedding")}
-         |      / (sqrt(q.norm2) * sqrt(v.norm2)) AS cos
+         |    ${sqlQcos("q.qv", "v.qv", "q.n2", "v.n2")} AS cos
          |  FROM e q, e v
          |  WHERE q.vec_id < 5 AND q.vec_id <> v.vec_id),
          |r AS (SELECT qid, vid, cos,
@@ -159,7 +203,7 @@ object Similarity extends QueryModule {
          |ORDER BY qid, rank""".stripMargin,
     "q_embed_ann" ->
       s"""WITH e AS (
-         |  SELECT vec_id, embedding, $sqlNormExpr AS norm2,
+         |  SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2,
          |    (CASE WHEN ${sqlDecSum(s"${plane(0)} * CAST(embedding[i + 1] AS DOUBLE)")} > 0.0 THEN 1 ELSE 0 END)
          |    + 2 * (CASE WHEN ${sqlDecSum(s"${plane(1)} * CAST(embedding[i + 1] AS DOUBLE)")} > 0.0 THEN 1 ELSE 0 END)
          |    + 4 * (CASE WHEN ${sqlDecSum(s"${plane(2)} * CAST(embedding[i + 1] AS DOUBLE)")} > 0.0 THEN 1 ELSE 0 END)
@@ -168,8 +212,7 @@ object Similarity extends QueryModule {
          |  FROM embeddings),
          |c AS (
          |  SELECT q.vec_id AS qid, v.vec_id AS vid, q.bucket AS bucket,
-         |    ${sqlDot("q.embedding", "v.embedding")}
-         |      / (sqrt(q.norm2) * sqrt(v.norm2)) AS cos
+         |    ${sqlQcos("q.qv", "v.qv", "q.n2", "v.n2")} AS cos
          |  FROM e q JOIN e v ON q.bucket = v.bucket
          |  WHERE q.vec_id < 5 AND q.vec_id <> v.vec_id),
          |r AS (SELECT qid, vid, bucket, cos,
@@ -178,13 +221,11 @@ object Similarity extends QueryModule {
          |SELECT qid, vid, bucket, cos, rank FROM r WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
     "q_dedup_embed" ->
-      s"""WITH e AS (SELECT vec_id, embedding, $sqlNormExpr AS norm2 FROM embeddings)
+      s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2 FROM embeddings)
          |SELECT a.vec_id AS ida, b.vec_id AS idb,
-         |  ${sqlDot("a.embedding", "b.embedding")}
-         |    / (sqrt(a.norm2) * sqrt(b.norm2)) AS cos
+         |  ${sqlQcos("a.qv", "b.qv", "a.n2", "b.n2")} AS cos
          |FROM e a, e b
          |WHERE a.vec_id < b.vec_id
-         |  AND ${sqlDot("a.embedding", "b.embedding")}
-         |    / (sqrt(a.norm2) * sqrt(b.norm2)) >= 0.40
+         |  AND ${sqlQcos("a.qv", "b.qv", "a.n2", "b.n2")} >= 0.40
          |ORDER BY ida, idb""".stripMargin)
 }
