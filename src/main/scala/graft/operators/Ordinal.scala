@@ -52,4 +52,19 @@ object Ordinal {
     import org.apache.spark.sql.functions.col
     withOrdinal(df, order).filter(col("ord") === i)
   }
+
+  /** Gather rows by an arbitrary position array — reference
+    * `iloc[indices]` (`weld_iloc_indices`, `weld_ops.py:333-367`):
+    * broadcast-join the (small) index list against the ordinal column;
+    * positions ≥ length simply match nothing (the reference emits a
+    * missing sentinel there — `weld_ops.py:370-414` — which callers get
+    * by left-joining from their indices instead).
+    */
+  def gather(df: DataFrame, order: Seq[Column], positions: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idx = positions.toDF("ord")
+    withOrdinal(df, order).join(broadcast(idx), "ord")
+  }
 }

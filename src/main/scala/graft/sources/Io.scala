@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sources/sinks — SURVEY.md §2.1.
+  *
+  * The reference delegates CSV to pandas (`/root/reference/baloo/io/
+  * csv.py:6-87`: sep, header, names, usecols, dtype, skiprows, nrows);
+  * here the same surface maps onto Spark's native distributed
+  * readers/writers. Parquet is the primary format (columnar scan,
+  * predicate pushdown, column pruning); CSV is the compatibility path.
+  *
+  * Scale notes: `bucketedParquet` writes bucketBy(key) so repeated
+  * big-table joins/aggregations on that key skip their shuffle entirely
+  * — the co-located-join strategy SURVEY §7 calls for at 100 TB.
+  * Writers never coalesce: output parallelism = partition count.
+  */
+object Io {
+
+  /** `read_csv` (csv.py:6-52): header/sep/schema/column-subset/nrows. */
+  def readCsv(spark: SparkSession, path: String,
+      sep: String = ",", header: Boolean = true,
+      schema: Option[StructType] = None, names: Seq[String] = Nil,
+      usecols: Seq[String] = Nil, nrows: Option[Int] = None): DataFrame = {
+    var r = spark.read
+      .option("sep", sep)
+      .option("header", header.toString)
+    r = schema.map(r.schema).getOrElse(r.option("inferSchema", "true"))
+    var df = r.csv(path)
+    if (names.nonEmpty) df = df.toDF(names: _*)
+    if (usecols.nonEmpty) df = df.select(usecols.head, usecols.tail: _*)
+    nrows.map(df.limit).getOrElse(df)
+  }
+
+  /** `to_csv` (csv.py:56-87). */
+  def writeCsv(df: DataFrame, path: String,
+      sep: String = ",", header: Boolean = true): Unit =
+    df.write.option("sep", sep).option("header", header.toString)
+      .mode("overwrite").csv(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Bucketed + sorted parquet table: joins/groupBys on `key` against
+    * another table bucketed the same way are shuffle-free.
+    */
+  def bucketedParquet(df: DataFrame, table: String, key: String,
+      buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+}

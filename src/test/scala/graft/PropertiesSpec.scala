@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property layer the reference lacks (SURVEY.md §5): algebraic
+  * invariants over random small frames. Uses raw ScalaCheck generators
+  * with fixed seeds (scalatestplus bridge isn't in the offline cache).
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Long, Double)]] =
+    Gen.listOfN(30, Gen.zip(Gen.choose(0L, 9L), Gen.choose(-100.0, 100.0)))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("filter composition ≡ filter of conjunction") {
+    samples(rowsGen, 8).foreach { rows =>
+      val df = rows.toDF("k", "v")
+      val twice = df.filter(col("v") > 0.0).filter(col("k") < 5L).count()
+      val once = df.filter(col("v") > 0.0 && col("k") < 5L).count()
+      assert(twice == once)
+    }
+  }
+
+  test("groupBy sum partitions the total (partial aggregation is lossless)") {
+    samples(rowsGen, 8).foreach { rows =>
+      val df = rows.toDF("k", "v").repartition(4)
+      val grouped = df.groupBy("k").agg(sum(col("v").cast("decimal(28,6)")).as("s"))
+        .agg(sum("s")).head().getDecimal(0)
+      val total = df.agg(sum(col("v").cast("decimal(28,6)"))).head().getDecimal(0)
+      assert(grouped.compareTo(total) == 0)
+    }
+  }
+
+  test("inner self-join on unique key preserves row count") {
+    samples(rowsGen, 8).foreach { rows =>
+      val df = rows.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+        .toDF("id", "k", "v")
+      assert(df.join(df.select(col("id"), col("v").as("v2")), "id").count()
+        == rows.length)
+    }
+  }
+
+  test("sort is a permutation and orders the key") {
+    samples(rowsGen, 8).foreach { rows =>
+      val df = rows.toDF("k", "v")
+      val sorted = df.orderBy("v").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(sorted.sorted.toSeq == rows.map(t => (t._1, t._2)).sorted)
+      assert(sorted.map(_._2).toSeq == sorted.map(_._2).sorted.toSeq)
+    }
+  }
+
+  test("ordinal ids are exactly 0..n-1 regardless of partitioning") {
+    samples(Gen.zip(rowsGen, Gen.choose(1, 6)), 6).foreach { case (rows, parts) =>
+      val df = rows.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+        .toDF("id", "v").repartition(parts)
+      val ords = operators.Ordinal.withOrdinal(df, Seq(col("id")))
+        .select("ord").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ords == (0L until rows.length).toSeq)
+    }
+  }
+}

@@ -1,0 +1,44 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.Ordinal
+import org.apache.spark.sql.functions.col
+import java.nio.file.Files
+
+/** CSV round-trip (reference golden-file test `tests/io/test_csv.py:
+  * 173-192`) + positional gather.
+  */
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv round-trip preserves values with header and custom sep") {
+    val dir = Files.createTempDirectory("graft_csv").toString + "/out"
+    val df = Seq((2L, 0L, 1.0), (3L, 1L, 2.0), (4L, 2L, 3.0)).toDF("idx", "a", "b")
+    Io.writeCsv(df, dir, sep = ";")
+    val back = Io.readCsv(spark, dir, sep = ";").orderBy("idx")
+    assertFrame(back, Seq(Seq(2L, 0L, 1.0), Seq(3L, 1L, 2.0), Seq(4L, 2L, 3.0)))
+  }
+
+  test("readCsv usecols + nrows subset") {
+    val dir = Files.createTempDirectory("graft_csv2").toString + "/out"
+    Io.writeCsv(Seq((1, "x", 9.0), (2, "y", 8.0), (3, "z", 7.0)).toDF("a", "b", "c"), dir)
+    val back = Io.readCsv(spark, dir, usecols = Seq("a", "c"))
+    assert(back.columns.toSeq == Seq("a", "c"))
+    assert(Io.readCsv(spark, dir, nrows = Some(2)).count() == 2)
+  }
+
+  test("parquet round-trip") {
+    val dir = Files.createTempDirectory("graft_pq").toString + "/out"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Io.writeParquet(df, dir)
+    assert(Io.readParquet(spark, dir).orderBy("k").collect().map(_.getString(1)).toSeq
+      == Seq("a", "b"))
+  }
+
+  test("gather fetches rows at arbitrary positions; OOB positions drop") {
+    val df = Seq(30, 10, 50, 20, 40).toDF("v")
+    val out = Ordinal.gather(df, Seq(col("v")), Seq(0L, 3L, 99L))
+      .orderBy("ord").collect().map(_.getInt(1)).toSeq
+    assert(out == Seq(10, 40))
+  }
+}
