@@ -80,6 +80,22 @@ final class BalooFrame(val df: DataFrame, val indexCols: Seq[String]) {
   def /(v: Double): BalooFrame = mapNumeric(_ / lit(v))
   def **(v: Double): BalooFrame = mapNumeric(pow(_, v))
 
+  /** df ⊕ list — one scalar per numeric column, positionally
+    * (frame.py:276-281: "list = one scalar per column").
+    */
+  def +(vs: Seq[Double]): BalooFrame = zipNumeric(vs, _ + _)
+  def *(vs: Seq[Double]): BalooFrame = zipNumeric(vs, _ * _)
+  private def zipNumeric(vs: Seq[Double], f: (Column, Column) => Column): BalooFrame = {
+    val nc = numericDataCols
+    require(vs.length == nc.length, s"expected ${nc.length} scalars, got ${vs.length}")
+    val byCol = nc.zip(vs).toMap
+    val projected = df.columns.toSeq.map {
+      case c if byCol.contains(c) => f(col(c), lit(byCol(c))).as(c)
+      case c => col(c)
+    }
+    new BalooFrame(df.select(projected: _*), indexCols)
+  }
+
   // ---- astype (frame.py:291-321) ----
   def astype(t: String): BalooFrame = mapNumeric(_.cast(t))
   def astype(types: Map[String, String]): BalooFrame = {

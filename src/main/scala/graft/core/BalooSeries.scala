@@ -74,6 +74,17 @@ final class BalooSeries(val df: DataFrame, val indexCols: Seq[String], val name:
   def astype(t: String): BalooSeries = rebuild(col_.cast(t))
   def apply(f: Column => Column): BalooSeries = rebuild(f(col_))
 
+  /** The reference's user-supplied-IR UDF surface
+    * (`Series.apply(weldTemplate)`, `series.py:529-546`,
+    * `weld_udf` `weld_ops.py:700-725`): a SQL-expression template with
+    * `{self}` bound to this column — e.g. `"{self} * 2 + 1"` or
+    * `"exp({self})"`. Parsed by Catalyst, so it codegens like any
+    * builtin (strictly better than the reference, whose snippet was
+    * spliced into Weld IR text).
+    */
+  def applyExpr(template: String): BalooSeries =
+    rebuild(expr(template.replace("{self}", s"`$name`")))
+
   // ---- aggregations (series.py:350-388; results f64 per reference) ----
   def sum(): Double = aggScalar(org.apache.spark.sql.functions.sum(col_))
   def prod(): Double = aggScalar(graft.functions.GraftFunctions.prod(col_))
@@ -143,6 +154,18 @@ final class BalooStr(s: BalooSeries) {
   /** [start, stop) substring, step 1 (strings.py:70-93). */
   def slice(start: Int, stop: Int): BalooSeries =
     re(c.substr(lit(start + 1), lit(math.max(stop - start, 0))))
+
+  /** Stepped slice (strings.py supports positive step via a strided
+    * Weld loop): every `step`-th char of [start, stop).
+    */
+  def slice(start: Int, stop: Int, step: Int): BalooSeries = {
+    require(step > 0, "negative step not supported (same as reference)")
+    if (step == 1) slice(start, stop)
+    else if (stop <= start) re(lit(""))
+    else re(expr(
+      s"concat_ws('', transform(sequence($start, ${stop - 1}, $step), " +
+        s"i -> CASE WHEN i < length(`${s.name}`) THEN substring(`${s.name}`, i + 1, 1) ELSE '' END))"))
+  }
 
   def contains(pat: String): BalooSeries = re(c.contains(pat))
   def startswith(pat: String): BalooSeries = re(c.startsWith(pat))

@@ -71,7 +71,22 @@ object Windows extends QueryModule {
       .select(col("window.start").as("bucket"), col("n"), col("sum_value"))
       .orderBy("bucket")
 
+  /** Semi-structured extraction from events.props (JSON string) — the
+    * `get_json_object` path a training-data pipeline uses for metadata
+    * columns; row-level and codegen'd, plus a grouped rollup on the
+    * extracted key.
+    */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), Q.dsum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract" -> (qJsonExtract(_, _)),
     "q_window_rank" -> (qWindowRank(_, _)),
     "q_window_moving" -> (qWindowMoving(_, _)),
     "q_window_tumbling" -> (qWindowTumbling(_, _)),
@@ -84,6 +99,12 @@ object Windows extends QueryModule {
       |  CAST(ts AS TIMESTAMP) AS ts FROM events""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_json_extract" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  min(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS min_k,
+         |  max(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k,
+         |  ${Q.sqlDsum("CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS sum_k
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_window_rank" ->
       s"""WITH e AS ($evSql)
          |SELECT user_id, event_id, ts, value,
