@@ -74,7 +74,20 @@ object GroupBys extends QueryModule {
       .agg(Q.dvar(col("value")).as("var_value"))
       .orderBy("event_type", "user_mod")
 
+  /** Exact distinct counting (beyond reference): per-group
+    * count(DISTINCT user) — Catalyst plans the two-level expand+agg that
+    * keeps distinct counting shuffle-bounded at scale.
+    */
+  def qCountDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_count_distinct" -> (qCountDistinct(_, _)),
     "q_group_sum" -> (qGroupSum(_, _)),
     "q_group_prod" -> (qGroupProd(_, _)),
     "q_group_moments" -> (qGroupMoments(_, _)),
@@ -82,6 +95,10 @@ object GroupBys extends QueryModule {
     "q_group_var_2key" -> (qGroupVar2Key(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_group_sum" ->
       s"""SELECT o_orderpriority,
          |  ${Q.sqlDsum("o_totalprice")} AS sum_price,

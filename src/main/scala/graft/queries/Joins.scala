@@ -114,7 +114,33 @@ object Joins extends QueryModule {
       .select("c_custkey", "c_name", "c_acctbal")
       .orderBy("c_custkey")
 
+  /** TPC-H-Q3-shaped 3-table pipeline: filter both fact sides, broadcast
+    * the dimension, aggregate revenue per order, top-10. The plan is the
+    * 100 TB blueprint: both parquet scans arrive pre-filtered
+    * (PushedFilters), customer broadcasts, lineitem⋈orders shuffles once
+    * on orderkey, partial aggregation precedes the final top-k
+    * (TakeOrderedAndProject) — no full sort anywhere.
+    */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1995-03-15"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_shipping" -> (q3Shipping(_, _)),
     "q_join_inner" -> (qJoinInner(_, _)),
     "q_join_left" -> (qJoinLeft(_, _)),
     "q_join_right" -> (qJoinRight(_, _)),
@@ -125,6 +151,18 @@ object Joins extends QueryModule {
     "q_join_anti" -> (qJoinAnti(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q3_shipping" ->
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+         |  ${Q.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1995-03-15'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15'
+         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderkey ASC
+         |LIMIT 10""".stripMargin,
     "q_join_inner" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -39,6 +39,17 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket"), col("n"))
 
+  /** Streaming dedup — the streaming face of the dedup suite: drop
+    * events whose `keys` were already seen within the watermark horizon
+    * (state is pruned as the watermark advances, so memory is bounded by
+    * the horizon, not the stream).
+    */
+  def dedupWithinWatermark(events: DataFrame,
+      keys: Seq[String], watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   case class Event(event_id: Long, user_id: Long, event_type: String,
       value: Double, ts: Timestamp)
   case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)

@@ -53,6 +53,23 @@ class StreamingSpec extends SparkSpec {
     assert(s8.user_id == 8 && s8.n == 1 && s8.sum_value == 9.0)
   }
 
+  test("dedupWithinWatermark drops repeat keys inside the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val q = StreamOps.dedupWithinWatermark(input.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        StreamOps.Event(1, 1, "click", 1.0, ts("2024-01-01 10:00:00")),
+        StreamOps.Event(2, 1, "click", 2.0, ts("2024-01-01 10:01:00")), // dup key
+        StreamOps.Event(3, 1, "view", 3.0, ts("2024-01-01 10:02:00")),
+        StreamOps.Event(4, 2, "click", 4.0, ts("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() == 3)
+    } finally q.stop()
+  }
+
   test("sliding counts place each event in two windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.Event]
