@@ -19,6 +19,12 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Split size matched to the data scale: sf0.1 lineitem is one
+      // ~11 MB parquet file, which under the production default (128 MB)
+      // scans on a single thread. 1 MB splits ≈ one row-group per core
+      // here; at real multi-TB scale the default is the right setting.
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
