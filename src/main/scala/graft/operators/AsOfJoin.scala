@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for every left row, attach the most recent right row
+  * with equal keys and `right.ts <= left.ts` (inclusive). The classic
+  * trades⋈quotes operator; Spark has no builtin (the brief names it as
+  * a canonical custom operator).
+  *
+  * Implementation composes existing operators (preference (a) of the
+  * custom-op ladder): tag + union both sides, one window partitioned by
+  * the keys ordered by (ts, side) carrying `last(payload, ignoreNulls)`,
+  * then keep left rows. Cost: ONE shuffle on the keys + a sorted window
+  * per key — no per-key iteration, no range-condition join explosion,
+  * state O(payload) per partition stream. This is the shape that holds
+  * at 100 TB (a range join would rewrite as an O(n·m) nested loop per
+  * key; a per-key collect would not distribute).
+  *
+  * Right rows sort BEFORE left rows at equal ts (side 0 < 1), making the
+  * match inclusive — the same semantics as DuckDB's
+  * `ASOF LEFT JOIN … ON q.ts <= t.ts`, which the driver oracle uses.
+  * If several right rows share (keys, ts), the last in (ts, side) order
+  * wins — callers needing a specific winner should pre-aggregate.
+  */
+object AsOfJoin {
+
+  /** @param payload right-side value columns to carry (must not collide
+    *                with left column names)
+    * @param rightTsAs if nonempty, also emit the matched right timestamp
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+      payload: Seq[String], rightTsAs: String = ""): DataFrame = {
+    require(payload.intersect(left.columns.toSeq).isEmpty,
+      s"right payload ${payload.intersect(left.columns.toSeq)} collides with left columns")
+    val leftOnly = left.columns.toSeq.filterNot(c => keys.contains(c) || c == tsCol)
+
+    val lTagged = leftOnly.map(col) ++ keys.map(col) ++ Seq(
+      col(tsCol), lit(1).as("__side"), lit(null).cast("timestamp").as("__rts")) ++
+      payload.map(p => lit(null).cast(right.schema(p).dataType).as(p))
+    val rTagged = leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+      keys.map(col) ++ Seq(
+      col(tsCol), lit(0).as("__side"), col(tsCol).cast("timestamp").as("__rts")) ++
+      payload.map(col)
+
+    val unioned = left.select(lTagged: _*).unionByName(right.select(rTagged: _*))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = payload.foldLeft(
+      unioned.withColumn("__matched_ts", last(col("__rts"), ignoreNulls = true).over(w))) {
+      (df, p) => df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    val out = filled.filter(col("__side") === 1).drop("__side", "__rts")
+    if (rightTsAs.nonEmpty) out.withColumnRenamed("__matched_ts", rightTsAs)
+    else out.drop("__matched_ts")
+  }
+}

@@ -85,7 +85,23 @@ object Windows extends QueryModule {
         max(col("k")).as("max_k"), Q.dsum(col("k")).as("sum_k"))
       .orderBy("event_type")
 
+  /** As-of join (see [[graft.operators.AsOfJoin]]): for every click,
+    * the user's most recent view at-or-before it — trades⋈quotes shape
+    * on the events table. Oracle is DuckDB's native ASOF LEFT JOIN.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val clicks = ev(s, dir).filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").as("click_value"))
+    val views = ev(s, dir).filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value").as("view_value"))
+    graft.operators.AsOfJoin.asOf(
+        clicks, views, Seq("user_id"), "ts", Seq("view_value"), rightTsAs = "view_ts")
+      .select("event_id", "user_id", "ts", "click_value", "view_value", "view_ts")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin(_, _)),
     "q_json_extract" -> (qJsonExtract(_, _)),
     "q_window_rank" -> (qWindowRank(_, _)),
     "q_window_moving" -> (qWindowMoving(_, _)),
@@ -99,6 +115,16 @@ object Windows extends QueryModule {
       |  CAST(ts AS TIMESTAMP) AS ts FROM events""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      s"""WITH tr AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    value AS click_value FROM events WHERE event_type = 'click'),
+         |qt AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    value AS view_value FROM events WHERE event_type = 'view')
+         |SELECT tr.event_id, tr.user_id, tr.ts, tr.click_value,
+         |  qt.view_value, qt.ts AS view_ts
+         |FROM tr ASOF LEFT JOIN qt
+         |  ON tr.user_id = qt.user_id AND qt.ts <= tr.ts
+         |ORDER BY event_id""".stripMargin,
     "q_json_extract" ->
       s"""SELECT event_type, count(*) AS n,
          |  min(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS min_k,

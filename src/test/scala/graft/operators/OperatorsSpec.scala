@@ -25,6 +25,21 @@ class OperatorsSpec extends SparkSpec {
     assert(Ordinal.iloc(df, Seq(col("v")), 99).head().getInt(0) == 100)
   }
 
+  test("asOf attaches latest right row at-or-before, null when none") {
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(m * 60000L)
+    val trades = Seq((1L, 100L, t(10), 5.0), (2L, 100L, t(20), 6.0), (3L, 200L, t(5), 7.0))
+      .toDF("id", "u", "ts", "tv")
+    val quotes = Seq((100L, t(8), 1.0), (100L, t(15), 2.0), (100L, t(20), 3.0))
+      .toDF("u", "ts", "qv")
+    val out = AsOfJoin.asOf(trades, quotes, Seq("u"), "ts", Seq("qv"), rightTsAs = "qts")
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Any]("qv"), r.getAs[Any]("qts")))
+    assert(out(0) == ((1L, 1.0, t(8))))   // latest quote at t8
+    assert(out(1) == ((2L, 3.0, t(20)))) // equal-ts quote matches (inclusive)
+    assert(out(2)._2 == null && out(2)._3 == null) // no quote for user 200
+  }
+
   test("multimodal decode is deterministic and typed") {
     val media = Seq(
       Multimodal.MediaRow(1L, "image", "hello world".getBytes("UTF-8")),

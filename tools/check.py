@@ -26,6 +26,13 @@ def cmp_frames(name, got, exp):
         for i, (x, y) in enumerate(zip(a, b)):
             if x is None and y is None:
                 continue
+            # NaT (null timestamps) — pd.isna-equal on both sides is a match
+            if not isinstance(x, (list, tuple)) and not isinstance(y, (list, tuple)):
+                try:
+                    if pd.isna(x) and pd.isna(y):
+                        continue
+                except (TypeError, ValueError):
+                    pass
             xn = isinstance(x, float) and math.isnan(x)
             yn = isinstance(y, float) and math.isnan(y)
             if xn or yn:
