@@ -130,7 +130,31 @@ object Fingerprints extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** End-to-end dedup pipeline — the composition a real corpus clean
+    * runs: MinHash/LSH candidate pairs (cheap, O(n)+collisions) →
+    * exact-Jaccard confirmation ONLY on candidates (the expensive check
+    * touches ~|candidates|, never n²) → survivor set = drop the higher
+    * doc_id of every confirmed pair. Returns surviving docs.
+    */
+  def qDedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = withShingleHashes(s, dir)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
+    val candidates = qDedupMinhash(s, dir) // (doc_a, doc_b) pairs
+    val confirmed = candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("j", col("inter")
+        / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("j") >= 0.5)
+    val removed = confirmed.select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(s, dir).select("doc_id", "lang", "source")
+      .join(removed, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_pipeline" -> (qDedupPipeline(_, _)),
     "q_dedup_minhash" -> (qDedupMinhash(_, _)),
     "q_fingerprint_simhash" -> (qFingerprintSimhash(_, _)),
     "q_dedup_simhash" -> (qDedupSimhash(_, _)),
@@ -156,25 +180,46 @@ object Fingerprints extends QueryModule {
       |      x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
       |    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))""".stripMargin
 
+  /** Shared CTE chain: documents → shingles → minhash sigs → LSH band
+    * candidate pairs (no trailing ORDER BY, embeddable).
+    */
+  private def sqlMinhashCtes: String = {
+    val sigSelects = (0 until NumHashes).map(j =>
+      s"list_min(list_transform(hs, x -> (${A(j)} * x + ${B(j)}) % $P)) AS sig$j").mkString(",\n  ")
+    val bandSelects = (0 until NumBands).map(b =>
+      s"SELECT doc_id, $b AS band, sig${2 * b} * $P + sig${2 * b + 1} AS v FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH shingled AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
+       |hashed AS (SELECT doc_id, $sqlHs AS hs FROM shingled),
+       |sigs AS (SELECT doc_id,
+       |  $sigSelects
+       |FROM hashed),
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
-    "q_dedup_minhash" -> {
-      val sigSelects = (0 until NumHashes).map(j =>
-        s"list_min(list_transform(hs, x -> (${A(j)} * x + ${B(j)}) % $P)) AS sig$j").mkString(",\n  ")
-      val bandSelects = (0 until NumBands).map(b =>
-        s"SELECT doc_id, $b AS band, sig${2 * b} * $P + sig${2 * b + 1} AS v FROM sigs")
-        .mkString("\n  UNION ALL ")
-      s"""WITH shingled AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
-         |hashed AS (SELECT doc_id, $sqlHs AS hs FROM shingled),
-         |sigs AS (SELECT doc_id,
-         |  $sigSelects
-         |FROM hashed),
-         |bands AS (
-         |  $bandSelects)
-         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |FROM bands x JOIN bands y
-         |  ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "q_dedup_minhash" ->
+      s"""$sqlMinhashCtes
+         |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_pipeline" ->
+      s"""$sqlMinhashCtes,
+         |dsh AS (SELECT doc_id, list_distinct($sqlShingles) AS sh FROM documents),
+         |confirmed AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM pairs p
+         |  JOIN dsh a ON a.doc_id = p.doc_a
+         |  JOIN dsh b ON b.doc_id = p.doc_b
+         |  WHERE len(list_intersect(a.sh, b.sh))
+         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         |removed AS (SELECT DISTINCT doc_b AS doc_id FROM confirmed)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
+         |ORDER BY d.doc_id""".stripMargin,
     "q_fingerprint_simhash" ->
       s"""WITH t AS (SELECT doc_id,
          |  list_transform(string_split(text, ' '),
