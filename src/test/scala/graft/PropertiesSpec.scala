@@ -54,6 +54,29 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("asOf join agrees with per-row brute force on random events") {
+    import java.sql.Timestamp
+    val evGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 1000L), Gen.choose(0.0, 9.0)))
+    samples(evGen, 5).foreach { evs =>
+      // unique (user, ts) pairs; split into left/right halves
+      val uniq = evs.map { case (u, t, v) => ((u, t), v) }.toMap.toSeq
+        .map { case ((u, t), v) => (u, new Timestamp(t), v) }
+      val (l, r) = uniq.zipWithIndex.partition(_._2 % 2 == 0)
+      val left = l.map { case ((u, t, v), i) => (i.toLong, u, t, v) }
+        .toDF("id", "u", "ts", "lv")
+      val right = r.map { case ((u, t, v), _) => (u, t, v) }.toDF("u", "ts", "rv")
+      val got = operators.AsOfJoin.asOf(left, right, Seq("u"), "ts", Seq("rv"))
+        .collect().map(row => row.getAs[Long]("id") -> row.getAs[Any]("rv")).toMap
+      val rights = r.map(_._1)
+      val want = l.map { case ((u, t, _), i) =>
+        val cand = rights.filter(x => x._1 == u && !x._2.after(t))
+        i.toLong -> (if (cand.isEmpty) null else cand.maxBy(_._2.getTime)._3)
+      }.toMap
+      assert(got == want)
+    }
+  }
+
   test("ordinal ids are exactly 0..n-1 regardless of partitioning") {
     samples(Gen.zip(rowsGen, Gen.choose(1, 6)), 6).foreach { case (rows, parts) =>
       val df = rows.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
