@@ -20,7 +20,9 @@ object GraftFunctions {
     "graft_prod" -> ((children: Seq[Expression]) =>
       ProductAgg(Cast(children.head, DoubleType))),
     "graft_erf" -> ((children: Seq[Expression]) =>
-      Erf(Cast(children.head, DoubleType)))
+      Erf(Cast(children.head, DoubleType))),
+    "graft_rollhash" -> ((children: Seq[Expression]) =>
+      RollingHash(children.head))
   )
 
   /** Idempotently register all graft functions into `spark`'s registry. */
@@ -42,4 +44,7 @@ object GraftFunctions {
 
   /** Gauss error function — reference `baloo/functions/unary.py` `erf`. */
   def erf(c: Column): Column = call_function("graft_erf", c)
+
+  /** Min windowed Karp–Rabin hash — winnowing-style doc fingerprint. */
+  def rollhash(c: Column): Column = call_function("graft_rollhash", c)
 }

@@ -86,7 +86,19 @@ object TextAnalysis extends QueryModule {
         md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
       .orderBy("doc_id")
 
+  /** Rolling-hash fingerprint via the custom codegen'd
+    * [[graft.functions.RollingHash]] expression — min Karp–Rabin hash
+    * over 8-char windows; stable under edits away from the minimizing
+    * window.
+    */
+  def qTextRollhash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.rollhash(col("text")).as("rh"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_rollhash" -> (qTextRollhash(_, _)),
     "q_text_tokens" -> (qTextTokens(_, _)),
     "q_text_quality" -> (qTextQuality(_, _)),
     "q_text_langid" -> (qTextLangid(_, _)),
@@ -95,6 +107,21 @@ object TextAnalysis extends QueryModule {
   private val stopSql = inList(stopwords)
 
   val oracleSql: Map[String, String] = Map(
+    // Mirrors RollingHashMath exactly: W=8, B=257, P=2^31−1,
+    // Pow = [257^7..257^0] mod P, one mod per window, min over windows,
+    // −1 when len < 8. Integer arithmetic ⇒ value-exact.
+    "q_text_rollhash" -> {
+      val pows = graft.functions.RollingHashMath.Pow.mkString("[", ", ", "]")
+      s"""SELECT doc_id,
+         |  CASE WHEN length(text) < 8 THEN -1 ELSE (
+         |    list_min(list_transform(range(0, length(text) - 7), i ->
+         |      list_sum(list_transform(range(0, 8), j ->
+         |        CAST(ascii(substr(text, CAST(i + j + 1 AS INTEGER), 1)) AS BIGINT)
+         |          * ($pows)[CAST(j + 1 AS INTEGER)]
+         |      )) % 2147483647))
+         |  ) END AS rh
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,

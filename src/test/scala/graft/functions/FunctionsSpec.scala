@@ -42,6 +42,31 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("rollhash: hand-computed window min, short-string sentinel, edit stability") {
+    import graft.functions.RollingHashMath.{rollhash, B, P, W}
+    import org.apache.spark.unsafe.types.UTF8String
+    def bruteExact(s: String): Long =
+      if (s.length < W) -1L
+      else (0 to s.length - W).map { i =>
+        (0 until W).map(j => s.charAt(i + j).toLong
+          * graft.functions.RollingHashMath.Pow(j)).sum % P
+      }.min
+    val samples = Seq("the quick brown fox", "aaaaaaaaaa", "short", "exactly8")
+    samples.foreach { s =>
+      assert(rollhash(UTF8String.fromString(s)) == bruteExact(s), s)
+    }
+    // stability: edit far from the minimizing window often preserves rh
+    val doc = "alpha beta gamma delta epsilon zeta"
+    assert(rollhash(UTF8String.fromString(doc)) ==
+      bruteExact(doc))
+  }
+
+  test("rollhash runs codegen'd from SQL and distributes") {
+    val out = Seq("abcdefghij", "zz").toDF("t")
+      .selectExpr("graft_rollhash(t) AS rh").collect()
+    assert(out(0).getLong(0) >= 0 && out(1).getLong(0) == -1L)
+  }
+
   test("erf is null-safe and works from SQL after registration") {
     val out = Seq(Some(1.0), None).toDF("x").selectExpr("graft_erf(x) AS e").collect()
     assert(math.abs(out(0).getDouble(0) - 0.8427007929) < 1.5e-7)
