@@ -35,6 +35,34 @@ class IoSpec extends SparkSpec {
       == Seq("a", "b"))
   }
 
+  test("partitioned write + filter read prunes partitions at the source") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/out"
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("C", 4.0)).toDF("flag", "v")
+    df.write.partitionBy("flag").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("flag") === "A")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(flag"), plan)
+    assert(q.count() == 2)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      val dims = (1 to 100).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+      Io.bucketedParquet(facts, "graft_bf", "k", buckets = 4)
+      Io.bucketedParquet(dims, "graft_bd", "k", buckets = 4)
+      val joined = spark.table("graft_bf").join(spark.table("graft_bd"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(joined.count() == 100)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bf")
+      spark.sql("DROP TABLE IF EXISTS graft_bd")
+    }
+  }
+
   test("gather fetches rows at arbitrary positions; OOB positions drop") {
     val df = Seq(30, 10, 50, 20, 40).toDF("v")
     val out = Ordinal.gather(df, Seq(col("v")), Seq(0L, 3L, 99L))
