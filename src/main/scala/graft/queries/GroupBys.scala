@@ -86,7 +86,30 @@ object GroupBys extends QueryModule {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** Grouping sets (beyond reference — SURVEY §2.5 notes the reference
+    * has none): ROLLUP over (returnflag, linestatus) with grouping ids.
+    * Catalyst plans one Expand + hash aggregate — one scan, all levels.
+    */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), Q.dsum(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** CUBE over the same keys — all 4 grouping combinations in one pass. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), Q.dsum(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup" -> (qRollup(_, _)),
+    "q_cube" -> (qCube(_, _)),
     "q_count_distinct" -> (qCountDistinct(_, _)),
     "q_group_sum" -> (qGroupSum(_, _)),
     "q_group_prod" -> (qGroupProd(_, _)),
@@ -95,6 +118,20 @@ object GroupBys extends QueryModule {
     "q_group_var_2key" -> (qGroupVar2Key(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${Q.sqlDsum("l_quantity")} AS sum_qty,
+         |  GROUPING(l_returnflag, l_linestatus) AS gid
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
+         |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${Q.sqlDsum("l_quantity")} AS sum_qty,
+         |  GROUPING(l_returnflag, l_linestatus) AS gid
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
+         |  l_linestatus ASC NULLS FIRST""".stripMargin,
     "q_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events

@@ -39,6 +39,26 @@ object Windows extends QueryModule {
       .orderBy("user_id", "rn")
   }
 
+  /** The full ranking-function suite (rank/dense_rank/ntile/
+    * percent_rank/cume_dist + first/last over frames) — all integer or
+    * single-division results, SQL-standard semantics on both engines.
+    */
+  def qWindowRankFull(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .select(
+        col("user_id"), col("event_id"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
+        first(col("value")).over(wFrame).as("first_value"),
+        last(col("value")).over(wFrame).as("last_value"))
+      .orderBy("user_id", "rnk")
+  }
+
   /** Rolling 3-row mean per user (2 preceding .. current). */
   def qWindowMoving(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -101,6 +121,7 @@ object Windows extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_rank_full" -> (qWindowRankFull(_, _)),
     "q_asof_join" -> (qAsofJoin(_, _)),
     "q_json_extract" -> (qJsonExtract(_, _)),
     "q_window_rank" -> (qWindowRank(_, _)),
@@ -115,6 +136,21 @@ object Windows extends QueryModule {
       |  CAST(ts AS TIMESTAMP) AS ts FROM events""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_window_rank_full" ->
+      s"""WITH e AS ($evSql)
+         |SELECT user_id, event_id,
+         |  CAST(rank() OVER w AS INTEGER) AS rnk,
+         |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+         |  percent_rank() OVER w AS prank,
+         |  cume_dist() OVER w AS cdist,
+         |  first_value(value) OVER wf AS first_value,
+         |  last_value(value) OVER wf AS last_value
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+         |  wf AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, rnk""".stripMargin,
     "q_asof_join" ->
       s"""WITH tr AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
          |    value AS click_value FROM events WHERE event_type = 'click'),
