@@ -53,6 +53,26 @@ class StreamingSpec extends SparkSpec {
     assert(s8.user_id == 8 && s8.n == 1 && s8.sum_value == 9.0)
   }
 
+  test("stream-static join enriches streaming events with a dimension") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[StreamOps.Event]
+    val q = input.toDF().join(dim, Seq("user_id"), "left")
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        StreamOps.Event(1, 1, "click", 1.0, ts("2024-01-01 10:00:00")),
+        StreamOps.Event(2, 3, "view", 2.0, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test").collect()
+        .map(r => (r.getLong(0), r.getAs[String]("tier"))).sortBy(_._1).toSeq
+      assert(rows == Seq((1L, "gold"), (2L, null)))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops repeat keys inside the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.Event]
