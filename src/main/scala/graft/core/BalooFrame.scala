@@ -108,9 +108,13 @@ final class BalooFrame(val df: DataFrame, val indexCols: Seq[String]) {
   def fillna(v: Any): BalooFrame = new BalooFrame(
     v match {
       case d: Double => df.na.fill(d)
+      case f: Float => df.na.fill(f.toDouble)
       case l: Long => df.na.fill(l)
+      case i: Int => df.na.fill(i.toLong)
+      case b: Boolean => df.na.fill(b)
       case s: String => df.na.fill(s)
-      case other => df.na.fill(other.toString)
+      case other => throw new IllegalArgumentException(
+        s"unsupported fill value type: ${other.getClass.getName}")
     }, indexCols)
   def fillna(values: Map[String, Any]): BalooFrame =
     new BalooFrame(df.na.fill(values), indexCols)

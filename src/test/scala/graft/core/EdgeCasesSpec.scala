@@ -33,6 +33,17 @@ class EdgeCasesSpec extends SparkSpec {
     assert(empty.merge(nonEmpty, Seq("idx"), "outer").toDF.count() == 1)
   }
 
+  test("frame fillna dispatches on scalar type; unsupported types throw") {
+    val f = new BalooFrame(
+      Seq((0L, Some(1), Some(1.5)), (1L, None, None))
+        .toDF("idx", "i", "d"), Seq("idx"))
+    assertFrame(f.fillna(7).toDF.orderBy("idx"),
+      Seq(Seq(0L, 1, 1.5), Seq(1L, 7, 7.0)))
+    assertFrame(f.fillna(2.5f).toDF.orderBy("idx"),
+      Seq(Seq(0L, 1, 1.5), Seq(1L, 2, 2.5)))
+    intercept[IllegalArgumentException](f.fillna(java.time.LocalDate.now()))
+  }
+
   test("applyExpr binds {self} — the weld-template UDF analog") {
     val s = new BalooSeries(
       Seq((0L, 2.0), (1L, 3.0)).toDF("idx", "v"), Seq("idx"), "v")
