@@ -31,6 +31,8 @@ final class BalooFrame(val df: DataFrame, val indexCols: Seq[String]) {
   // ---- projection (frame.py:350-362) ----
   def apply(name: String): BalooSeries = {
     require(df.columns.contains(name), s"KeyError: $name")
+    require(!indexCols.contains(name),
+      s"$name is an index column, not a data column (reference keeps them separate)")
     new BalooSeries(df.select(keep(indexCols) :+ col(name): _*), indexCols, name)
   }
   def select(cols: String*): BalooFrame = {
@@ -40,6 +42,8 @@ final class BalooFrame(val df: DataFrame, val indexCols: Seq[String]) {
 
   // ---- filter by bool Series (frame.py:363-370) ----
   def filter(mask: BalooSeries): BalooFrame = {
+    require(indexCols.nonEmpty,
+      "filter by series requires an index (a zero-column join would not filter)")
     val m = mask.df.withColumnRenamed(mask.name, "__mask")
     new BalooFrame(df.join(m.filter(col("__mask")), indexCols, "left_semi"), indexCols)
   }
@@ -60,6 +64,8 @@ final class BalooFrame(val df: DataFrame, val indexCols: Seq[String]) {
 
   // ---- setitem with index alignment (frame.py:414-425, weld_align) ----
   def withColumn(name: String, series: BalooSeries): BalooFrame = {
+    require(indexCols.nonEmpty,
+      "withColumn by series requires an index to align on")
     val s = series.df.withColumnRenamed(series.name, name)
     new BalooFrame(df.drop(name).join(s, indexCols, "left"), indexCols)
   }
@@ -124,6 +130,7 @@ final class BalooFrame(val df: DataFrame, val indexCols: Seq[String]) {
 
   // ---- per-column aggregate row (frame.py:594-639; f64 results) ----
   def aggAll(how: String): DataFrame = {
+    require(numericDataCols.nonEmpty, "no numeric data columns to aggregate")
     val exprs = numericDataCols.map { c =>
       (how match {
         case "sum" => sum(col(c))
@@ -144,6 +151,7 @@ final class BalooFrame(val df: DataFrame, val indexCols: Seq[String]) {
     * (frame.py:641-666) — ONE aggregation pass + stack.
     */
   def agg(aggs: Seq[String]): DataFrame = {
+    require(numericDataCols.nonEmpty, "no numeric data columns to aggregate")
     val exprs = for (a <- aggs; c <- numericDataCols) yield (a match {
       case "sum" => sum(col(c))
       case "prod" => graft.functions.GraftFunctions.prod(col(c))
@@ -179,6 +187,8 @@ final class BalooFrame(val df: DataFrame, val indexCols: Seq[String]) {
   // ---- dedup (frame.py:982-1024; keep ∈ {+,*,min,max} = merger) ----
   def dropDuplicates(subset: Seq[String], keep: String): BalooFrame = {
     val others = dataCols.filterNot(subset.contains)
+    require(others.nonEmpty,
+      "drop_duplicates needs at least one non-subset column to merge (use unique/distinct otherwise)")
     val aggs = others.map { c =>
       (keep match {
         case "min" => min(col(c))

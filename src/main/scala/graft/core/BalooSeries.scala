@@ -59,6 +59,8 @@ final class BalooSeries(val df: DataFrame, val indexCols: Seq[String], val name:
 
   // ---- selection ----
   def filter(mask: BalooSeries): BalooSeries = {
+    require(indexCols.nonEmpty,
+      "filter by series requires an index (a zero-column join would not filter)")
     val m = mask.df.withColumnRenamed(mask.name, "__mask")
     new BalooSeries(
       df.join(m.filter(col("__mask")), indexCols, "left_semi"), indexCols, name)
@@ -94,8 +96,10 @@ final class BalooSeries(val df: DataFrame, val indexCols: Seq[String], val name:
   def mean(): Double = aggScalar(avg(col_))
   def variance(): Double = aggScalar(var_samp(col_))
   def std(): Double = aggScalar(stddev_samp(col_))
-  private def aggScalar(c: Column): Double =
-    df.agg(c.cast("double")).head().getDouble(0)
+  private def aggScalar(c: Column): Double = {
+    val r = df.agg(c.cast("double")).head()
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+  }
 
   /** Multi-agg → Series keyed by agg name, all f64 (series.py:370-388). */
   def agg(aggs: Seq[String]): DataFrame = {
@@ -161,10 +165,15 @@ final class BalooStr(s: BalooSeries) {
   def slice(start: Int, stop: Int, step: Int): BalooSeries = {
     require(step > 0, "negative step not supported (same as reference)")
     if (step == 1) slice(start, stop)
-    else if (stop <= start) re(lit(""))
-    else re(expr(
-      s"concat_ws('', transform(sequence($start, ${stop - 1}, $step), " +
-        s"i -> CASE WHEN i < length(`${s.name}`) THEN substring(`${s.name}`, i + 1, 1) ELSE '' END))"))
+    else {
+      val stepped =
+        if (stop <= start) lit("")
+        else expr(
+          s"concat_ws('', transform(sequence($start, ${stop - 1}, $step), " +
+            s"i -> CASE WHEN i < length(`${s.name}`) THEN substring(`${s.name}`, i + 1, 1) ELSE '' END))")
+      // concat_ws folds NULL input to '' — preserve NULLs like step-1 slice
+      re(when(c.isNull, lit(null).cast("string")).otherwise(stepped))
+    }
   }
 
   def contains(pat: String): BalooSeries = re(c.contains(pat))

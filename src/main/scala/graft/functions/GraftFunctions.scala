@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, StringType}
 import org.apache.spark.sql.functions.call_function
 
 /** Registration of graft's custom Catalyst expressions into a session's
@@ -22,7 +22,7 @@ object GraftFunctions {
     "graft_erf" -> ((children: Seq[Expression]) =>
       Erf(Cast(children.head, DoubleType))),
     "graft_rollhash" -> ((children: Seq[Expression]) =>
-      RollingHash(children.head))
+      RollingHash(Cast(children.head, StringType)))
   )
 
   /** Idempotently register all graft functions into `spark`'s registry. */

@@ -29,32 +29,41 @@ object AsOfJoin {
   /** @param payload right-side value columns to carry (must not collide
     *                with left column names)
     * @param rightTsAs if nonempty, also emit the matched right timestamp
+    *
+    * The whole right payload (+ its ts) travels as ONE struct through a
+    * single `last(_, ignoreNulls)` — all emitted payload columns come
+    * from the SAME matched right row even when some of its fields are
+    * NULL (per-column lasts would stitch a chimera row from different
+    * quotes), and the matched ts keeps tsCol's exact type.
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
       payload: Seq[String], rightTsAs: String = ""): DataFrame = {
     require(payload.intersect(left.columns.toSeq).isEmpty,
       s"right payload ${payload.intersect(left.columns.toSeq)} collides with left columns")
     val leftOnly = left.columns.toSeq.filterNot(c => keys.contains(c) || c == tsCol)
+    val payStruct = struct((col(tsCol).as("__ts") +: payload.map(col)): _*)
 
     val lTagged = leftOnly.map(col) ++ keys.map(col) ++ Seq(
-      col(tsCol), lit(1).as("__side"), lit(null).cast("timestamp").as("__rts")) ++
-      payload.map(p => lit(null).cast(right.schema(p).dataType).as(p))
+      col(tsCol), lit(1).as("__side"),
+      lit(null).cast(right.select(payStruct).schema.head.dataType).as("__pay"))
     val rTagged = leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-      keys.map(col) ++ Seq(
-      col(tsCol), lit(0).as("__side"), col(tsCol).cast("timestamp").as("__rts")) ++
-      payload.map(col)
+      keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side"), payStruct.as("__pay"))
 
     val unioned = left.select(lTagged: _*).unionByName(right.select(rTagged: _*))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = payload.foldLeft(
-      unioned.withColumn("__matched_ts", last(col("__rts"), ignoreNulls = true).over(w))) {
-      (df, p) => df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    val filled = unioned
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val withPayload = payload.foldLeft(filled) { (df, p) =>
+      df.withColumn(p, col("__match").getField(p))
     }
-    val out = filled.filter(col("__side") === 1).drop("__side", "__rts")
-    if (rightTsAs.nonEmpty) out.withColumnRenamed("__matched_ts", rightTsAs)
-    else out.drop("__matched_ts")
+    val out =
+      if (rightTsAs.nonEmpty)
+        withPayload.withColumn(rightTsAs, col("__match").getField("__ts"))
+      else withPayload
+    out.drop("__side", "__pay", "__match")
   }
 }

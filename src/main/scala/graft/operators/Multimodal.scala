@@ -82,6 +82,7 @@ object Multimodal {
     * payload — the real version would seek keyframes.
     */
   def sampleFrames(media: Dataset[MediaRow], everyK: Int): Dataset[MediaRow] = {
+    require(everyK > 0, s"everyK must be positive, got $everyK")
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
       val sampled = r.payload.grouped(256).zipWithIndex

@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
 object Salt {
 
   /** Two-phase salted aggregation: groupBy (key, salt) partial, then
-    * groupBy key final. `partialAggs` must be ASSOCIATIVE pairs of
-    * (partial expression, final re-aggregation) — e.g. sum/sum,
-    * count/sum, min/min, max/max.
+    * groupBy key final — correct for associative aggregates (sum, count,
+    * min, max); the salt values themselves are nondeterministic but the
+    * final per-key re-aggregation is salt-independent.
     */
   def saltedSum(df: DataFrame, key: Column, value: Column,
       buckets: Int = 16): DataFrame = {
