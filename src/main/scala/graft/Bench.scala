@@ -45,16 +45,22 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Failed queries are recorded as -1 (NOT their elapsed-until-throw
+    // time — a fast crash must never read as a speedup) and listed in
+    // the JSON's "failed" array.
+    var failed = List.empty[String]
     val results = selected.map { case (name, fn) =>
       (1 until reps).foreach(_ => try fn(spark, sfDir).count() catch { case _: Throwable => })
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => failed ::= name; false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

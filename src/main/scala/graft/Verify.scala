@@ -15,7 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Pre-delete each query's output so a failure can never pass the
+    // driver's compare against STALE parquet from a previous run.
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      rm(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

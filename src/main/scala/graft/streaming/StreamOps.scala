@@ -56,6 +56,37 @@ object StreamOps {
   case class Session(user_id: Long, start: Timestamp, end: Timestamp,
       n: Long, sum_value: Double)
 
+  /** The per-group session fold — pure and directly unit-testable:
+    * given the open-session state and a batch of events, returns the
+    * sessions closed by this batch plus the new open state. Late
+    * arrivals (before the open session's lastTs) fold INTO the open
+    * session, widening its start if needed, WITHOUT moving lastTs
+    * backwards — otherwise end < start and the next on-time event
+    * misfires the gap check.
+    */
+  def foldSession(userId: Long, prev: Option[SessionState], batch: Seq[Event],
+      gapMs: Long): (List[Session], Option[SessionState]) = {
+    val sorted = batch.sortBy(_.ts.getTime)
+    var closed = List.empty[Session]
+    var cur = prev
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t < s.lastTs =>
+          cur = Some(s.copy(start = math.min(s.start, t),
+            n = s.n + 1, sum = s.sum + e.value))
+        case Some(s) if t - s.lastTs < gapMs =>
+          cur = Some(s.copy(lastTs = t, n = s.n + 1, sum = s.sum + e.value))
+        case Some(s) =>
+          closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.sum)
+          cur = Some(SessionState(t, t, 1, e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    (closed.reverse, cur)
+  }
+
   /** Custom stateful sessionization via `flatMapGroupsWithState`:
     * a session closes after `gapMs` of user inactivity (processing-time
     * timeout drives emission) — the `KeyValueGroupedDataset` custom-state
@@ -73,26 +104,12 @@ object StreamOps {
             state.remove()
             Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.sum))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.lastTs < gapMs =>
-                  cur = Some(s.copy(lastTs = t, n = s.n + 1, sum = s.sum + e.value))
-                case Some(s) =>
-                  closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.sum)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
+            val (closed, cur) = foldSession(userId, state.getOption, rows.toSeq, gapMs)
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutDuration(gapMs)
             }
-            closed.reverseIterator
+            closed.iterator
           }
       }
   }

@@ -90,6 +90,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session fold handles cross-batch late events without regressing lastTs") {
+    // batch 1 opens a session at 10:00
+    val (none, st1) = StreamOps.foldSession(9L, None,
+      Seq(StreamOps.Event(1, 9, "click", 1.0, ts("2024-01-01 10:00:00"))), 300000L)
+    assert(none.isEmpty && st1.isDefined)
+    // batch 2: a LATE event (before the open session's lastTs) plus an
+    // on-time event far enough ahead to close the session
+    val (closed, st2) = StreamOps.foldSession(9L, st1, Seq(
+      StreamOps.Event(2, 9, "click", 2.0, ts("2024-01-01 09:59:00")),
+      StreamOps.Event(3, 9, "click", 4.0, ts("2024-01-01 10:30:00"))), 300000L)
+    assert(closed.length == 1)
+    val s = closed.head
+    assert(s.n == 2 && s.sum_value == 3.0)
+    assert(s.start == ts("2024-01-01 09:59:00") && s.end == ts("2024-01-01 10:00:00"))
+    assert(!s.end.before(s.start))
+    assert(st2.exists(_.n == 1)) // 10:30 session still open
+  }
+
   test("sliding counts place each event in two windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.Event]
