@@ -21,7 +21,12 @@ object Verify {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
       f.delete(); ()
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional comma-separated filter (local iteration only; the driver
+    // always runs the full set).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       rm(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
 import org.apache.spark.sql.functions.call_function
 
 /** Registration of graft's custom Catalyst expressions into a session's
@@ -22,7 +22,10 @@ object GraftFunctions {
     "graft_erf" -> ((children: Seq[Expression]) =>
       Erf(Cast(children.head, DoubleType))),
     "graft_rollhash" -> ((children: Seq[Expression]) =>
-      RollingHash(Cast(children.head, StringType)))
+      RollingHash(Cast(children.head, StringType))),
+    "graft_dotl" -> ((children: Seq[Expression]) =>
+      LongDot(Cast(children.head, ArrayType(LongType)),
+        Cast(children(1), ArrayType(LongType))))
   )
 
   /** Idempotently register all graft functions into `spark`'s registry. */
@@ -47,4 +50,7 @@ object GraftFunctions {
 
   /** Min windowed Karp–Rabin hash — winnowing-style doc fingerprint. */
   def rollhash(c: Column): Column = call_function("graft_rollhash", c)
+
+  /** Codegen'd integer dot product of two `array<bigint>` vectors. */
+  def dotl(a: Column, b: Column): Column = call_function("graft_dotl", a, b)
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Global row ordinals under a total order — the foundation for every
   * positional operation the reference exposes (`iloc`, `df[a:b]` slices,
@@ -14,13 +15,15 @@ import org.apache.spark.sql.types.LongType
   *
   *   1. `repartitionByRange(order)` + `sortWithinPartitions(order)` gives
   *      a globally sorted layout (partition i precedes partition i+1);
-  *   2. `zipWithIndex` assigns contiguous ids with one lightweight
-  *      count-per-partition job and a per-partition offset — no data
-  *      movement beyond the range shuffle.
+  *   2. a tiny per-partition count aggregation → running offsets
+  *      (≤ #partitions rows, broadcast back);
+  *   3. ordinal = offset + partition-local `row_number()`.
   *
-  * Cost: one range-exchange + one extra count stage; the RDD hop drops
-  * out of whole-stage codegen for the id-attach step only. That is the
-  * honest price of positional semantics on a distributed engine; callers
+  * Everything stays in the DataFrame plan — no RDD hop, no row
+  * deserialization, whole-stage codegen intact (round 1 used
+  * `rdd.zipWithIndex`, which de-codegen'd the pipeline and cost 10 s to
+  * fetch one row from 600k). Cost: the range exchange, one count pass,
+  * and one hash exchange on the partition id for the window. Callers
   * that only need head-k use `orderBy().limit(k)` (planned as
   * TakeOrderedAndProject) instead.
   */
@@ -30,11 +33,23 @@ object Ordinal {
     * `order` (must be a total order for deterministic results).
     */
   def withOrdinal(df: DataFrame, order: Seq[Column], name: String = "ord"): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
-    val schema = sorted.schema.add(name, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    spark.createDataFrame(rdd, schema)
+    // Range layout first; partition i then strictly precedes i+1 in the
+    // total order, so a per-partition offset + local row_number is a
+    // correct global ordinal. RangePartitioner's bound sampling is
+    // seeded deterministically, so the two consumers of `ranged` below
+    // (and re-executions) agree on the layout.
+    val ranged = df.repartitionByRange(order: _*).withColumn("__pid", spark_partition_id())
+    // Tiny aggregation: one row per partition → running offsets.
+    val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__pid", "__off")
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn(name, col("__off") + row_number().over(w).cast("long") - 1L)
+      .drop("__pid", "__off")
   }
 
   /** Positional slice `df[start:stop)` under `order` — reference
@@ -61,10 +76,22 @@ object Ordinal {
     * by left-joining from their indices instead).
     */
   def gather(df: DataFrame, order: Seq[Column], positions: Seq[Long]): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
     val spark = df.sparkSession
     import spark.implicits._
     val idx = positions.toDF("ord")
     withOrdinal(df, order).join(broadcast(idx), "ord")
+  }
+
+  /** Gather preserving out-of-range positions as all-NULL rows — the
+    * reference's missing-sentinel gather (`weld_iloc_indices_with_missing`,
+    * `weld_ops.py:370-414`): one output row per requested position, data
+    * columns NULL where the position does not exist. Left join FROM the
+    * (small, broadcast-side-reversed) position list.
+    */
+  def gatherWithMissing(df: DataFrame, order: Seq[Column], positions: Seq[Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idx = positions.toDF("ord")
+    idx.join(withOrdinal(df, order), Seq("ord"), "left")
   }
 }

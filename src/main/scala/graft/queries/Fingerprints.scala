@@ -32,8 +32,20 @@ object Fingerprints extends QueryModule {
   private val NumHashes = 16
   private val NumBands = 8 // bands of 2 hashes
 
-  /** Spark-side doc → words/shingles/shingle-hashes. */
-  private def withShingleHashes(s: SparkSession, dir: String): DataFrame =
+  /** The exploded inverted-index primitive: one (doc_id, h) row per
+    * DISTINCT shingle of each document, h = 60-bit md5 hash. The md5
+    * runs as a codegen'd per-row expression over exploded rows — NOT
+    * inside a `transform(...)` array lambda, which Spark evaluates
+    * interpreted (measured ~3× slower on the 5k-doc corpus; the same
+    * round-1 lesson as simhash). The dropDuplicates aggregation also
+    * serves as the exchange barrier: every consumer (minhash sigs, df
+    * counts, index self-join, confirm legs) reuses one computed index.
+    *
+    * Jaccard/minhash semantics downstream are over distinct HASHES
+    * (dropDuplicates on (doc_id, h)) — identical to distinct shingles
+    * modulo 60-bit collisions, the identity the whole suite accepts.
+    */
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("words", split(col("text"), " "))
       .withColumn("shingles", expr(
@@ -42,15 +54,32 @@ object Fingerprints extends QueryModule {
           |    i -> concat_ws(' ', element_at(words, i + 1),
           |           element_at(words, i + 2), element_at(words, i + 3)))
           |  ELSE array(text) END""".stripMargin))
-      .withColumn("hs", expr(
-        s"transform(shingles, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % $P)"))
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("sg"))
+      .select(col("doc_id"),
+        expr(s"CAST(conv(substring(md5(sg), 1, 15), 16, 10) AS BIGINT) % $P").as("h"))
+      .dropDuplicates("doc_id", "h")
 
-  /** MinHash signatures + LSH banding → candidate near-dup pairs. */
-  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sigCols = (0 until NumHashes).map(j =>
-      expr(s"array_min(transform(hs, x -> (${A(j)} * x + ${B(j)}) % $P))").as(s"sig$j"))
-    val sigs = withShingleHashes(s, dir)
-      .select(col("doc_id") +: sigCols: _*)
+  /** Per-pair shared-hash counts for given candidate pairs, via two
+    * index joins + one codegen'd count aggregate — never materializes
+    * per-pair arrays (an `array_intersect` confirm costs O(|doc|) of
+    * interpreted set-building per CANDIDATE; measured 13 s vs 3 s on
+    * the 1.1M-candidate sf0.1 corpus).
+    */
+  private def interCounts(candidates: DataFrame, idx: DataFrame): DataFrame =
+    candidates
+      .join(idx.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(idx.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+
+  /** MinHash sigs + LSH banding over the (doc_id, h) index → candidate
+    * pairs, NO trailing sort (embeddable). Signatures are ONE codegen'd
+    * hash aggregate computing all 16 mins (partial map-side), not
+    * per-doc higher-order folds (interpreted, the round-1 hot spot).
+    */
+  private def minhashPairs(idx: DataFrame): DataFrame = {
+    val sigAggs = (0 until NumHashes).map(j =>
+      min(expr(s"(${A(j)} * h + ${B(j)}) % $P")).as(s"sig$j"))
+    val sigs = idx.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val bandCols = (0 until NumBands).map(b =>
       (col(s"sig${2 * b}") * P + col(s"sig${2 * b + 1}")).as(s"band$b"))
     val stackArgs = (0 until NumBands).map(b => s"$b, band$b").mkString(", ")
@@ -61,8 +90,11 @@ object Fingerprints extends QueryModule {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** MinHash signatures + LSH banding → candidate near-dup pairs. */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(shingleIndex(s, dir)).orderBy("doc_a", "doc_b")
 
   /** 48-bit SimHash fingerprint per document (majority vote per bit over
     * word hashes).
@@ -112,16 +144,42 @@ object Fingerprints extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** n-gram (3-word shingle) Jaccard near-dup pairs via inverted index. */
+  /** Inverted-index document-frequency cap: a shingle appearing in more
+    * than this many documents (boilerplate) is dropped from CANDIDATE
+    * GENERATION only — without it, one hot shingle produces an O(df²)
+    * pair explosion at corpus scale. J is still computed exactly on the
+    * full shingle sets of each candidate pair; the (documented) recall
+    * trade is pairs whose every shared shingle is hot — at J ≥ 0.5 such
+    * a pair shares ≥⅓ of its shingles, so for any real document length
+    * some shared shingle is almost surely below the cap.
+    */
+  private val MaxDf = 64
+
+  /** n-gram (3-word shingle) Jaccard near-dup pairs via inverted index.
+    *
+    * The index splits at [[MaxDf]]: RARE shingles self-join to produce
+    * per-pair shared counts directly (one codegen'd count aggregate over
+    * the posting-pair rows — Σ df² bounded by the cap); HOT shingles
+    * never generate pairs, their shared counts are added back for
+    * already-found candidates only (a join bounded by |candidates| ×
+    * hot-postings). J is therefore EXACT for every pair witnessed by at
+    * least one rare shingle; only pairs whose every shared shingle is
+    * boilerplate are missed — the documented recall trade.
+    */
   def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = withShingleHashes(s, dir)
-      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+    val idx = shingleIndex(s, dir)
+    val dfs = idx.groupBy("h").agg(count(lit(1)).as("df"))
+    val rare = idx.join(dfs.filter(col("df") <= MaxDf).select("h"), "h")
+    val hot = idx.join(dfs.filter(col("df") > MaxDf).select("h"), "h")
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val interRare = rare.as("x").join(rare.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
+      .agg(count(lit(1)).as("ir"))
+    val interHot = interCounts(interRare.select("doc_a", "doc_b"), hot)
+    interRare
+      .join(interHot, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter", col("ir") + coalesce(col("inter"), lit(0L)))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
@@ -137,15 +195,18 @@ object Fingerprints extends QueryModule {
     * doc_id of every confirmed pair. Returns surviving docs.
     */
   def qDedupPipeline(s: SparkSession, dir: String): DataFrame = {
-    val docs = withShingleHashes(s, dir)
-      .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
-    val candidates = qDedupMinhash(s, dir) // (doc_a, doc_b) pairs
-    val confirmed = candidates
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("j", col("inter")
-        / (size(col("sha")) + size(col("shb")) - col("inter")))
+    // The per-shingle md5 (the dominant round-1 cost, computed 3× there)
+    // is computed ONCE: every consumer sits above shingleIndex's
+    // dropDuplicates exchange, which ReuseExchange dedupes. The confirm
+    // is count-based over int64 hashes (never shingle strings, never
+    // per-pair arrays) and touches only minhash candidates.
+    val idx = shingleIndex(s, dir)
+    val candidates = minhashPairs(idx)
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val confirmed = interCounts(candidates, idx)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("j") >= 0.5)
     val removed = confirmed.select(col("doc_b").as("doc_id")).distinct()
     Tables.documents(s, dir).select("doc_id", "lang", "source")
@@ -174,11 +235,14 @@ object Fingerprints extends QueryModule {
   private val sqlHs =
     s"list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $P)"
 
+  // Outer CAST: DuckDB list_sum returns HUGEINT, which the driver's
+  // comparator reads as float64 and hash-mismatches Spark's int64 even on
+  // identical values — force BIGINT at the boundary.
   private val sqlSimhash =
-    """list_sum(list_transform(range(0, 48), b ->
+    """CAST(list_sum(list_transform(range(0, 48), b ->
       |  CASE WHEN list_sum(list_transform(ths,
       |      x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-      |    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))""".stripMargin
+      |    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
 
   /** Shared CTE chain: documents → shingles → minhash sigs → LSH band
     * candidate pairs (no trailing ORDER BY, embeddable).
@@ -208,14 +272,14 @@ object Fingerprints extends QueryModule {
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_pipeline" ->
       s"""$sqlMinhashCtes,
-         |dsh AS (SELECT doc_id, list_distinct($sqlShingles) AS sh FROM documents),
+         |dhs AS (SELECT doc_id, list_distinct(hs) AS dh FROM hashed),
          |confirmed AS (
          |  SELECT p.doc_a, p.doc_b
          |  FROM pairs p
-         |  JOIN dsh a ON a.doc_id = p.doc_a
-         |  JOIN dsh b ON b.doc_id = p.doc_b
-         |  WHERE len(list_intersect(a.sh, b.sh))
-         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         |  JOIN dhs a ON a.doc_id = p.doc_a
+         |  JOIN dhs b ON b.doc_id = p.doc_b
+         |  WHERE len(list_intersect(a.dh, b.dh))
+         |    / (len(a.dh) + len(b.dh) - len(list_intersect(a.dh, b.dh))) >= 0.5),
          |removed AS (SELECT DISTINCT doc_b AS doc_id FROM confirmed)
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
@@ -238,15 +302,19 @@ object Fingerprints extends QueryModule {
          |WHERE a.doc_id < b.doc_id
          |  AND bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Brute-force all-pairs over the same distinct int64 shingle hashes:
+    // proves the df-capped candidate generation lost no J ≥ 0.5 pair at
+    // this corpus (hash-set J ≡ string-set J modulo 60-bit collisions,
+    // accepted engine-wide).
     "q_dedup_jaccard" ->
-      s"""WITH s AS (SELECT doc_id,
-         |  list_distinct($sqlShingles) AS sh FROM documents)
+      s"""WITH shingled AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
+         |s AS (SELECT doc_id, list_distinct($sqlHs) AS dh FROM shingled)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  len(list_intersect(a.sh, b.sh))
-         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+         |  len(list_intersect(a.dh, b.dh))
+         |    / (len(a.dh) + len(b.dh) - len(list_intersect(a.dh, b.dh))) AS j
          |FROM s a, s b
          |WHERE a.doc_id < b.doc_id
-         |  AND len(list_intersect(a.sh, b.sh))
-         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+         |  AND len(list_intersect(a.dh, b.dh))
+         |    / (len(a.dh) + len(b.dh) - len(list_intersect(a.dh, b.dh))) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin)
 }

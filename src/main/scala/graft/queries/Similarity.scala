@@ -1,32 +1,51 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.{GraftFunctions => G}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-pipeline similarity search over `embeddings` (64-dim float
-  * vectors): brute-force cosine top-k as the correctness baseline, and a
-  * random-hyperplane-LSH bucketed variant as the scale path.
+  * vectors): brute-force cosine top-k as the correctness baseline, a
+  * random-hyperplane-LSH banded variant as the approximate scale path,
+  * and an exact blocked all-pairs join for threshold near-dup pairs.
   *
   * Numeric determinism: per-vector norms fold through exact
   * DECIMAL(30,10) partial sums; all PAIRWISE math (dot products for
   * knn/ann/dedup) runs on 2^20-quantized BIGINT vectors — exact long
-  * arithmetic, an order of magnitude cheaper than interpreted decimal
-  * folds and bit-identical on any engine. Cosines are then one double
+  * arithmetic, bit-identical on any engine. Cosines are then one double
   * expression over identical integer scalars.
   *
+  * Performance: every pairwise dot is `graft_dotl`, a custom codegen'd
+  * Catalyst expression ([[graft.functions.LongDot]]) inlined into the
+  * whole-stage loop — a higher-order `aggregate(zip_with(...))` fold
+  * computes the same value but runs interpreted, ~10× slower (measured
+  * round 1: 28 s → the dominant bench cost).
+  *
   * Scale design:
-  *  - brute-force is O(|Q|·N) with a broadcast of the query set — right
-  *    answer for small query batches, never for all-pairs;
-  *  - the LSH variant buckets vectors by sign patterns against fixed
-  *    hyperplanes, so candidate generation is an equi-join on the bucket
-  *    id — a shuffle on a small integer key instead of a cross join.
-  *    More planes/band-OR repetitions trade recall for bucket size;
-  *    the skeleton here (4 planes, 16 buckets) is the structure, sized
-  *    for the test data.
+  *  - brute-force kNN is O(|Q|·N) with a broadcast of the query set —
+  *    right for small query batches, never for all-pairs;
+  *  - ANN buckets vectors by hyperplane sign patterns in B bands of r
+  *    planes (band-OR for recall): candidate generation is an equi-join
+  *    on (band, bucket) — a shuffle on small integer keys, no cross
+  *    join. B/r trade recall vs candidate count;
+  *  - threshold near-dup (`qDedupEmbed`) is EXACT, so LSH cannot be the
+  *    primary: measured on the testdata, qualifying pairs sit at cos
+  *    0.40–0.51 with the non-dup tail at 0.39 — zero margin, so any
+  *    sign-LSH prefilter at τ=0.4 drops true pairs. The scale-correct
+  *    exact shape is the blocked all-pairs join: vectors land in K
+  *    blocks, the K(K+1)/2 block-cells become the join key, each cell
+  *    computes its (n/K)² dots with codegen'd long arithmetic.
+  *    Parallelism is O(K²) (no 64-key dim-join ceiling), shuffle is
+  *    K+1 replicas of each (id, qvec) row — and K scales with the
+  *    cluster. At a production threshold with real margin (τ ≥ 0.8),
+  *    front this with the ANN band join and confirm exactly on
+  *    candidates only, like the text dedup pipeline.
   */
 object Similarity extends QueryModule {
+
+  private val Dim = 64
 
   /** Exact decimal fold of `elemExpr(i)` over dims 0..63 → double. */
   private def decSum(elemExpr: String): String =
@@ -38,12 +57,6 @@ object Similarity extends QueryModule {
   private def sqlDecSum(elemExpr: String): String =
     s"""CAST(list_sum(list_transform(range(0, 64),
        |    i -> CAST(($elemExpr) AS DECIMAL(30,10)))) AS DOUBLE)""".stripMargin
-
-  /** ±1 hyperplane component for plane j, dim i — a fixed arithmetic
-    * pseudo-random pattern spellable identically in any SQL dialect.
-    */
-  private def plane(j: Int): String =
-    s"(CASE WHEN ((i * (${j + 3})) % 7) < 4 THEN 1.0 ELSE -1.0 END)"
 
   private val normExpr = decSum(
     "CAST(element_at(embedding, i + 1) AS DOUBLE) * CAST(element_at(embedding, i + 1) AS DOUBLE)")
@@ -60,41 +73,64 @@ object Similarity extends QueryModule {
         sqrt(expr(normExpr)).as("norm"))
       .orderBy("vec_id")
 
-  private def dotExpr(a: String, b: String): String =
-    decSum(s"CAST(element_at($a, i + 1) AS DOUBLE) * CAST(element_at($b, i + 1) AS DOUBLE)")
-
   /** Quantize a float vector to exact 2^20-scaled BIGINTs — one map-side
-    * pass per vector. Pairwise math then runs in long arithmetic
-    * (codegen-cheap, bit-identical on any engine) instead of per-pair
-    * interpreted decimal folds; the ~1e-6 quantization error is
-    * irrelevant at a 0.4 threshold / rank comparison because BOTH
-    * engines rank the same exact integers.
+    * pass per vector. Pairwise math then runs in long arithmetic; the
+    * ~1e-6 quantization error is irrelevant at a 0.4 threshold / rank
+    * comparison because BOTH engines rank the same exact integers.
     */
   private val qvecExpr =
     "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
-  private val qnormExpr =
-    "aggregate(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
-  private def qdotExpr(a: String, b: String): String =
-    s"CAST(aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
-  private def qcos(dot: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    dot / (sqrt(col("qn2").cast("double")) * sqrt(col("vn2").cast("double")))
+
+  /** vec_id, qv (quantized), n2 = ⟨qv,qv⟩. The repartition is an
+    * exchange barrier: quantized vectors materialize once per vector
+    * instead of being re-inlined into every downstream reference by
+    * CollapseProject.
+    */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(qvecExpr).as("qv"))
+      .repartition(col("vec_id"))
+      .withColumn("n2", G.dotl(col("qv"), col("qv")))
+
+  private def qcos(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /** Deterministic ±1 hyperplane component for plane j, dim i — computed
+    * at PLAN BUILD time in Scala and embedded as array literals in both
+    * the Spark plan and the DuckDB oracle, so cross-engine agreement is
+    * by construction (no float sign-boundary risk: bucket bits compare
+    * exact integer plane dots to 0).
+    */
+  private def sign(j: Int, i: Int): Long = {
+    val x = (j + 1) * 2654435761L + (i + 1) * 97531L
+    val h = x ^ (x >>> 13) ^ (x >>> 29)
+    if ((h & 1L) == 0L) 1L else -1L
+  }
+  private def planeLit(j: Int): String =
+    (0 until Dim).map(i => sign(j, i)).mkString("array(", ", ", ")")
+  private def planeSqlLit(j: Int): String =
+    (0 until Dim).map(i => sign(j, i)).mkString("[", ", ", "]")
+
+  /** ANN band geometry: B bands of r planes → 2^r buckets per band;
+    * a candidate is any vector sharing ≥1 band bucket with the query
+    * (band-OR boosts recall; more bands = more recall, more
+    * candidates). Sized for the testdata; production tunes B, r to the
+    * corpus similarity profile.
+    */
+  private val AnnBands = 8
+  private val AnnRows = 4
 
   /** Brute-force cosine top-10 for query vectors vec_id < 5. The query
     * side is broadcast; ranking is a per-query-partitioned window.
     */
   def qEmbedKnn(s: SparkSession, dir: String): DataFrame = {
-    // repartition = exchange barrier: quantized vectors are materialized
-    // once per vector, not re-inlined into every joined pair by
-    // CollapseProject.
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), expr(qvecExpr).as("qv"), expr(qnormExpr).as("n2"))
-      .repartition(col("vec_id"))
+    val emb = quantized(s, dir)
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("qv").as("qe"), col("n2").as("qn2"))
     val cos = broadcast(q).crossJoin(emb.select(col("vec_id").as("vid"),
         col("qv").as("ve"), col("n2").as("vn2")))
       .filter(col("qid") =!= col("vid"))
-      .withColumn("cos", qcos(expr(qdotExpr("qe", "ve"))))
+      .withColumn("cos", qcos(G.dotl(col("qe"), col("ve")), col("qn2"), col("vn2")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)
     cos.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
@@ -102,64 +138,73 @@ object Similarity extends QueryModule {
       .orderBy("qid", "rank")
   }
 
-  /** LSH-bucketed ANN: 4 fixed hyperplanes → 16 sign buckets; candidates
-    * share the query's bucket (equi-join on bucket id), ranked by exact
-    * cosine, top-5.
+  /** LSH-banded ANN: B×r fixed hyperplanes → per-band sign buckets;
+    * candidates share ≥1 band bucket with the query (equi-join on
+    * (band, bucket)), then exact-cosine rank, top-5.
     */
   def qEmbedAnn(s: SparkSession, dir: String): DataFrame = {
-    def bit(j: Int): Column =
-      when(expr(decSum(
-        s"${plane(j)} * CAST(element_at(embedding, i + 1) AS DOUBLE)")) > 0.0, 1).otherwise(0)
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), expr(qvecExpr).as("qv"), expr(qnormExpr).as("n2"),
-        (bit(0) + bit(1) * 2 + bit(2) * 4 + bit(3) * 8).as("bucket"))
-      .repartition(col("vec_id"))
-    val q = emb.filter(col("vec_id") < 5)
+    val bucketCols = (0 until AnnBands).map { b =>
+      (0 until AnnRows).map { k =>
+        when(G.dotl(col("qv"), expr(planeLit(b * AnnRows + k))) > 0, 1 << k)
+          .otherwise(0)
+      }.reduce(_ + _).as(s"bkt$b")
+    }
+    val emb = quantized(s, dir)
+    val withBkts = emb.select(Seq(col("vec_id"), col("qv"), col("n2")) ++ bucketCols: _*)
+    val stackArgs = (0 until AnnBands).map(b => s"$b, bkt$b").mkString(", ")
+    val bands = withBkts.selectExpr(
+      "vec_id", "qv", "n2", s"stack($AnnBands, $stackArgs) AS (band, bkt)")
+    val q = bands.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("qv").as("qe"),
-        col("n2").as("qn2"), col("bucket"))
+        col("n2").as("qn2"), col("band"), col("bkt"))
     val cand = broadcast(q).join(
-        emb.select(col("vec_id").as("vid"), col("qv").as("ve"),
-          col("n2").as("vn2"), col("bucket")),
-        Seq("bucket"))
+        bands.select(col("vec_id").as("vid"), col("qv").as("ve"),
+          col("n2").as("vn2"), col("band"), col("bkt")),
+        Seq("band", "bkt"))
       .filter(col("qid") =!= col("vid"))
-      .withColumn("cos", qcos(expr(qdotExpr("qe", "ve"))))
+      // a pair matching several bands carries identical payloads — one
+      // row per (qid, vid) survives, the dot computed once
+      .dropDuplicates("qid", "vid")
+      .withColumn("cos", qcos(G.dotl(col("qe"), col("ve")), col("qn2"), col("vn2")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select("qid", "vid", "bucket", "cos", "rank")
+      .select("qid", "vid", "cos", "rank")
       .orderBy("qid", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs: all pairs with cos ≥ 0.40
-    * (the testdata's vectors are near-orthogonal — max pairwise cos
-    * ≈ 0.51 — so a production-style 0.95 threshold would be vacuous),
-    * via the same exact arithmetic (dedup suite's embedding leg).
+  /** Block-grid size for exact all-pairs: K(K+1)/2 join cells. */
+  private val K = 16
+
+  /** Embedding-cosine near-duplicate pairs: ALL pairs with cos ≥ 0.40
+    * (exact — see the scale-design note in the object doc for why LSH
+    * cannot prefilter at this threshold), via the blocked all-pairs
+    * join: each vector lands in block `vec_id % K`; the left side
+    * replicates to cells (blk, j≥blk), the right to cells (i≤blk, blk),
+    * so every unordered pair meets in EXACTLY ONE of the K(K+1)/2
+    * cells. One equi-join on the cell id, codegen'd long dot per pair.
     */
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
-    // All-pairs dot products as explode → dim-join → hash aggregate:
-    // every operator whole-stage-codegens (a per-pair higher-order fold
-    // would run interpreted, ~5× slower here), partial sums combine
-    // map-side, and the same plan shape survives any corpus size —
-    // with an LSH/bucket prefilter replacing the all-pairs dim join once
-    // n² pairs is the bottleneck.
-    val elems = Tables.embeddings(s, dir)
-      .select(col("vec_id"), posexplode(expr(qvecExpr)).as(Seq("i", "v")))
-    // Explicit partition count: the dim-join INPUT is tiny (n·d rows) so
-    // AQE would coalesce it to ~1 partition, but its OUTPUT is n²·d/p
-    // rows per partition — pin p so the explosion stays parallel.
-    val a = elems.select(col("vec_id").as("ida"), col("i"), col("v").as("va"))
-      .repartition(32, col("i"))
-    val b = elems.select(col("vec_id").as("idb"), col("i"), col("v").as("vb"))
-      .repartition(32, col("i"))
-    val dots = a.join(b, Seq("i")).filter(col("ida") < col("idb"))
-      .groupBy("ida", "idb").agg(sum(col("va") * col("vb")).as("dot"))
-    val norms = elems.groupBy("vec_id").agg(sum(col("v") * col("v")).as("n2"))
-    dots
-      .join(norms.select(col("vec_id").as("ida"), col("n2").as("qn2")), "ida")
-      .join(norms.select(col("vec_id").as("idb"), col("n2").as("vn2")), "idb")
-      .withColumn("cos", qcos(col("dot").cast("double")))
+    val emb = quantized(s, dir).withColumn("blk", pmod(col("vec_id"), lit(K)))
+    val a = emb
+      .withColumn("cell", explode(expr(s"transform(sequence(blk, ${K - 1}), j -> blk * $K + j)")))
+      .select(col("cell"), col("blk").as("blka"), col("vec_id").as("ia"),
+        col("qv").as("qa"), col("n2").as("na"))
+    val b = emb
+      .withColumn("cell", explode(expr(s"transform(sequence(0, blk), i -> i * $K + blk)")))
+      .select(col("cell"), col("blk").as("blkb"), col("vec_id").as("ib"),
+        col("qv").as("qb"), col("n2").as("nb"))
+    // Diagonal cells hold both orientations of a same-block pair — keep
+    // ia < ib there; off-diagonal cells see each pair exactly once (in
+    // arbitrary orientation), normalized by least/greatest below.
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("blka") =!= col("blkb") || col("ia") < col("ib"))
+      .filter(col("ia") =!= col("ib"))
+      .withColumn("cos", qcos(G.dotl(col("qa"), col("qb")), col("na"), col("nb")))
       .filter(col("cos") >= 0.40)
-      .select("ida", "idb", "cos")
+    pairs
+      .select(least(col("ia"), col("ib")).as("ida"),
+        greatest(col("ia"), col("ib")).as("idb"), col("cos"))
       .orderBy("ida", "idb")
   }
 
@@ -169,10 +214,8 @@ object Similarity extends QueryModule {
     "q_embed_ann" -> (qEmbedAnn(_, _)),
     "q_dedup_embed" -> (qDedupEmbed(_, _)))
 
-  private def sqlDot(a: String, b: String): String =
-    sqlDecSum(s"CAST($a[i + 1] AS DOUBLE) * CAST($b[i + 1] AS DOUBLE)")
+  // ---- DuckDB spellings of the integer-quantized vector math ----
 
-  // DuckDB spellings of the integer-quantized vector math.
   private val sqlQvec =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
   private val sqlQnorm =
@@ -181,6 +224,16 @@ object Similarity extends QueryModule {
     s"CAST(list_sum(list_transform(range(0, 64), i -> $a[i + 1] * $b[i + 1])) AS DOUBLE)"
   private def sqlQcos(a: String, b: String, n2a: String, n2b: String): String =
     s"${sqlQdot(a, b)} / (sqrt(CAST($n2a AS DOUBLE)) * sqrt(CAST($n2b AS DOUBLE)))"
+
+  /** Per-band bucket id from exact integer plane dots — literal plane
+    * arrays identical to the Spark side.
+    */
+  private def sqlBucket(b: Int): String =
+    (0 until AnnRows).map { k =>
+      s"""(CASE WHEN list_sum(list_transform(range(0, 64),
+         |  i -> qv[i + 1] * (${planeSqlLit(b * AnnRows + k)})[i + 1])) > 0
+         |  THEN ${1 << k} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
     "q_embed_norms" ->
@@ -201,25 +254,28 @@ object Similarity extends QueryModule {
          |  FROM c)
          |SELECT qid, vid, cos, rank FROM r WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin,
-    "q_embed_ann" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2,
-         |    (CASE WHEN ${sqlDecSum(s"${plane(0)} * CAST(embedding[i + 1] AS DOUBLE)")} > 0.0 THEN 1 ELSE 0 END)
-         |    + 2 * (CASE WHEN ${sqlDecSum(s"${plane(1)} * CAST(embedding[i + 1] AS DOUBLE)")} > 0.0 THEN 1 ELSE 0 END)
-         |    + 4 * (CASE WHEN ${sqlDecSum(s"${plane(2)} * CAST(embedding[i + 1] AS DOUBLE)")} > 0.0 THEN 1 ELSE 0 END)
-         |    + 8 * (CASE WHEN ${sqlDecSum(s"${plane(3)} * CAST(embedding[i + 1] AS DOUBLE)")} > 0.0 THEN 1 ELSE 0 END)
-         |    AS bucket
-         |  FROM embeddings),
+    "q_embed_ann" -> {
+      val bandSelects = (0 until AnnBands)
+        .map(b => s"SELECT vec_id, qv, n2, $b AS band, bkt$b AS bkt FROM eb")
+        .mkString("\n  UNION ALL ")
+      val bktSelects = (0 until AnnBands).map(b => s"${sqlBucket(b)} AS bkt$b").mkString(",\n  ")
+      s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2 FROM embeddings),
+         |eb AS (SELECT vec_id, qv, n2,
+         |  $bktSelects
+         |FROM e),
+         |bands AS (
+         |  $bandSelects),
          |c AS (
-         |  SELECT q.vec_id AS qid, v.vec_id AS vid, q.bucket AS bucket,
+         |  SELECT DISTINCT q.vec_id AS qid, v.vec_id AS vid,
          |    ${sqlQcos("q.qv", "v.qv", "q.n2", "v.n2")} AS cos
-         |  FROM e q JOIN e v ON q.bucket = v.bucket
+         |  FROM bands q JOIN bands v ON q.band = v.band AND q.bkt = v.bkt
          |  WHERE q.vec_id < 5 AND q.vec_id <> v.vec_id),
-         |r AS (SELECT qid, vid, bucket, cos,
+         |r AS (SELECT qid, vid, cos,
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INTEGER) AS rank
          |  FROM c)
-         |SELECT qid, vid, bucket, cos, rank FROM r WHERE rank <= 5
-         |ORDER BY qid, rank""".stripMargin,
+         |SELECT qid, vid, cos, rank FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin
+    },
     "q_dedup_embed" ->
       s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2 FROM embeddings)
          |SELECT a.vec_id AS ida, b.vec_id AS idb,

@@ -113,13 +113,13 @@ object TextAnalysis extends QueryModule {
     "q_text_rollhash" -> {
       val pows = graft.functions.RollingHashMath.Pow.mkString("[", ", ", "]")
       s"""SELECT doc_id,
-         |  CASE WHEN length(text) < 8 THEN -1 ELSE (
+         |  CAST(CASE WHEN length(text) < 8 THEN -1 ELSE (
          |    list_min(list_transform(range(0, length(text) - 7), i ->
          |      list_sum(list_transform(range(0, 8), j ->
          |        CAST(ascii(substr(text, CAST(i + j + 1 AS INTEGER), 1)) AS BIGINT)
          |          * ($pows)[CAST(j + 1 AS INTEGER)]
          |      )) % 2147483647))
-         |  ) END AS rh
+         |  ) END AS BIGINT) AS rh
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "q_text_tokens" ->
