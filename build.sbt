@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // local[32] churns allocation across 32 task threads, and a 69-query
+  // run compiles hundreds of whole-stage-codegen classes: the JDK
+  // defaults (240 MB code cache) hit JIT-compilation shutoff mid-suite,
+  // after which everything runs interpreted with 2-4x slowdown and wild
+  // run-to-run variance.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseG1GC",
 )

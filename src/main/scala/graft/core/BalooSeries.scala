@@ -42,18 +42,29 @@ final class BalooSeries(val df: DataFrame, val indexCols: Seq[String], val name:
   def -(o: BalooSeries): BalooSeries = zip(o, _ - _)
   def *(o: BalooSeries): BalooSeries = zip(o, _ * _)
   def /(o: BalooSeries): BalooSeries = zip(o, _ / _)
+  def **(o: BalooSeries): BalooSeries = zip(o, pow(_, _))
 
   /** Align on index (inner) then combine — the reference requires equal
-    * lengths and zips positionally (`weld_ops.py:232-275`); with explicit
-    * index columns the equivalent is an index equi-join.
+    * lengths and zips positionally (`weld_ops.py:232-275`) on a UNIQUE
+    * key (`is_on_unique`); with explicit index columns the equivalent is
+    * an index equi-join. Duplicate index values would silently
+    * row-multiply through that join, so the plan asserts per-key
+    * uniqueness in-flight: the windowed count is partitioned on the same
+    * keys the join just shuffled on, so it adds a sort but no exchange.
     */
   private def zip(o: BalooSeries, f: (Column, Column) => Column): BalooSeries = {
     require(indexCols.nonEmpty, "column⊕column requires an index")
     val left = df
     val right = o.df.withColumnRenamed(o.name, s"${o.name}__r")
     val joined = left.join(right, indexCols, "inner")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(indexCols.map(col): _*)
+    val value = when(org.apache.spark.sql.functions.count(lit(1)).over(w) > 1,
+      raise_error(concat(
+        lit("column⊕column requires unique index values; duplicate key: "),
+        concat_ws(",", indexCols.map(c => col(c).cast("string")): _*))))
+      .otherwise(f(col(name), col(s"${o.name}__r")))
     new BalooSeries(
-      joined.select((indexCols.map(col) :+ f(col(name), col(s"${o.name}__r")).as(name)): _*),
+      joined.select((indexCols.map(col) :+ value.as(name)): _*),
       indexCols, name)
   }
 

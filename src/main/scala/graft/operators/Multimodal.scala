@@ -39,16 +39,20 @@ object Multimodal {
   val FeatureDim = 16
 
   /** STUB codec — deterministic fake standing in for image/audio decode.
-    * Every value is a pure function of the payload, so tests and oracle
-    * comparisons are stable.
+    * Every value is a pure integer function of the payload bytes, so
+    * tests are stable AND the math is spellable in the DuckDB oracle
+    * (byte sum, not a wrapping hash — DuckDB BIGINT arithmetic traps on
+    * overflow, so wrap-around semantics would not be reproducible
+    * there).
     */
   object StubCodec {
     def decode(r: MediaRow): MediaMeta = {
       val n = r.payload.length
-      val h = r.payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
+      var s = 0L
+      r.payload.foreach(b => s += (b & 0xff))
       MediaMeta(r.id, r.kind, n.toLong,
-        width = 64 + (math.abs(h) % 1856).toInt,
-        height = 64 + (math.abs(h / 7) % 1016).toInt,
+        width = 64 + ((s + 7L * n) % 1856L).toInt,
+        height = 64 + ((s / 7L + n) % 1016L).toInt,
         sampleRate = if (r.kind == "audio") 16000 else 0,
         nFrames = if (r.kind == "video") 1 + (n % 300) else 1)
     }

@@ -48,6 +48,18 @@ object Dedup extends QueryModule {
         max(col("l_extendedprice")).as("max_price"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** `drop_duplicates(keep='*')` — product-merge the payload columns
+    * (`weld_ops.py:572-655` merger `*`), via our codegen'd
+    * [[graft.functions.ProductAgg]]. Dup groups are ≤5 rows of qty ≤ 50,
+    * so products stay integer-exact in f64.
+    */
+  def qDropDupProd(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(graft.functions.GraftFunctions.prod(col("l_quantity")).as("prod_qty"),
+        min(col("l_extendedprice")).as("min_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** pandas-style `keep='first'` under an explicit total order — the
     * variant the reference cannot express; `row_number` over a
     * partitioned window (no global sort).
@@ -73,6 +85,7 @@ object Dedup extends QueryModule {
     "q_unique" -> (qUnique(_, _)),
     "q_drop_dup_min" -> (qDropDupMin(_, _)),
     "q_drop_dup_sum" -> (qDropDupSum(_, _)),
+    "q_drop_dup_prod" -> (qDropDupProd(_, _)),
     "q_drop_dup_first" -> (qDropDupFirst(_, _)),
     "q_dedup_exact" -> (qDedupExact(_, _)))
 
@@ -91,6 +104,12 @@ object Dedup extends QueryModule {
          |  max(l_extendedprice) AS max_price
          |FROM lineitem GROUP BY l_orderkey, l_linenumber
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_drop_dup_prod" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  product(l_quantity) AS prod_qty,
+        |  min(l_extendedprice) AS min_price
+        |FROM lineitem GROUP BY l_orderkey, l_linenumber
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_drop_dup_first" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM (
         |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,

@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   *    chunk-join (4×12-bit chunks) finds ALL pairs with hamming ≤ 3
   *    without an O(n²) cross join — a pair with ≤3 differing bits must
   *    agree exactly on ≥1 chunk.
-  *  - Jaccard: inverted index (explode distinct shingles → self-join on
-  *    shingle → pair-count) — candidate pairs are only those sharing a
-  *    shingle, which is exactly the J>0 set.
+  *  - Jaccard: prefix-filtered inverted index (PPJoin / Vernica et al.,
+  *    SIGMOD'10) — only each doc's globally-rarest (n − ⌈t·n⌉ + 1)
+  *    tokens generate candidates, losslessly for J ≥ t; exact confirm
+  *    on the full index.
   */
 object Fingerprints extends QueryModule {
 
@@ -32,21 +33,31 @@ object Fingerprints extends QueryModule {
   private val NumHashes = 16
   private val NumBands = 8 // bands of 2 hashes
 
-  /** The exploded inverted-index primitive: one (doc_id, h) row per
-    * DISTINCT shingle of each document, h = 60-bit md5 hash. The md5
-    * runs as a codegen'd per-row expression over exploded rows — NOT
-    * inside a `transform(...)` array lambda, which Spark evaluates
-    * interpreted (measured ~3× slower on the 5k-doc corpus; the same
-    * round-1 lesson as simhash). The dropDuplicates aggregation also
-    * serves as the exchange barrier: every consumer (minhash sigs, df
-    * counts, index self-join, confirm legs) reuses one computed index.
+  /** The inverted-index primitive: one (doc_id, n, h) row per DISTINCT
+    * shingle string of each document, h = 60-bit md5 hash mod P, n = the
+    * doc's distinct-SHINGLE count (native `array_distinct` in the array
+    * domain — no lambda, no aggregation). The operator is MAP-ONLY: the
+    * only interpreted lambda is the cheap shingle-string construction;
+    * the md5 runs as a codegen'd per-row expression over the exploded
+    * rows (round-1 lesson, re-confirmed this round: md5 inside a
+    * `transform` lambda evaluates interpreted and recomputes per
+    * consumer — 82 s vs 17 s on the 5k-doc corpus).
     *
-    * Jaccard/minhash semantics downstream are over distinct HASHES
-    * (dropDuplicates on (doc_id, h)) — identical to distinct shingles
-    * modulo 60-bit collisions, the identity the whole suite accepts.
+    * NOT deduped by hash: min-based consumers (minhash signatures) are
+    * duplicate-insensitive and skip that exchange entirely; intersection
+    * -counting consumers dedup (doc_id, h) themselves, partition-local
+    * where possible. Set sizes are distinct STRINGS while intersections
+    * count distinct HASHES — the oracle computes the same two numbers,
+    * so J is bit-identical cross-engine with no collision caveat.
     */
   private def shingleIndex(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      // Shingling + hashing is ~10× the CPU of scanning the text bytes,
+      // and parquet scan parallelism is capped by row-group count (3
+      // tasks on the test corpus). One cheap round-robin exchange of the
+      // raw text rebalances the expensive map across all cores — also
+      // the doc-size skew guard at cluster scale.
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .withColumn("words", split(col("text"), " "))
       .withColumn("shingles", expr(
         """CASE WHEN size(words) >= 3
@@ -54,22 +65,26 @@ object Fingerprints extends QueryModule {
           |    i -> concat_ws(' ', element_at(words, i + 1),
           |           element_at(words, i + 2), element_at(words, i + 3)))
           |  ELSE array(text) END""".stripMargin))
-      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("sg"))
-      .select(col("doc_id"),
+      .withColumn("dsh", array_distinct(col("shingles")))
+      .select(col("doc_id"), size(col("dsh")).cast("long").as("n"),
+        explode(col("dsh")).as("sg"))
+      .select(col("doc_id"), col("n"),
         expr(s"CAST(conv(substring(md5(sg), 1, 15), 16, 10) AS BIGINT) % $P").as("h"))
-      .dropDuplicates("doc_id", "h")
 
   /** Per-pair shared-hash counts for given candidate pairs, via two
     * index joins + one codegen'd count aggregate — never materializes
     * per-pair arrays (an `array_intersect` confirm costs O(|doc|) of
     * interpreted set-building per CANDIDATE; measured 13 s vs 3 s on
-    * the 1.1M-candidate sf0.1 corpus).
+    * the 1.1M-candidate sf0.1 corpus). Carries both docs' distinct-hash
+    * totals (na/nb) so callers compute J without extra stats joins.
     */
   private def interCounts(candidates: DataFrame, idx: DataFrame): DataFrame =
     candidates
-      .join(idx.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
-      .join(idx.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(idx.select(col("doc_id").as("doc_a"), col("h"), col("n").as("na")), "doc_a")
+      .join(idx.select(col("doc_id").as("doc_b"), col("h"), col("n").as("nb")),
+        Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
 
   /** MinHash sigs + LSH banding over the (doc_id, h) index → candidate
     * pairs, NO trailing sort (embeddable). Signatures are ONE codegen'd
@@ -144,46 +159,53 @@ object Fingerprints extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Inverted-index document-frequency cap: a shingle appearing in more
-    * than this many documents (boilerplate) is dropped from CANDIDATE
-    * GENERATION only — without it, one hot shingle produces an O(df²)
-    * pair explosion at corpus scale. J is still computed exactly on the
-    * full shingle sets of each candidate pair; the (documented) recall
-    * trade is pairs whose every shared shingle is hot — at J ≥ 0.5 such
-    * a pair shares ≥⅓ of its shingles, so for any real document length
-    * some shared shingle is almost surely below the cap.
-    */
-  private val MaxDf = 64
+  private val JaccardT = 0.5
 
-  /** n-gram (3-word shingle) Jaccard near-dup pairs via inverted index.
+  /** n-gram (3-word shingle) Jaccard near-dup pairs via a PREFIX-FILTERED
+    * inverted index — the distributed set-similarity-join shape from the
+    * public literature (PPJoin / Vernica et al., "Efficient Parallel
+    * Set-Similarity Joins Using MapReduce", SIGMOD'10).
     *
-    * The index splits at [[MaxDf]]: RARE shingles self-join to produce
-    * per-pair shared counts directly (one codegen'd count aggregate over
-    * the posting-pair rows — Σ df² bounded by the cap); HOT shingles
-    * never generate pairs, their shared counts are added back for
-    * already-found candidates only (a join bounded by |candidates| ×
-    * hot-postings). J is therefore EXACT for every pair witnessed by at
-    * least one rare shingle; only pairs whose every shared shingle is
-    * boilerplate are missed — the documented recall trade.
+    * Rank each document's tokens from globally rarest (ascending df);
+    * any pair with J ≥ t must share a token inside BOTH documents'
+    * first (n − ⌈t·n⌉ + 1) ranked tokens. So only those PREFIX tokens
+    * enter the candidate self-join: prefix tokens are rare by
+    * construction (boilerplate shingles rank last and never generate
+    * pairs), which bounds the pair explosion without any recall trade —
+    * the result is EXACTLY the brute-force J ≥ t set the oracle
+    * computes. Candidates are then confirmed with exact counts against
+    * the full index ([[interCounts]]).
     */
   def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
-    val idx = shingleIndex(s, dir)
-    val dfs = idx.groupBy("h").agg(count(lit(1)).as("df"))
-    val rare = idx.join(dfs.filter(col("df") <= MaxDf).select("h"), "h")
-    val hot = idx.join(dfs.filter(col("df") > MaxDf).select("h"), "h")
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val interRare = rare.as("x").join(rare.as("y"),
+    import org.apache.spark.sql.expressions.Window
+    // ONE posting-scale exchange, keyed by h; the (doc_id, h) dedup
+    // aggregates in-place on it (h ⊆ its group keys) and both consumers
+    // (prefix ranking, exact confirm) reuse it at runtime. The df count
+    // arrives via a WINDOW over h — also a deliberate optimizer
+    // barrier, so the expensive md5 map subtree is never duplicated by
+    // join pushdown (the planner cloned it 6× in a join-based shape —
+    // 50 s vs ~3 s). Partition count is EXPLICIT because AQE's
+    // size-based coalescing would fold the small-bytes/high-compute
+    // exchange to one partition and serialize the joins above it.
+    val idxD = shingleIndex(s, dir)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("h"))
+      .dropDuplicates("doc_id", "h")
+    val withDf = idxD.withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+    // Prefix = the (n − ⌈t·n⌉ + 1) globally-rarest tokens of each doc.
+    // n is the distinct-STRING count (≥ distinct-hash posting count),
+    // which only lengthens the prefix — correctness preserved.
+    val ranked = withDf.withColumn("r",
+      row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
+    val prefix = ranked
+      .filter(col("r") <= col("n") - ceil(col("n") * JaccardT) + 1)
+      .select("doc_id", "h")
+    val pairs = prefix.as("x").join(prefix.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("ir"))
-    val interHot = interCounts(interRare.select("doc_a", "doc_b"), hot)
-    interRare
-      .join(interHot, Seq("doc_a", "doc_b"), "left")
-      .withColumn("inter", col("ir") + coalesce(col("inter"), lit(0L)))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    interCounts(pairs, idxD)
       .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("j") >= 0.5)
+      .filter(col("j") >= JaccardT)
       .select("doc_a", "doc_b", "j")
       .orderBy("doc_a", "doc_b")
   }
@@ -195,17 +217,17 @@ object Fingerprints extends QueryModule {
     * doc_id of every confirmed pair. Returns surviving docs.
     */
   def qDedupPipeline(s: SparkSession, dir: String): DataFrame = {
-    // The per-shingle md5 (the dominant round-1 cost, computed 3× there)
-    // is computed ONCE: every consumer sits above shingleIndex's
-    // dropDuplicates exchange, which ReuseExchange dedupes. The confirm
-    // is count-based over int64 hashes (never shingle strings, never
-    // per-pair arrays) and touches only minhash candidates.
+    // shingleIndex is map-only and cheap; the confirm is count-based
+    // over int64 hashes (never shingle strings, never per-pair arrays)
+    // and touches only minhash candidates, with na/nb carried on the
+    // posting rows (no per-doc stats joins).
     val idx = shingleIndex(s, dir)
     val candidates = minhashPairs(idx)
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val confirmed = interCounts(candidates, idx)
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    // The confirm counts DISTINCT shared hashes (oracle: list_distinct
+    // intersection), so dedup (doc_id, h) for this leg only — signature
+    // mins above are duplicate-insensitive and skip it.
+    val idxD = idx.dropDuplicates("doc_id", "h")
+    val confirmed = interCounts(candidates, idxD)
       .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("j") >= 0.5)
     val removed = confirmed.select(col("doc_b").as("doc_id")).distinct()
@@ -254,7 +276,7 @@ object Fingerprints extends QueryModule {
       s"SELECT doc_id, $b AS band, sig${2 * b} * $P + sig${2 * b + 1} AS v FROM sigs")
       .mkString("\n  UNION ALL ")
     s"""WITH shingled AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
-       |hashed AS (SELECT doc_id, $sqlHs AS hs FROM shingled),
+       |hashed AS (SELECT doc_id, len(list_distinct(sh)) AS n, $sqlHs AS hs FROM shingled),
        |sigs AS (SELECT doc_id,
        |  $sigSelects
        |FROM hashed),
@@ -272,14 +294,14 @@ object Fingerprints extends QueryModule {
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_pipeline" ->
       s"""$sqlMinhashCtes,
-         |dhs AS (SELECT doc_id, list_distinct(hs) AS dh FROM hashed),
+         |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),
          |confirmed AS (
          |  SELECT p.doc_a, p.doc_b
          |  FROM pairs p
          |  JOIN dhs a ON a.doc_id = p.doc_a
          |  JOIN dhs b ON b.doc_id = p.doc_b
          |  WHERE len(list_intersect(a.dh, b.dh))
-         |    / (len(a.dh) + len(b.dh) - len(list_intersect(a.dh, b.dh))) >= 0.5),
+         |    / (a.n + b.n - len(list_intersect(a.dh, b.dh))) >= 0.5),
          |removed AS (SELECT DISTINCT doc_b AS doc_id FROM confirmed)
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
@@ -308,13 +330,14 @@ object Fingerprints extends QueryModule {
     // accepted engine-wide).
     "q_dedup_jaccard" ->
       s"""WITH shingled AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
-         |s AS (SELECT doc_id, list_distinct($sqlHs) AS dh FROM shingled)
+         |s AS (SELECT doc_id, len(list_distinct(sh)) AS n,
+         |      list_distinct($sqlHs) AS dh FROM shingled)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  len(list_intersect(a.dh, b.dh))
-         |    / (len(a.dh) + len(b.dh) - len(list_intersect(a.dh, b.dh))) AS j
+         |    / (a.n + b.n - len(list_intersect(a.dh, b.dh))) AS j
          |FROM s a, s b
          |WHERE a.doc_id < b.doc_id
          |  AND len(list_intersect(a.dh, b.dh))
-         |    / (len(a.dh) + len(b.dh) - len(list_intersect(a.dh, b.dh))) >= 0.5
+         |    / (a.n + b.n - len(list_intersect(a.dh, b.dh))) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin)
 }

@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * SQL-expressible (payload synthesis, byte length, content digest) —
   * gets a full DuckDB oracle. `q_multimodal_pipeline` exercises the
   * typed mapPartitions pipeline in [[graft.operators.Multimodal]]
-  * (stub codec → metadata + features); its codec stub is Scala-only,
-  * so the driver records the rows>0 check for it.
+  * (stub codec → metadata + features → join → rollup); the stub's
+  * math is pure integer/float arithmetic over payload bytes, so the
+  * oracle reimplements it value-exactly in SQL — no rows-only
+  * cop-out.
   */
 object MultimodalQ extends QueryModule {
 
@@ -53,5 +55,36 @@ object MultimodalQ extends QueryModule {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  sha256(text) AS digest,
         |  ascii(text) AS first_code
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // DuckDB reimplementation of the WHOLE stub pipeline: byte values
+    // recovered from hex(payload) pairs; StubCodec.decode's width and
+    // StubCodec.features' f0 (fraction of bytes ≡ 0 mod 16, single
+    // float division) are pure integer/float math. The float value is
+    // reproduced by casting the double quotient to REAL — double
+    // rounding differs from the JVM's single float division only within
+    // 2^-29 of a representable boundary, i.e. never on this data.
+    "q_multimodal_pipeline" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+         |    hex(encode(text)) AS hx
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, kind, nb,
+         |    list_transform(range(1, CAST(nb AS INTEGER) + 1),
+         |      i -> (strpos('0123456789ABCDEF', substring(hx, 2*i - 1, 1)) - 1) * 16
+         |         + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1)) AS bytes
+         |  FROM m),
+         |d AS (
+         |  SELECT doc_id, kind, nb,
+         |    CAST(COALESCE(list_sum(bytes), 0) AS BIGINT) AS s,
+         |    CAST(COALESCE(list_sum(list_transform(bytes,
+         |      x -> CASE WHEN x % 16 = 0 THEN 1 ELSE 0 END)), 0) AS BIGINT) AS c0
+         |  FROM b)
+         |SELECT kind, count(*) AS n,
+         |  ${Q.sqlDsum("nb")} AS total_bytes,
+         |  CAST(max(64 + (s + 7 * nb) % 1856) AS INTEGER) AS max_width,
+         |  ${Q.sqlDavg("CAST(CAST(CAST(c0 AS DOUBLE) / GREATEST(nb, 1) AS REAL) AS DOUBLE)")} AS mean_f0
+         |FROM d GROUP BY kind ORDER BY kind""".stripMargin)
 }

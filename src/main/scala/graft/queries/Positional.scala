@@ -52,11 +52,33 @@ object Positional extends QueryModule {
   def qIloc(s: SparkSession, dir: String): DataFrame =
     Ordinal.iloc(li(s, dir), orderCols, 1234L)
 
+  /** Positions for the gather queries — scattered, unsorted, all within
+    * range at sf0.01+ (lineitem ≥ 60k rows there).
+    */
+  private val gatherPos = Seq(31337L, 0L, 59999L, 7L, 1234L)
+  // 10_000_000 is out of range at every sf → all-NULL data columns.
+  private val gatherMissPos = Seq(2L, 59999L, 10000000L, 999L)
+
+  /** iloc[indices] gather (`weld_iloc_indices` `weld_ops.py:333-367`):
+    * broadcast the position list against the distributed ordinal.
+    */
+  def qIlocGather(s: SparkSession, dir: String): DataFrame =
+    Ordinal.gather(li(s, dir), orderCols, gatherPos).orderBy("ord")
+
+  /** Gather keeping out-of-range positions as all-NULL rows
+    * (`weld_iloc_indices_with_missing` `weld_ops.py:370-414`).
+    */
+  def qGatherMissing(s: SparkSession, dir: String): DataFrame =
+    Ordinal.gatherWithMissing(li(s, dir), orderCols, gatherMissPos)
+      .orderBy("ord")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_head" -> (qHead(_, _)),
     "q_tail" -> (qTail(_, _)),
     "q_slice" -> (qSlice(_, _)),
-    "q_iloc" -> (qIloc(_, _)))
+    "q_iloc" -> (qIloc(_, _)),
+    "q_iloc_gather" -> (qIlocGather(_, _)),
+    "q_gather_missing" -> (qGatherMissing(_, _)))
 
   private val cols = "l_orderkey, l_linenumber, l_quantity, l_extendedprice"
   private val ord = "l_orderkey, l_linenumber, l_quantity, l_extendedprice"
@@ -84,5 +106,25 @@ object Positional extends QueryModule {
          |    row_number() OVER (ORDER BY l_orderkey, l_linenumber,
         |                       l_quantity, l_extendedprice) - 1 AS ord
          |  FROM lineitem)
-         |WHERE ord = 1234""".stripMargin)
+         |WHERE ord = 1234""".stripMargin,
+    "q_iloc_gather" ->
+      s"""SELECT t.ord, t.l_orderkey, t.l_linenumber, t.l_quantity,
+         |  t.l_extendedprice
+         |FROM (
+         |  SELECT $cols,
+         |    row_number() OVER (ORDER BY $ord) - 1 AS ord
+         |  FROM lineitem) t
+         |JOIN (SELECT CAST(v AS BIGINT) AS ord FROM (VALUES (31337), (0),
+         |  (59999), (7), (1234)) p(v)) p ON p.ord = t.ord
+         |ORDER BY t.ord""".stripMargin,
+    "q_gather_missing" ->
+      s"""SELECT p.ord, t.l_orderkey, t.l_linenumber, t.l_quantity,
+         |  t.l_extendedprice
+         |FROM (SELECT CAST(v AS BIGINT) AS ord FROM (VALUES (2), (59999),
+         |  (10000000), (999)) p(v)) p
+         |LEFT JOIN (
+         |  SELECT $cols,
+         |    row_number() OVER (ORDER BY $ord) - 1 AS ord
+         |  FROM lineitem) t ON t.ord = p.ord
+         |ORDER BY p.ord""".stripMargin)
 }

@@ -109,6 +109,46 @@ object Relational extends QueryModule {
         col("l_extendedprice").cast("long").as("price_i64"))
       .orderBy("l_orderkey", "l_linenumber", "qty_i64", "price_i64")
 
+  /** The reference's user-supplied-IR UDF surface routed through the
+    * REAL operator (`BalooSeries.applyExpr`, reference `Series.apply`
+    * `series.py:529-546` / `weld_udf` `weld_ops.py:700-725`): the
+    * template is the reference benchmark's scalar pipeline. Catalyst
+    * parses it into the same codegen'd plan as a native expression.
+    */
+  def qApplyUdf(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val ser = new graft.core.BalooSeries(
+      base.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_quantity").as("qty_udf")),
+      Seq("l_orderkey", "l_linenumber", "l_extendedprice"), "qty_udf")
+    ser.applyExpr("{self} * 2.0 + 1.0").toDF
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "qty_udf")
+  }
+
+  /** pow col⊕col through the REAL `BalooSeries.**` zip operator
+    * (reference `weld_array_op` `weld_ops.py:232-275`, §2.3). Index is
+    * the 4-column total order (unique — the zip guard asserts it);
+    * exponent ≤ 7 and base ≤ 50 keep every value integer-exact in f64,
+    * so the oracle compare needs no rounding.
+    */
+  def qPowCols(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"),
+      col("l_quantity").as("qty_v"), col("l_linenumber").as("ln_v"))
+    val idx = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val a = new graft.core.BalooSeries(
+      base.select((idx.map(col) :+ col("qty_v")): _*), idx, "qty_v")
+    val b = new graft.core.BalooSeries(
+      base.select((idx.map(col) :+ col("ln_v")): _*), idx, "ln_v")
+    (a ** b).toDF.withColumnRenamed("qty_v", "pow_qty")
+      // Results are integers by construction; round away the ≤1-ulp
+      // libm difference between JVM Math.pow and DuckDB's C pow.
+      .withColumn("pow_qty", round(col("pow_qty"), 0))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _)),
     "q_filter" -> (qFilter(_, _)),
@@ -116,7 +156,9 @@ object Relational extends QueryModule {
     "q_scalar_ops" -> (qScalarOps(_, _)),
     "q_bool_ops" -> (qBoolOps(_, _)),
     "q_sort" -> (qSort(_, _)),
-    "q_astype" -> (qAstype(_, _)))
+    "q_astype" -> (qAstype(_, _)),
+    "q_apply_udf" -> (qApplyUdf(_, _)),
+    "q_pow_cols" -> (qPowCols(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -162,6 +204,16 @@ object Relational extends QueryModule {
         |FROM lineitem
         |ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC,
         |  l_extendedprice ASC""".stripMargin,
+    "q_apply_udf" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  l_quantity * 2.0 + 1.0 AS qty_udf
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, qty_udf""".stripMargin,
+    "q_pow_cols" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  round(pow(l_quantity, l_linenumber), 0) AS pow_qty
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
     // NB: Spark's non-ANSI double→int cast truncates toward zero while
     // DuckDB's CAST rounds to nearest — the oracle spells out trunc().
     "q_astype" ->
