@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
 
 /** LLM-pipeline similarity search over `embeddings` (64-dim float
   * vectors): brute-force cosine top-k as the correctness baseline, a
-  * random-hyperplane-LSH banded variant as the approximate scale path,
-  * and an exact blocked all-pairs join for threshold near-dup pairs.
+  * random-hyperplane-LSH banded variant and an IVF-Flat coarse-quantizer
+  * variant as the approximate scale paths, and an exact blocked
+  * all-pairs join for threshold near-dup pairs.
   *
   * Numeric determinism: per-vector norms fold through exact
   * DECIMAL(30,10) partial sums; all PAIRWISE math (dot products for
@@ -173,6 +174,48 @@ object Similarity extends QueryModule {
       .orderBy("qid", "rank")
   }
 
+  /** IVF-Flat coarse quantizer geometry: [[IvfK]] centroid lists, each
+    * query probes its [[IvfProbe]] nearest lists. Centroids here are
+    * DETERMINISTIC seed vectors (vec_id < IvfK) so the oracle can
+    * replay the exact algorithm; production swaps in k-means centroids
+    * trained offline — the query shape (broadcast centroids → map-only
+    * argmax assignment → equi-join on list id) is identical, and is the
+    * IVF scale path: candidates shuffled per query ≈ nprobe/K of the
+    * corpus instead of all of it.
+    */
+  private val IvfK = 16
+  private val IvfProbe = 4
+
+  /** IVF-Flat ANN: assign every vector to its max-cosine centroid
+    * (broadcast argmax, map-only + one small window), probe the query's
+    * nearest [[IvfProbe]] lists via equi-join on the list id, exact
+    * cosine rank within candidates, top-5.
+    */
+  def qEmbedIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(s, dir)
+    val cents = emb.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("n2").as("cn2"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", qcos(G.dotl(col("qv"), col("cv")), col("n2"), col("cn2")))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val ranked = scored.withColumn("rn", row_number().over(wAssign))
+    val ivf = ranked.filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id").as("vid"),
+        col("qv").as("ve"), col("n2").as("vn2"))
+    val probes = ranked.filter(col("vec_id") < 5 && col("rn") <= IvfProbe)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"),
+        col("n2").as("qn2"), col("cid"))
+    val cand = broadcast(probes).join(ivf, Seq("cid"))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cos", qcos(G.dotl(col("qe"), col("ve")), col("qn2"), col("vn2")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "vid", "cos", "rank")
+      .orderBy("qid", "rank")
+  }
+
   /** Block-grid size for exact all-pairs: K(K+1)/2 join cells. */
   private val K = 16
 
@@ -212,6 +255,7 @@ object Similarity extends QueryModule {
     "q_embed_norms" -> (qEmbedNorms(_, _)),
     "q_embed_knn" -> (qEmbedKnn(_, _)),
     "q_embed_ann" -> (qEmbedAnn(_, _)),
+    "q_embed_ivf" -> (qEmbedIvf(_, _)),
     "q_dedup_embed" -> (qDedupEmbed(_, _)))
 
   // ---- DuckDB spellings of the integer-quantized vector math ----
@@ -276,6 +320,33 @@ object Similarity extends QueryModule {
          |SELECT qid, vid, cos, rank FROM r WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin
     },
+    "q_embed_ivf" ->
+      s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2 FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, qv AS cv, n2 AS cn2 FROM e
+         |  WHERE vec_id < $IvfK),
+         |scored AS (
+         |  SELECT e.vec_id, e.qv, e.n2, c.cid,
+         |    ${sqlQcos("e.qv", "c.cv", "e.n2", "c.cn2")} AS ccos
+         |  FROM e, cents c),
+         |ranked AS (SELECT vec_id, qv, n2, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid ASC) AS rn
+         |  FROM scored),
+         |ivf AS (SELECT cid, vec_id AS vid, qv AS ve, n2 AS vn2
+         |  FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, qv AS qe, n2 AS qn2, cid
+         |  FROM ranked WHERE vec_id < 5 AND rn <= $IvfProbe),
+         |c AS (
+         |  SELECT p.qid, v.vid,
+         |    ${sqlQcos("p.qe", "v.ve", "p.qn2", "v.vn2")} AS cos
+         |  FROM probes p JOIN ivf v USING (cid)
+         |  WHERE p.qid <> v.vid),
+         |r AS (SELECT qid, vid, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vid ASC) AS INTEGER) AS rank
+         |  FROM c)
+         |SELECT qid, vid, cos, rank FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
     "q_dedup_embed" ->
       s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2 FROM embeddings)
          |SELECT a.vec_id AS ida, b.vec_id AS idb,

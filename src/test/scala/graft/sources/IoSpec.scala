@@ -11,6 +11,31 @@ import java.nio.file.Files
 class IoSpec extends SparkSpec {
   import spark.implicits._
 
+  test("golden-file read: reference df1.csv fidelity (test_csv.py:12-19)") {
+    // Same shape as the reference fixture `tests/io/files/df1.csv`: an
+    // UNNAMED index column (pandas calls it 'Unnamed: 0'; Spark '_c0'),
+    // int64 'a', float64 'b' — schema inference must recover the types.
+    val path = getClass.getResource("/io/df1.csv").getPath
+    val df = Io.readCsv(spark, path).withColumnRenamed("_c0", "idx")
+    assert(df.columns.toSeq == Seq("idx", "a", "b"))
+    val schema = df.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(schema("a") == "int" && schema("b") == "double", schema)
+    assertFrame(df.orderBy("idx"),
+      (2 to 6).map(i => Seq(i, i - 2, (i - 1).toDouble)))
+  }
+
+  test("to_csv golden bytes: header and row formatting (test_csv.py:21-33)") {
+    val dir = Files.createTempDirectory("graft_csv_gold").toString + "/out"
+    val df = Seq((2L, 0L, 1.0), (3L, 1L, 2.0)).toDF("idx", "a", "b")
+    Io.writeCsv(df.coalesce(1), dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".csv")).head.toPath
+    val lines = java.nio.file.Files.readAllLines(part)
+    assert(lines.get(0) == "idx,a,b", lines.get(0))
+    assert(lines.get(1) == "2,0,1.0", lines.get(1))
+    assert(lines.get(2) == "3,1,2.0", lines.get(2))
+  }
+
   test("csv round-trip preserves values with header and custom sep") {
     val dir = Files.createTempDirectory("graft_csv").toString + "/out"
     val df = Seq((2L, 0L, 1.0), (3L, 1L, 2.0), (4L, 2L, 3.0)).toDF("idx", "a", "b")

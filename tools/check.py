@@ -21,6 +21,13 @@ def cmp_frames(name, got, exp):
     if len(got) != len(exp):
         return f"ROWS differ: spark={len(got)} duck={len(exp)}"
     got, exp = norm(got), norm(exp)
+    # The driver hashes raw values, so a float64 oracle column vs an
+    # int64 spark column mismatches even when values are equal (the
+    # round-1 HUGEINT bug class). Flag dtype-kind differences loudly.
+    for c in got.columns:
+        gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+        if {gk, ek} == {"i", "f"} or {gk, ek} == {"u", "f"}:
+            return f"col {c}: DTYPE kind differs spark={got[c].dtype} duck={exp[c].dtype} (driver hash would mismatch)"
     for c in got.columns:
         a, b = got[c].tolist(), exp[c].tolist()
         for i, (x, y) in enumerate(zip(a, b)):
