@@ -43,10 +43,9 @@ object Fingerprints extends QueryModule {
     * `transform` lambda evaluates interpreted and recomputes per
     * consumer — 82 s vs 17 s on the 5k-doc corpus).
     *
-    * NOT deduped by hash: min-based consumers (minhash signatures) are
-    * duplicate-insensitive and skip that exchange entirely; intersection
-    * -counting consumers dedup (doc_id, h) themselves, partition-local
-    * where possible. Set sizes are distinct STRINGS while intersections
+    * Raw (not deduped by hash) — consumers go through [[postings]],
+    * which dedups (doc_id, h) once and materializes the result for the
+    * whole dedup suite. Set sizes are distinct STRINGS while intersections
     * count distinct HASHES — the oracle computes the same two numbers,
     * so J is bit-identical cross-engine with no collision caveat.
     */
@@ -71,20 +70,48 @@ object Fingerprints extends QueryModule {
       .select(col("doc_id"), col("n"),
         expr(s"CAST(conv(substring(md5(sg), 1, 15), 16, 10) AS BIGINT) % $P").as("h"))
 
-  /** Per-pair shared-hash counts for given candidate pairs, via two
-    * index joins + one codegen'd count aggregate — never materializes
-    * per-pair arrays (an `array_intersect` confirm costs O(|doc|) of
-    * interpreted set-building per CANDIDATE; measured 13 s vs 3 s on
-    * the 1.1M-candidate sf0.1 corpus). Carries both docs' distinct-hash
-    * totals (na/nb) so callers compute J without extra stats joins.
+  /** The deduped posting index — one (doc_id, n, h) row per distinct
+    * (document, shingle-hash) — MATERIALIZED once per (session, corpus)
+    * and shared by every dedup leg. Every consumer is either
+    * duplicate-insensitive (minhash signature mins) or needs the dedup
+    * anyway (df counts, intersection counts), so they all read this one
+    * artifact; without it each query re-runs the md5 shingle map (the
+    * dominant cost) once per join branch, and inter-branch sharing hangs
+    * on fragile physical-plan exchange reuse. This is the local-mode
+    * analog of what a 100 TB pipeline does explicitly: write the
+    * inverted index once (e.g. `Io.bucketedParquet` bucketed by h) and
+    * run candidate generation + confirm against the materialized table.
+    * MEMORY_AND_DISK: partitions spill, never recompute.
     */
-  private def interCounts(candidates: DataFrame, idx: DataFrame): DataFrame =
+  private val postingCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def postings(s: SparkSession, dir: String): DataFrame =
+    postingCache.getOrElseUpdate((s, dir),
+      shingleIndex(s, dir).dropDuplicates("doc_id", "h")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Per-pair shared-hash counts for given candidate pairs: join each
+    * side against per-doc hash ARRAYS (one groupBy over the index, rows
+    * ≈ #docs) and count the intersection with codegen'd
+    * `array_intersect`. Confirm cost is O(|candidates| · doclen) CPU
+    * with NO row expansion — the join-the-index-twice alternative
+    * shuffles |candidates| × avg-doc-postings rows (26M for 409k
+    * candidates on the sf0.1 corpus, the measured bottleneck of the
+    * round-2 shape). The arrays frame broadcasts at test scale and
+    * sort-merge-joins by doc id at corpus scale. Carries the docs'
+    * distinct-string totals (na/nb) so callers compute J directly.
+    */
+  private def interCounts(candidates: DataFrame, idx: DataFrame): DataFrame = {
+    val arrays = idx.groupBy("doc_id")
+      .agg(first(col("n")).as("n"), collect_list(col("h")).as("hs"))
     candidates
-      .join(idx.select(col("doc_id").as("doc_a"), col("h"), col("n").as("na")), "doc_a")
-      .join(idx.select(col("doc_id").as("doc_b"), col("h"), col("n").as("nb")),
-        Seq("doc_b", "h"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"),
-        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .join(arrays.select(col("doc_id").as("doc_a"),
+        col("n").as("na"), col("hs").as("ha")), "doc_a")
+      .join(arrays.select(col("doc_id").as("doc_b"),
+        col("n").as("nb"), col("hs").as("hb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .select("doc_a", "doc_b", "inter", "na", "nb")
+  }
 
   /** MinHash sigs + LSH banding over the (doc_id, h) index → candidate
     * pairs, NO trailing sort (embeddable). Signatures are ONE codegen'd
@@ -107,9 +134,13 @@ object Fingerprints extends QueryModule {
       .distinct()
   }
 
-  /** MinHash signatures + LSH banding → candidate near-dup pairs. */
+  /** MinHash signatures + LSH banding → candidate near-dup pairs.
+    * Runs on the deduped materialized index — signature mins are
+    * duplicate-insensitive, so the result is identical to running on
+    * raw postings.
+    */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
-    minhashPairs(shingleIndex(s, dir)).orderBy("doc_a", "doc_b")
+    minhashPairs(postings(s, dir)).orderBy("doc_a", "doc_b")
 
   /** 48-bit SimHash fingerprint per document (majority vote per bit over
     * word hashes).
@@ -178,19 +209,16 @@ object Fingerprints extends QueryModule {
     */
   def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // ONE posting-scale exchange, keyed by h; the (doc_id, h) dedup
-    // aggregates in-place on it (h ⊆ its group keys) and both consumers
-    // (prefix ranking, exact confirm) reuse it at runtime. The df count
-    // arrives via a WINDOW over h — also a deliberate optimizer
-    // barrier, so the expensive md5 map subtree is never duplicated by
-    // join pushdown (the planner cloned it 6× in a join-based shape —
-    // 50 s vs ~3 s). Partition count is EXPLICIT because AQE's
-    // size-based coalescing would fold the small-bytes/high-compute
-    // exchange to one partition and serialize the joins above it.
-    val idxD = shingleIndex(s, dir)
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("h"))
-      .dropDuplicates("doc_id", "h")
-    val withDf = idxD.withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+    // All four consumers of the posting index (df counts, prefix
+    // ranking, both confirm joins) read the one materialized artifact —
+    // see [[postings]]. df arrives via a hash aggregate + equi-join on
+    // h (partial map-side combine; the join input is (h, df) pairs, far
+    // smaller than postings), replacing round-2's window-over-h, whose
+    // full posting sort was the measured bottleneck (9–49 s run-to-run
+    // on the sf0.1 corpus; GC-sensitive).
+    val idxD = postings(s, dir)
+    val dfCounts = idxD.groupBy("h").agg(count(lit(1)).as("df"))
+    val withDf = idxD.join(dfCounts, "h")
     // Prefix = the (n − ⌈t·n⌉ + 1) globally-rarest tokens of each doc.
     // n is the distinct-STRING count (≥ distinct-hash posting count),
     // which only lengthens the prefix — correctness preserved.
@@ -198,9 +226,14 @@ object Fingerprints extends QueryModule {
       row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
     val prefix = ranked
       .filter(col("r") <= col("n") - ceil(col("n") * JaccardT) + 1)
-      .select("doc_id", "h")
+      .select("doc_id", "n", "h")
+    // Length filter (also lossless): J ≥ t forces the smaller set size
+    // to be ≥ t × the larger — inter ≤ min(na,nb) and
+    // t·(na+nb−inter) ≤ inter together give least ≥ t·greatest.
     val pairs = prefix.as("x").join(prefix.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id")
+          && least(col("x.n"), col("y.n"))
+             >= greatest(col("x.n"), col("y.n")) * JaccardT)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     interCounts(pairs, idxD)
@@ -217,16 +250,13 @@ object Fingerprints extends QueryModule {
     * doc_id of every confirmed pair. Returns surviving docs.
     */
   def qDedupPipeline(s: SparkSession, dir: String): DataFrame = {
-    // shingleIndex is map-only and cheap; the confirm is count-based
-    // over int64 hashes (never shingle strings, never per-pair arrays)
-    // and touches only minhash candidates, with na/nb carried on the
-    // posting rows (no per-doc stats joins).
-    val idx = shingleIndex(s, dir)
-    val candidates = minhashPairs(idx)
-    // The confirm counts DISTINCT shared hashes (oracle: list_distinct
-    // intersection), so dedup (doc_id, h) for this leg only — signature
-    // mins above are duplicate-insensitive and skip it.
-    val idxD = idx.dropDuplicates("doc_id", "h")
+    // Candidate generation and the count-based exact confirm (int64
+    // hashes — never shingle strings, never per-pair arrays) both read
+    // the one materialized posting index; the confirm touches only
+    // minhash candidates, with na/nb carried on the posting rows (no
+    // per-doc stats joins).
+    val idxD = postings(s, dir)
+    val candidates = minhashPairs(idxD)
     val confirmed = interCounts(candidates, idxD)
       .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("j") >= 0.5)
