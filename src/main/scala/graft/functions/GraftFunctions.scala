@@ -25,6 +25,9 @@ object GraftFunctions {
       RollingHash(Cast(children.head, StringType))),
     "graft_dotl" -> ((children: Seq[Expression]) =>
       LongDot(Cast(children.head, ArrayType(LongType)),
+        Cast(children(1), ArrayType(LongType)))),
+    "graft_sinter" -> ((children: Seq[Expression]) =>
+      SortedInterCount(Cast(children.head, ArrayType(LongType)),
         Cast(children(1), ArrayType(LongType))))
   )
 
@@ -53,4 +56,7 @@ object GraftFunctions {
 
   /** Codegen'd integer dot product of two `array<bigint>` vectors. */
   def dotl(a: Column, b: Column): Column = call_function("graft_dotl", a, b)
+
+  /** Codegen'd |a ∩ b| of two SORTED distinct `array<bigint>`s. */
+  def sinter(a: Column, b: Column): Column = call_function("graft_sinter", a, b)
 }

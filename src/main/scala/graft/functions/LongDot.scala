@@ -26,6 +26,43 @@ object VectorMath {
     while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
     s
   }
+
+  /** |a ∩ b| for SORTED distinct long arrays — two-pointer merge, zero
+    * allocation. `array_intersect` on collect_list output falls off
+    * Spark's specialized hash-set path and boxes every element (measured
+    * 60–155 s of CPU + tens of seconds of GC for 409k confirms on the
+    * sf0.1 corpus); this kernel does the same confirms in well under a
+    * second.
+    */
+  def sortedInterCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+}
+
+/** `graft_sinter(array<bigint>, array<bigint>) → bigint` — intersection
+  * size of two SORTED distinct long arrays; codegen'd, null-safe.
+  */
+case class SortedInterCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_sinter"
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.sortedInterCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.sortedInterCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedInterCount =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_dotl(array<bigint>, array<bigint>) → bigint` — codegen'd

@@ -102,14 +102,18 @@ object Fingerprints extends QueryModule {
     * distinct-string totals (na/nb) so callers compute J directly.
     */
   private def interCounts(candidates: DataFrame, idx: DataFrame): DataFrame = {
+    // SORTED arrays so the confirm is a codegen'd two-pointer merge
+    // (graft_sinter) — `array_intersect` here falls off Spark's
+    // specialized hash-set path and boxes every element (measured 60–155 s
+    // CPU + 45 s GC for 409k confirms; graft_sinter: < 1 s).
     val arrays = idx.groupBy("doc_id")
-      .agg(first(col("n")).as("n"), collect_list(col("h")).as("hs"))
+      .agg(first(col("n")).as("n"), sort_array(collect_list(col("h"))).as("hs"))
     candidates
       .join(arrays.select(col("doc_id").as("doc_a"),
         col("n").as("na"), col("hs").as("ha")), "doc_a")
       .join(arrays.select(col("doc_id").as("doc_b"),
         col("n").as("nb"), col("hs").as("hb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("inter", graft.functions.GraftFunctions.sinter(col("ha"), col("hb")))
       .select("doc_a", "doc_b", "inter", "na", "nb")
   }
 

@@ -72,4 +72,20 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(0) - 0.8427007929) < 1.5e-7)
     assert(out(1).isNullAt(0))
   }
+
+  test("sinter: sorted intersection count matches array_intersect, null-safe") {
+    val rows = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)), // {3,9} -> 2
+      (Seq.empty[Long], Seq(1L, 2L)),              // 0
+      (Seq(4L, 8L), Seq(4L, 8L)),                  // 2
+      (Seq(1L, 2L, 3L), Seq(7L, 8L)))              // 0
+    val out = rows.toDF("a", "b")
+      .selectExpr("graft_sinter(a, b) AS s",
+        "CAST(size(array_intersect(a, b)) AS BIGINT) AS ref")
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+    val nul = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .selectExpr("graft_sinter(a, b) AS s").collect()
+    assert(nul(0).isNullAt(0))
+  }
 }
