@@ -139,11 +139,10 @@ object Similarity extends QueryModule {
       .orderBy("qid", "rank")
   }
 
-  /** LSH-banded ANN: B×r fixed hyperplanes → per-band sign buckets;
-    * candidates share ≥1 band bucket with the query (equi-join on
-    * (band, bucket)), then exact-cosine rank, top-5.
+  /** One (vec_id, qv, n2, band, bkt) row per vector per band: sign-bit
+    * buckets from the fixed hyperplanes, codegen'd integer dots.
     */
-  def qEmbedAnn(s: SparkSession, dir: String): DataFrame = {
+  private def banded(s: SparkSession, dir: String): DataFrame = {
     val bucketCols = (0 until AnnBands).map { b =>
       (0 until AnnRows).map { k =>
         when(G.dotl(col("qv"), expr(planeLit(b * AnnRows + k))) > 0, 1 << k)
@@ -153,8 +152,16 @@ object Similarity extends QueryModule {
     val emb = quantized(s, dir)
     val withBkts = emb.select(Seq(col("vec_id"), col("qv"), col("n2")) ++ bucketCols: _*)
     val stackArgs = (0 until AnnBands).map(b => s"$b, bkt$b").mkString(", ")
-    val bands = withBkts.selectExpr(
+    withBkts.selectExpr(
       "vec_id", "qv", "n2", s"stack($AnnBands, $stackArgs) AS (band, bkt)")
+  }
+
+  /** LSH-banded ANN: B×r fixed hyperplanes → per-band sign buckets;
+    * candidates share ≥1 band bucket with the query (equi-join on
+    * (band, bucket)), then exact-cosine rank, top-5.
+    */
+  def qEmbedAnn(s: SparkSession, dir: String): DataFrame = {
+    val bands = banded(s, dir)
     val q = bands.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("qv").as("qe"),
         col("n2").as("qn2"), col("band"), col("bkt"))
@@ -216,6 +223,33 @@ object Similarity extends QueryModule {
       .orderBy("qid", "rank")
   }
 
+  /** Approximate near-dup via the bucket-candidate → exact-confirm
+    * composition — the PRIMARY shape at corpus scale for thresholds
+    * with sign-LSH margin (τ ≥ ~0.8): candidate pairs share ≥1 band
+    * bucket (equi-join on (band, bucket) — shuffle on small integer
+    * keys, never all-pairs), then the exact quantized cosine confirms
+    * at the threshold. Same structure as the text dedup pipeline
+    * (MinHash candidates → exact Jaccard confirm). Deterministic planes
+    * mean the oracle replays the identical algorithm, so this is
+    * value-exact cross-engine despite being recall-approximate vs
+    * [[qDedupEmbed]]'s exact blocked all-pairs (which stays the
+    * ground-truth leg: at THIS corpus's τ=0.40 with a 0.39 tail the
+    * band filter drops true pairs, documented in the object scaladoc).
+    */
+  def qDedupEmbedLsh(s: SparkSession, dir: String): DataFrame = {
+    val bands = banded(s, dir)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("ida"), col("x.qv").as("qa"), col("x.n2").as("na"),
+        col("y.vec_id").as("idb"), col("y.qv").as("qb"), col("y.n2").as("nb"))
+      .dropDuplicates("ida", "idb")
+    cand.withColumn("cos", qcos(G.dotl(col("qa"), col("qb")), col("na"), col("nb")))
+      .filter(col("cos") >= 0.40)
+      .select("ida", "idb", "cos")
+      .orderBy("ida", "idb")
+  }
+
   /** Block-grid size for exact all-pairs: K(K+1)/2 join cells. */
   private val K = 16
 
@@ -256,7 +290,8 @@ object Similarity extends QueryModule {
     "q_embed_knn" -> (qEmbedKnn(_, _)),
     "q_embed_ann" -> (qEmbedAnn(_, _)),
     "q_embed_ivf" -> (qEmbedIvf(_, _)),
-    "q_dedup_embed" -> (qDedupEmbed(_, _)))
+    "q_dedup_embed" -> (qDedupEmbed(_, _)),
+    "q_dedup_embed_lsh" -> (qDedupEmbedLsh(_, _)))
 
   // ---- DuckDB spellings of the integer-quantized vector math ----
 
@@ -354,5 +389,24 @@ object Similarity extends QueryModule {
          |FROM e a, e b
          |WHERE a.vec_id < b.vec_id
          |  AND ${sqlQcos("a.qv", "b.qv", "a.n2", "b.n2")} >= 0.40
-         |ORDER BY ida, idb""".stripMargin)
+         |ORDER BY ida, idb""".stripMargin,
+    "q_dedup_embed_lsh" -> {
+      val bandSelects = (0 until AnnBands)
+        .map(b => s"SELECT vec_id, qv, n2, $b AS band, bkt$b AS bkt FROM eb")
+        .mkString("\n  UNION ALL ")
+      val bktSelects = (0 until AnnBands).map(b => s"${sqlBucket(b)} AS bkt$b").mkString(",\n  ")
+      s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2 FROM embeddings),
+         |eb AS (SELECT vec_id, qv, n2,
+         |  $bktSelects
+         |FROM e),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb,
+         |    ${sqlQcos("x.qv", "y.qv", "x.n2", "y.n2")} AS cos
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkt = y.bkt
+         |  WHERE x.vec_id < y.vec_id)
+         |SELECT ida, idb, cos FROM cand WHERE cos >= 0.40
+         |ORDER BY ida, idb""".stripMargin
+    })
 }
