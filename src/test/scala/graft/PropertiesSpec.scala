@@ -86,4 +86,19 @@ class PropertiesSpec extends SparkSpec {
       assert(ords == (0L until rows.length).toSeq)
     }
   }
+
+  test("LSH near-dup pairs ⊆ exact all-pairs near-dups (same threshold)") {
+    // Candidate filtering can only LOSE pairs, never invent them, and
+    // every surviving pair's cosine must equal the exact leg's value.
+    val dir = "/root/testdata/sf0.001"
+    val exact = queries.Similarity.queries("q_dedup_embed")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = queries.Similarity.queries("q_dedup_embed_lsh")(spark, dir).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key), s"LSH invented pair $key")
+      assert(exact(key) == r.getDouble(2), s"cosine mismatch at $key")
+    }
+  }
 }
