@@ -36,6 +36,19 @@ object GroupBys extends QueryModule {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Salted two-phase aggregation ([[graft.operators.Salt.saltedSum]]):
+    * hot-key mitigation for KNOWN skew — the per-(key, salt) partial
+    * fans a hot key across reducers before the tiny per-key final.
+    * Value summed through exact decimal so the extra merge level stays
+    * order-independent (bit-identical to the unsalted oracle).
+    */
+  def qGroupSumSalted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Salt.saltedSum(
+        Tables.lineitem(s, dir), col("l_returnflag"),
+        col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+      .withColumn("sum", col("sum").cast("double"))
+      .orderBy("k")
+
   /** Grouped product — per-order product of line numbers (≤ 7! so exact
     * in double; associative merge keeps it order-independent).
     */
@@ -112,6 +125,7 @@ object GroupBys extends QueryModule {
     "q_cube" -> (qCube(_, _)),
     "q_count_distinct" -> (qCountDistinct(_, _)),
     "q_group_sum" -> (qGroupSum(_, _)),
+    "q_group_sum_salted" -> (qGroupSumSalted(_, _)),
     "q_group_prod" -> (qGroupProd(_, _)),
     "q_group_moments" -> (qGroupMoments(_, _)),
     "q_group_size" -> (qGroupSize(_, _)),
@@ -136,6 +150,11 @@ object GroupBys extends QueryModule {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_group_sum_salted" ->
+      s"""SELECT l_returnflag AS k,
+         |  ${Q.sqlDsum("l_quantity")} AS sum,
+         |  count(*) AS count
+         |FROM lineitem GROUP BY l_returnflag ORDER BY k""".stripMargin,
     "q_group_sum" ->
       s"""SELECT o_orderpriority,
          |  ${Q.sqlDsum("o_totalprice")} AS sum_price,

@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.Tables
+import graft.sources.Io
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checked SURVEY.md §2.1 source/sink queries.
+  *
+  * The testdata ships parquet only, so the CSV surface
+  * (`sources/Io.readCsv/writeCsv`, reference `baloo/io/csv.py:6-87`)
+  * is exercised by ROUND-TRIPPING a table through CSV inside the query:
+  * write `nation` to a temp CSV dir (distributed writer, header), read
+  * it back with the explicit-schema path, and return the rows — the
+  * oracle reads the same table straight from parquet, so any
+  * serialization loss (types, quoting, nulls) breaks the value hash.
+  *
+  * In-memory construction (reference `from_pandas`-adjacent: building a
+  * frame from driver-local data, `baloo/core/frame.py:60-100`) is
+  * checked by constructing a literal frame via `createDataFrame` and
+  * computing over it; the oracle replays the same literals via VALUES.
+  */
+object IoQ extends QueryModule {
+
+  /** CSV round-trip fidelity: parquet → to_csv → read_csv(schema) ≡
+    * parquet. Distributed on both legs (no coalesce; reader splits
+    * files).
+    */
+  def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.nation(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt")
+      .toString + "/nation"
+    Io.writeCsv(src, tmp)
+    Io.readCsv(s, tmp, schema = Some(src.schema)).orderBy("n_nationkey")
+  }
+
+  /** In-memory construction: a literal frame + one computed column. */
+  def qFromMem(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, "gamma", -0.5),
+      (4L, "delta", 4.0), (5L, "epsilon", 0.0))
+      .toDF("id", "name", "x")
+      .withColumn("y", col("x") * 2.0 + 1.0)
+      .orderBy("id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_csv_roundtrip" -> (qCsvRoundtrip(_, _)),
+    "q_from_mem" -> (qFromMem(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_csv_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "q_from_mem" ->
+      """SELECT CAST(id AS BIGINT) AS id, name, CAST(x AS DOUBLE) AS x,
+        |  CAST(x AS DOUBLE) * 2.0 + 1.0 AS y
+        |FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', -0.5),
+        |  (4, 'delta', 4.0), (5, 'epsilon', 0.0)) t(id, name, x)
+        |ORDER BY id""".stripMargin)
+}
