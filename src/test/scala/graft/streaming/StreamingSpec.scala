@@ -108,6 +108,40 @@ class StreamingSpec extends SparkSpec {
     assert(st2.exists(_.n == 1)) // 10:30 session still open
   }
 
+  test("streaming tumbling agg replays the batch result on the events corpus") {
+    // Stream/batch parity on REAL data: the whole sf0.001 events table
+    // through MemoryStream must produce the same windows, counts, and
+    // sums as the equivalent batch plan (same engine, so float sums
+    // compare within an associativity-order tolerance).
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    val evs = batch.as[StreamOps.Event].collect().toSeq
+    assert(evs.nonEmpty)
+    val input = MemoryStream[StreamOps.Event]
+    val q = StreamOps.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("parity_test")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(evs)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = (r.getTimestamp(0), r.getString(1))
+      val streamed = spark.table("parity_test").collect()
+        .map(r => key(r) -> (r.getLong(2), r.getDouble(3))).toMap
+      val expected = batch
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+        .select(col("window.start"), col("event_type"), col("n"), col("s"))
+        .collect().map(r => key(r) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed.keySet == expected.keySet)
+      streamed.foreach { case (k, (n, s0)) =>
+        assert(n == expected(k)._1, s"count at $k")
+        assert(math.abs(s0 - expected(k)._2) < 1e-6, s"sum at $k")
+      }
+    } finally q.stop()
+  }
+
   test("sliding counts place each event in two windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.Event]
