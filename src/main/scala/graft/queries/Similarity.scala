@@ -238,13 +238,20 @@ object Similarity extends QueryModule {
     */
   def qDedupEmbedLsh(s: SparkSession, dir: String): DataFrame = {
     val bands = banded(s, dir)
+    // Only the ID pair flows through the band join + distinct (column
+    // pruning keeps vector payloads out of that shuffle); vectors
+    // attach to the surviving candidates afterwards — same discipline
+    // as the text pipeline's candidates-then-confirm.
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt")
           && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("ida"), col("x.qv").as("qa"), col("x.n2").as("na"),
-        col("y.vec_id").as("idb"), col("y.qv").as("qb"), col("y.n2").as("nb"))
+      .select(col("x.vec_id").as("ida"), col("y.vec_id").as("idb"))
       .dropDuplicates("ida", "idb")
-    cand.withColumn("cos", qcos(G.dotl(col("qa"), col("qb")), col("na"), col("nb")))
+    val emb = quantized(s, dir)
+    cand
+      .join(emb.select(col("vec_id").as("ida"), col("qv").as("qa"), col("n2").as("na")), "ida")
+      .join(emb.select(col("vec_id").as("idb"), col("qv").as("qb"), col("n2").as("nb")), "idb")
+      .withColumn("cos", qcos(G.dotl(col("qa"), col("qb")), col("na"), col("nb")))
       .filter(col("cos") >= 0.40)
       .select("ida", "idb", "cos")
       .orderBy("ida", "idb")
