@@ -270,7 +270,52 @@ object Fingerprints extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** End-to-end corpus clean — the full composition a training-data
+    * pipeline runs over raw documents, every stage deterministic and
+    * SQL-replayable:
+    *
+    *   1. quality gate: ≥ 20 whitespace words;
+    *   2. language gate: marker-vote language ID agrees with the
+    *      labeled language (drops ~56% of this corpus);
+    *   3. exact dedup: one survivor (min doc_id) per normalized-text
+    *      md5 fingerprint;
+    *   4. near-dup removal: MinHash/LSH candidates confirmed at
+    *      Jaccard ≥ 0.5 (shared posting index), drop the higher doc_id
+    *      of each confirmed pair whose BOTH endpoints survived 1–3
+    *      (pair-local predicates ⇒ identical to re-running candidate
+    *      generation on the filtered subset).
+    *
+    * Stages 1–3 are map-only + one tiny fingerprint aggregation; stage 4
+    * reuses [[postings]]/[[minhashPairs]]/[[interCounts]] — nothing here
+    * adds a shuffle beyond what the standalone queries already pay.
+    */
+  def qCorpusClean(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")))
+      .select(Seq(col("doc_id"), col("lang"), col("n_words"), col("text"))
+        ++ TextAnalysis.langScoreCols: _*)
+    val gated = scored
+      .filter(col("n_words") >= 20 && TextAnalysis.langPred === col("lang"))
+    val exact = gated
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "n_words")
+    val confirmed = interCounts(minhashPairs(postings(s, dir)), postings(s, dir))
+      .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("j") >= JaccardT)
+    val removed = confirmed
+      .join(exact.select(col("doc_id").as("doc_a")), "doc_a")
+      .join(exact.select(col("doc_id").as("doc_b")), "doc_b")
+      .select(col("doc_b").as("doc_id")).distinct()
+    exact.join(removed, Seq("doc_id"), "left_anti").orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_clean" -> (qCorpusClean(_, _)),
     "q_dedup_pipeline" -> (qDedupPipeline(_, _)),
     "q_dedup_minhash" -> (qDedupMinhash(_, _)),
     "q_fingerprint_simhash" -> (qFingerprintSimhash(_, _)),
@@ -323,6 +368,46 @@ object Fingerprints extends QueryModule {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_corpus_clean" ->
+      s"""$sqlMinhashCtes,
+         |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),
+         |confirmed AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM pairs p
+         |  JOIN dhs a ON a.doc_id = p.doc_a
+         |  JOIN dhs b ON b.doc_id = p.doc_b
+         |  WHERE len(list_intersect(a.dh, b.dh))
+         |    / (a.n + b.n - len(list_intersect(a.dh, b.dh))) >= 0.5),
+         |sc AS (SELECT doc_id, lang, text,
+         |  len(string_split(text, ' ')) AS n_words,
+         |  len(list_filter(string_split(text,' '), w -> w IN ('der','und','die'))) AS s_de,
+         |  len(list_filter(string_split(text,' '), w -> w IN ('the','and','of'))) AS s_en,
+         |  len(list_filter(string_split(text,' '), w -> w IN ('el','los','y'))) AS s_es,
+         |  len(list_filter(string_split(text,' '), w -> w IN ('le','la','et'))) AS s_fr
+         |FROM documents),
+         |gated AS (
+         |  SELECT doc_id, lang, CAST(n_words AS INTEGER) AS n_words, text
+         |  FROM sc
+         |  WHERE n_words >= 20 AND (CASE
+         |    WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+         |    WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+         |    WHEN s_de >= s_es THEN 'de'
+         |    ELSE 'es' END) = lang),
+         |exact AS (
+         |  SELECT doc_id, lang, n_words,
+         |    row_number() OVER (
+         |      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         |      ORDER BY doc_id) AS rn
+         |  FROM gated),
+         |surv AS (SELECT doc_id, lang, n_words FROM exact WHERE rn = 1),
+         |removed AS (
+         |  SELECT DISTINCT c.doc_b AS doc_id
+         |  FROM confirmed c
+         |  JOIN surv a ON a.doc_id = c.doc_a
+         |  JOIN surv b ON b.doc_id = c.doc_b)
+         |SELECT doc_id, lang, n_words FROM surv
+         |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
       s"""$sqlMinhashCtes
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,

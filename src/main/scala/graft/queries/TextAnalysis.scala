@@ -49,29 +49,40 @@ object TextAnalysis extends QueryModule {
           / size(col("words"))).as("mean_word_len"))
       .orderBy("doc_id")
 
+  /** Marker word lists per language — shared by langid and the corpus
+    * clean pipeline.
+    */
+  private[queries] val langMarkers = Map(
+    "en" -> Seq("the", "and", "of"),
+    "fr" -> Seq("le", "la", "et"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "los", "y"))
+
+  /** Per-language marker-hit score columns over a `words` array column. */
+  private[queries] def langScoreCols: Seq[org.apache.spark.sql.Column] =
+    langMarkers.toSeq.sortBy(_._1).map { case (l, ws) =>
+      expr(s"size(filter(words, w -> w IN ${inList(ws)}))").as(s"s_$l")
+    }
+
+  /** Argmax language with the fixed en→fr→de→es tie-break, from the
+    * s_en/s_fr/s_de/s_es score columns.
+    */
+  private[queries] def langPred: org.apache.spark.sql.Column =
+    when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de")
+      && col("s_en") >= col("s_es"), "en")
+      .when(col("s_fr") >= col("s_de") && col("s_fr") >= col("s_es"), "fr")
+      .when(col("s_de") >= col("s_es"), "de")
+      .otherwise("es")
+
   /** Language ID by stopword-marker voting with a fixed tie-break order —
     * the n-gram-heuristic shape (count marker hits per language, argmax).
     */
   def qTextLangid(s: SparkSession, dir: String): DataFrame = {
-    val markers = Map(
-      "en" -> Seq("the", "and", "of"),
-      "fr" -> Seq("le", "la", "et"),
-      "de" -> Seq("der", "und", "die"),
-      "es" -> Seq("el", "los", "y"))
     val scored = Tables.documents(s, dir)
       .withColumn("words", split(col("text"), " "))
-      .select(
-        Seq(col("doc_id"), col("lang")) ++
-          markers.toSeq.sortBy(_._1).map { case (l, ws) =>
-            expr(s"size(filter(words, w -> w IN ${inList(ws)}))").as(s"s_$l")
-          }: _*)
+      .select(Seq(col("doc_id"), col("lang")) ++ langScoreCols: _*)
     scored
-      .withColumn("pred",
-        when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de")
-          && col("s_en") >= col("s_es"), "en")
-          .when(col("s_fr") >= col("s_de") && col("s_fr") >= col("s_es"), "fr")
-          .when(col("s_de") >= col("s_es"), "de")
-          .otherwise("es"))
+      .withColumn("pred", langPred)
       .withColumn("hit", col("pred") === col("lang"))
       .orderBy("doc_id")
   }
