@@ -82,6 +82,23 @@ object Multimodal {
       MediaFeatures(r.id, r.kind, StubCodec.features(r)))))
   }
 
+  /** Resize stub: nearest-neighbor resample of the payload to exactly
+    * `targetBytes` bytes (`out(i) = in(⌊i·n/target⌋)`) — the 1-D analog
+    * of image rescaling, deterministic and map-only; a real codec would
+    * decode, rescale pixels, re-encode in the same batched loop.
+    */
+  def resize(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val n = r.payload.length
+      val out =
+        if (n == 0) r.payload
+        else Array.tabulate(targetBytes)(i => r.payload(((i.toLong * n) / targetBytes).toInt))
+      r.copy(payload = out)
+    })
+  }
+
   /** Frame-sample stub: keep every k-th "frame" (byte-block) of a video
     * payload — the real version would seek keyframes.
     */

@@ -45,8 +45,20 @@ object MultimodalQ extends QueryModule {
       .orderBy("kind")
   }
 
+  /** Resize-then-decode: nearest-neighbor resample every payload to 64
+    * bytes, decode the resized media — per-row metadata out, value-exact
+    * against the oracle's replay of the same byte sampling.
+    */
+  def qMultimodalResize(s: SparkSession, dir: String): DataFrame = {
+    val resized = Multimodal.resize(Multimodal.syntheticMedia(s, dir), 64)
+    Multimodal.decodeMeta(resized).toDF
+      .select("id", "kind", "nBytes", "width", "height")
+      .orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta(_, _)),
+    "q_multimodal_resize" -> (qMultimodalResize(_, _)),
     "q_multimodal_pipeline" -> (qMultimodalPipeline(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -56,6 +68,30 @@ object MultimodalQ extends QueryModule {
         |  sha256(text) AS digest,
         |  ascii(text) AS first_code
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Replays resize(64) + StubCodec.decode: bytes from hex pairs,
+    // nearest-neighbor index ⌊i·nb/64⌋ (integer division both engines),
+    // then the decode width/height formulas over the SAMPLED sum.
+    "q_multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+        |    hex(encode(text)) AS hx
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, kind, nb,
+        |    list_transform(range(0, 64), i ->
+        |      (strpos('0123456789ABCDEF',
+        |         substring(hx, CAST(2 * ((i * nb) // 64) + 1 AS INTEGER), 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF',
+        |         substring(hx, CAST(2 * ((i * nb) // 64) + 2 AS INTEGER), 1)) - 1)) AS sb
+        |  FROM m),
+        |d AS (SELECT doc_id, kind,
+        |    CAST(COALESCE(list_sum(sb), 0) AS BIGINT) AS s FROM b)
+        |SELECT doc_id AS id, kind, CAST(64 AS BIGINT) AS "nBytes",
+        |  CAST(64 + (s + 7 * 64) % 1856 AS INTEGER) AS width,
+        |  CAST(64 + (s // 7 + 64) % 1016 AS INTEGER) AS height
+        |FROM d ORDER BY id""".stripMargin,
     // DuckDB reimplementation of the WHOLE stub pipeline: byte values
     // recovered from hex(payload) pairs; StubCodec.decode's width and
     // StubCodec.features' f0 (fraction of bytes ≡ 0 mod 16, single

@@ -61,6 +61,19 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(f.sum - 1.0f) < 1e-6)
   }
 
+  test("resize nearest-neighbor resamples to the target byte count") {
+    val bytes = (0 until 100).map(_.toByte).toArray
+    val media = Seq(Multimodal.MediaRow(1L, "image", bytes)).toDS()
+    val out = Multimodal.resize(media, 10).head().payload
+    assert(out.length == 10)
+    // out(i) = in(floor(i * 100 / 10)) = in(10 * i)
+    assert(out.toSeq == (0 until 10).map(i => (10 * i).toByte))
+    // upsample: repeats neighbors, still exact length
+    val up = Multimodal.resize(Seq(Multimodal.MediaRow(2L, "image",
+      Array[Byte](1, 2))).toDS(), 5).head().payload
+    assert(up.toSeq == Seq[Byte](1, 1, 1, 2, 2))
+  }
+
   test("frame sampling keeps every k-th block") {
     val media = Seq(Multimodal.MediaRow(1L, "video", new Array[Byte](1024))).toDS()
     val out = Multimodal.sampleFrames(media, 2).head()
