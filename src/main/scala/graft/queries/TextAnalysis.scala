@@ -87,6 +87,30 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Chunk geometry: windows of [[ChunkSize]] words every [[ChunkStride]]
+    * words (10-word overlap) — the context-length-bound split a training
+    * pipeline applies before tokenization.
+    */
+  private val ChunkSize = 50
+  private val ChunkStride = 40
+
+  /** Document chunking: overlapping word windows, one output row per
+    * chunk. Map-only (`posexplode` over an in-row transform) — streams
+    * at scan speed; chunk count per doc = ⌈max(n−overlap,1)/stride⌉.
+    */
+  def qTextChunks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n", size(col("words")))
+      .withColumn("chunks", expr(
+        s"""transform(
+           |  sequence(0, CAST(ceil(greatest(n - ${ChunkSize - ChunkStride}, 1)
+           |                        / $ChunkStride) AS INT) - 1),
+           |  i -> array_join(slice(words, i * $ChunkStride + 1, $ChunkSize), ' '))""".stripMargin))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")))
+      .withColumn("n_chunk_words", size(split(col("chunk"), " ")))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text — the content-defined fingerprint used for near-exact dedup.
     */
@@ -109,6 +133,7 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_chunks" -> (qTextChunks(_, _)),
     "q_text_rollhash" -> (qTextRollhash(_, _)),
     "q_text_tokens" -> (qTextTokens(_, _)),
     "q_text_quality" -> (qTextQuality(_, _)),
@@ -133,6 +158,23 @@ object TextAnalysis extends QueryModule {
          |  ) END AS BIGINT) AS rh
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "q_text_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id,
+        |    list_transform(range(0,
+        |        CAST(ceil(greatest(n - 10, 1) / 40.0) AS INTEGER)),
+        |      i -> array_to_string(
+        |        words[CAST(i * 40 + 1 AS INTEGER):CAST(i * 40 + 50 AS INTEGER)],
+        |        ' ')) AS chunks
+        |  FROM w),
+        |u AS (SELECT doc_id,
+        |    CAST(unnest(range(0, len(chunks))) AS INTEGER) AS chunk_idx,
+        |    unnest(chunks) AS chunk
+        |  FROM c)
+        |SELECT doc_id, chunk_idx, chunk,
+        |  CAST(len(string_split(chunk, ' ')) AS INTEGER) AS n_chunk_words
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
