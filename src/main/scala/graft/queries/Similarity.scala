@@ -82,16 +82,21 @@ object Similarity extends QueryModule {
   private val qvecExpr =
     "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
 
-  /** vec_id, qv (quantized), n2 = ⟨qv,qv⟩. The repartition is an
-    * exchange barrier: quantized vectors materialize once per vector
-    * instead of being re-inlined into every downstream reference by
-    * CollapseProject.
+  /** vec_id, qv (quantized), n2 = ⟨qv,qv⟩ — MATERIALIZED once per
+    * (session, corpus) and shared by the whole similarity family (knn,
+    * ann, ivf, both near-dup legs), the same pattern as the dedup
+    * suite's posting index: at corpus scale the quantized vectors are a
+    * written artifact, not something re-derived per query. Spill-safe.
     */
+  private val quantCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), expr(qvecExpr).as("qv"))
-      .repartition(col("vec_id"))
-      .withColumn("n2", G.dotl(col("qv"), col("qv")))
+    quantCache.getOrElseUpdate((s, dir),
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), expr(qvecExpr).as("qv"))
+        .repartition(col("vec_id"))
+        .withColumn("n2", G.dotl(col("qv"), col("qv")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def qcos(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
