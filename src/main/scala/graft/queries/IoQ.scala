@@ -34,6 +34,29 @@ object IoQ extends QueryModule {
     Io.readCsv(s, tmp, schema = Some(src.schema)).orderBy("n_nationkey")
   }
 
+  /** JSON-lines round-trip: same contract as the CSV leg — any
+    * type/null loss through the text format breaks the value hash.
+    */
+  def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.region(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json_rt")
+      .toString + "/region"
+    Io.writeJson(src, tmp)
+    Io.readJson(s, tmp, schema = Some(src.schema))
+      .select(src.columns.map(col): _*)
+      .orderBy("r_regionkey")
+  }
+
+  /** ORC round-trip: the columnar alternative container. */
+  def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.supplier(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_rt")
+      .toString + "/supplier"
+    Io.writeOrc(src, tmp)
+    Io.readOrc(s, tmp).select(src.columns.map(col): _*)
+      .orderBy("s_suppkey")
+  }
+
   /** In-memory construction: a literal frame + one computed column. */
   def qFromMem(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -46,11 +69,17 @@ object IoQ extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_roundtrip" -> (qCsvRoundtrip(_, _)),
+    "q_json_roundtrip" -> (qJsonRoundtrip(_, _)),
+    "q_orc_roundtrip" -> (qOrcRoundtrip(_, _)),
     "q_from_mem" -> (qFromMem(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q_csv_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+    "q_json_roundtrip" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+    "q_orc_roundtrip" ->
+      "SELECT * FROM supplier ORDER BY s_suppkey",
     "q_from_mem" ->
       """SELECT CAST(id AS BIGINT) AS id, name, CAST(x AS DOUBLE) AS x,
         |  CAST(x AS DOUBLE) * 2.0 + 1.0 AS y

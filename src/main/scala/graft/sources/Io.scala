@@ -39,6 +39,24 @@ object Io {
     df.write.option("sep", sep).option("header", header.toString)
       .mode("overwrite").csv(path)
 
+  /** JSON-lines read; pass `schema` for exact types (inference widens
+    * and alphabetizes).
+    */
+  def readJson(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.map(r.schema).getOrElse(r).json(path)
+  }
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
