@@ -314,8 +314,37 @@ object Fingerprints extends QueryModule {
     exact.join(removed, Seq("doc_id"), "left_anti").orderBy("doc_id")
   }
 
+  /** Contamination overlap threshold: ≥ this many distinct shared
+    * shingle hashes with the benchmark set ⇒ the doc is removed.
+    */
+  private val DecontamT = 5
+
+  /** Benchmark decontamination — remove training documents that overlap
+    * an evaluation set (here the deterministic stand-in: docs with
+    * doc_id < 20). The benchmark's distinct shingle-hash set is tiny
+    * relative to the corpus, so the contamination check is a BROADCAST
+    * semi-join of the posting index against it plus one count aggregate:
+    * map-only over the corpus postings, no corpus-side shuffle beyond
+    * the per-doc count — the shape that holds when the corpus is 100 TB
+    * and the benchmark is megabytes.
+    */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val idx = postings(s, dir)
+    val benchHashes = idx.filter(col("doc_id") < 20).select("h").distinct()
+    val removed = idx.filter(col("doc_id") >= 20)
+      .join(broadcast(benchHashes), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= DecontamT)
+      .select("doc_id")
+    Tables.documents(s, dir).select("doc_id", "lang", "source")
+      .filter(col("doc_id") >= 20)
+      .join(removed, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_clean" -> (qCorpusClean(_, _)),
+    "q_decontaminate" -> (qDecontaminate(_, _)),
     "q_dedup_pipeline" -> (qDedupPipeline(_, _)),
     "q_dedup_minhash" -> (qDedupMinhash(_, _)),
     "q_fingerprint_simhash" -> (qFingerprintSimhash(_, _)),
@@ -368,6 +397,20 @@ object Fingerprints extends QueryModule {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_decontaminate" ->
+      s"""WITH shingled AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
+         |dh AS (SELECT doc_id, list_distinct($sqlHs) AS dh FROM shingled),
+         |bench AS (SELECT list(DISTINCT h) AS bl FROM (
+         |  SELECT unnest(dh) AS h FROM dh WHERE doc_id < 20)),
+         |hits AS (
+         |  SELECT d.doc_id,
+         |    len(list_filter(d.dh, x -> list_contains(b.bl, x))) AS n_hits
+         |  FROM dh d, bench b
+         |  WHERE d.doc_id >= 20),
+         |removed AS (SELECT doc_id FROM hits WHERE n_hits >= $DecontamT)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM removed)
+         |ORDER BY doc_id""".stripMargin,
     "q_corpus_clean" ->
       s"""$sqlMinhashCtes,
          |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),
