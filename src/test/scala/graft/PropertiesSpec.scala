@@ -87,6 +87,22 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample is deterministic and partition-invariant") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = queries.Sampling.queries("q_sample_stratified")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val a = run()
+    val b = run()
+    assert(a.nonEmpty && a == b)
+    // hash-derived membership cannot depend on physical layout: the train
+    // fraction of survivors must be the bucket-decade rule exactly
+    a.foreach { r =>
+      val bucket = r(2).asInstanceOf[Long]
+      val split = r(3).asInstanceOf[String]
+      assert((bucket % 10 < 8) == (split == "train"), r)
+    }
+  }
+
   test("LSH near-dup pairs ⊆ exact all-pairs near-dups (same threshold)") {
     // Candidate filtering can only LOSE pairs, never invent them, and
     // every surviving pair's cosine must equal the exact leg's value.
