@@ -135,6 +135,28 @@ final class BalooSeries(val df: DataFrame, val indexCols: Seq[String], val name:
     */
   def unique(): DataFrame = df.select(name).distinct()
 
+  /** First n elements under the index order (`series.py:295-318`) —
+    * plans as TakeOrderedAndProject, never a global sort.
+    */
+  def head(n: Int): BalooSeries =
+    new BalooSeries(df.orderBy(indexCols.map(col): _*).limit(n), indexCols, name)
+
+  /** Last n elements under the index order (`series.py:320-348`). */
+  def tail(n: Int): BalooSeries =
+    new BalooSeries(
+      df.orderBy(indexCols.map(c => col(c).desc): _*).limit(n)
+        .orderBy(indexCols.map(col): _*),
+      indexCols, name)
+
+  /** Scalar positional lookup (`series.py:112-141` via `_series_iloc`):
+    * position i under the index order, distributed ordinal — no
+    * single-partition window.
+    */
+  def iloc(i: Long): BalooSeries =
+    new BalooSeries(
+      graft.operators.Ordinal.iloc(df, indexCols.map(col), i).drop("ord"),
+      indexCols, name)
+
   def str: BalooStr = new BalooStr(this)
 
   def toDF: DataFrame = df

@@ -125,4 +125,12 @@ class BalooSeriesSpec extends SparkSpec {
     assert(vals(s.fillna(-9.0)) == Seq(1.0, -9.0, 3.0))
     assert(s.dropna().df.count() == 2)
   }
+
+  test("head/tail/iloc under index order (series.py:112-348)") {
+    val s = new BalooSeries(
+      (0L until 10L).map(i => (i, i * 10.0)).toDF("idx", "v"), Seq("idx"), "v")
+    assert(vals(s.head(3)) == Seq(0.0, 10.0, 20.0))
+    assert(vals(s.tail(2)) == Seq(80.0, 90.0))
+    assert(vals(s.iloc(7L)) == Seq(70.0))
+  }
 }
