@@ -247,6 +247,23 @@ final class BalooFrame(val df: DataFrame, val indexCols: Seq[String]) {
   def setIndex(cols: String*): BalooFrame = new BalooFrame(df, cols)
   def resetIndex(): BalooFrame = new BalooFrame(df, Nil)
 
+  /** Data column names (`frame.py:183`) — index excluded, like the
+    * reference's `columns`.
+    */
+  def columns: Seq[String] = dataCols
+
+  /** (column, Spark type) pairs for data columns (`frame.py:168`). */
+  def dtypes: Seq[(String, String)] = {
+    val bySchema = df.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    dataCols.map(c => c -> bySchema(c))
+  }
+
+  /** True iff no rows (`frame.py:161`). */
+  def empty: Boolean = df.isEmpty
+
+  /** The index as a frame (`frame.py:516` `keys()`). */
+  def keys(): DataFrame = df.select(indexCols.map(col): _*)
+
   /** Attach a positional RangeIndex under the current sort order —
     * distributed ordinal, not a single-partition window.
     */

@@ -132,6 +132,15 @@ class BalooFrameSpec extends SparkSpec {
     assert(df1.resetIndex().setIndex("a").indexCols == Seq("a"))
   }
 
+  test("columns/dtypes/empty/keys accessors (frame.py:149-526)") {
+    assert(df1.columns == Seq("a", "b"))
+    assert(df1.dtypes.toMap.apply("a") == "bigint")
+    assert(!df1.empty)
+    assert(df1.keys().columns.toSeq == Seq("idx"))
+    assert(new BalooFrame(
+      Seq.empty[(Long, Double)].toDF("idx", "v"), Seq("idx")).empty)
+  }
+
   test("withRangeIndex attaches a distributed 0-based ordinal") {
     val r = df1.withRangeIndex("pos").toDF.orderBy("pos")
     assertFrame(r.select("pos", "idx"), Seq(
