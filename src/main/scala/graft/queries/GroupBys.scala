@@ -49,6 +49,22 @@ object GroupBys extends QueryModule {
       .withColumn("sum", col("sum").cast("double"))
       .orderBy("k")
 
+  /** Grouped exact percentiles (beyond ref): Spark's `percentile` and
+    * DuckDB's `quantile_cont` both use the (n−1)·p linear-interpolation
+    * definition; a 1e-4 round guards the final-arithmetic ulp. Exact
+    * percentile buffers each group's values — right for bounded groups
+    * like these 3 flags; at unbounded-group 100 TB scale swap in
+    * `percentile_approx` (t-digest, mergeable constant-size sketch).
+    */
+  def qGroupPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))
+      .orderBy("l_returnflag")
+
   /** Grouped product — per-order product of line numbers (≤ 7! so exact
     * in double; associative merge keeps it order-independent).
     */
@@ -126,6 +142,7 @@ object GroupBys extends QueryModule {
     "q_count_distinct" -> (qCountDistinct(_, _)),
     "q_group_sum" -> (qGroupSum(_, _)),
     "q_group_sum_salted" -> (qGroupSumSalted(_, _)),
+    "q_group_percentiles" -> (qGroupPercentiles(_, _)),
     "q_group_prod" -> (qGroupProd(_, _)),
     "q_group_moments" -> (qGroupMoments(_, _)),
     "q_group_size" -> (qGroupSize(_, _)),
@@ -150,6 +167,12 @@ object GroupBys extends QueryModule {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_group_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_group_sum_salted" ->
       s"""SELECT l_returnflag AS k,
          |  ${Q.sqlDsum("l_quantity")} AS sum,
