@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   *    chunk-join (4×12-bit chunks) finds ALL pairs with hamming ≤ 3
   *    without an O(n²) cross join — a pair with ≤3 differing bits must
   *    agree exactly on ≥1 chunk.
-  *  - Jaccard: prefix-filtered inverted index (PPJoin / Vernica et al.,
-  *    SIGMOD'10) — only each doc's globally-rarest (n − ⌈t·n⌉ + 1)
-  *    tokens generate candidates, losslessly for J ≥ t; exact confirm
-  *    on the full index.
+  *  - Jaccard: prefix+length-filtered inverted index (PPJoin / Vernica
+  *    et al., SIGMOD'10) — only each doc's globally-rarest
+  *    (n − ⌈t·n⌉ + 1) tokens generate candidates, losslessly for
+  *    J ≥ t; exact confirm via codegen'd sorted-merge intersection.
+  *
+  * Materialized once per corpus and shared across queries: the deduped
+  * posting index ([[postings]]) and the confirmed near-dup pair set
+  * ([[confirmedPairs]]).
   */
 object Fingerprints extends QueryModule {
 
