@@ -87,6 +87,48 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Characteristic char trigrams per language for the n-gram language
+    * ID variant (space-padded articles are strong signals).
+    */
+  private val triProfiles = Seq(
+    "de" -> Seq("der", "und", "ein"),
+    "en" -> Seq("the", "ing", "nd "),
+    "es" -> Seq(" el", "los", "ción"),
+    "fr" -> Seq(" le", "ent", "eau"))
+
+  /** Exact substring occurrence count via length arithmetic — identical
+    * in Spark and DuckDB, no regex escaping concerns.
+    */
+  private def occurrences(textCol: String, needle: String): String = {
+    val lit = needle.replace("'", "''")
+    s"CAST((length($textCol) - length(replace($textCol, '$lit', ''))) / ${needle.length} AS BIGINT)"
+  }
+
+  /** Language ID by CHARACTER n-gram profile voting (the n-gram
+    * heuristic proper, beside the word-marker variant): per-language
+    * score = total occurrences of its characteristic trigrams in the
+    * lowercased text; argmax with the fixed de→en→es→fr tie-break.
+    * Map-only length arithmetic — no regex, no explode.
+    */
+  def qTextLangidNgram(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .withColumn("lo", lower(col("text")))
+      .select(
+        Seq(col("doc_id"), col("lang")) ++
+          triProfiles.map { case (l, ts) =>
+            expr(ts.map(occurrences("lo", _)).mkString(" + ")).as(s"t_$l")
+          }: _*)
+    scored
+      .withColumn("pred",
+        when(col("t_de") >= col("t_en") && col("t_de") >= col("t_es")
+          && col("t_de") >= col("t_fr"), "de")
+          .when(col("t_en") >= col("t_es") && col("t_en") >= col("t_fr"), "en")
+          .when(col("t_es") >= col("t_fr"), "es")
+          .otherwise("fr"))
+      .withColumn("hit", col("pred") === col("lang"))
+      .orderBy("doc_id")
+  }
+
   /** Chunk geometry: windows of [[ChunkSize]] words every [[ChunkStride]]
     * words (10-word overlap) — the context-length-bound split a training
     * pipeline applies before tokenization.
@@ -134,6 +176,7 @@ object TextAnalysis extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_chunks" -> (qTextChunks(_, _)),
+    "q_text_langid_ngram" -> (qTextLangidNgram(_, _)),
     "q_text_rollhash" -> (qTextRollhash(_, _)),
     "q_text_tokens" -> (qTextTokens(_, _)),
     "q_text_quality" -> (qTextQuality(_, _)),
@@ -175,6 +218,22 @@ object TextAnalysis extends QueryModule {
         |SELECT doc_id, chunk_idx, chunk,
         |  CAST(len(string_split(chunk, ' ')) AS INTEGER) AS n_chunk_words
         |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_text_langid_ngram" -> {
+      val scoreCols = triProfiles.map { case (l, ts) =>
+        ts.map(t => occurrences("lower(text)", t)).mkString(" + ") + s" AS t_$l"
+      }.mkString(",\n  ")
+      val predCase =
+        """CASE WHEN t_de >= t_en AND t_de >= t_es AND t_de >= t_fr THEN 'de'
+          |    WHEN t_en >= t_es AND t_en >= t_fr THEN 'en'
+          |    WHEN t_es >= t_fr THEN 'es' ELSE 'fr' END""".stripMargin
+      s"""WITH sc AS (SELECT doc_id, lang,
+         |  $scoreCols
+         |FROM documents)
+         |SELECT doc_id, lang, t_de, t_en, t_es, t_fr,
+         |  $predCase AS pred,
+         |  ($predCase) = lang AS hit
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
