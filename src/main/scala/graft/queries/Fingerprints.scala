@@ -148,7 +148,18 @@ object Fingerprints extends QueryModule {
     * raw postings.
     */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
-    minhashPairs(postings(s, dir)).orderBy("doc_a", "doc_b")
+    candidatePairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** The LSH candidate pair set — materialized like [[postings]]: the
+    * signature build (16 min-aggregates over every posting) runs once
+    * per corpus, not once per consuming query.
+    */
+  private val candCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    candCache.getOrElseUpdate((s, dir),
+      minhashPairs(postings(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** The confirmed near-dup pair set (minhash candidates, exact Jaccard
     * ≥ 0.5 confirm) — itself a MATERIALIZED corpus artifact: both the
@@ -160,8 +171,7 @@ object Fingerprints extends QueryModule {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def confirmedPairs(s: SparkSession, dir: String): DataFrame =
     confirmedCache.getOrElseUpdate((s, dir), {
-      val idxD = postings(s, dir)
-      interCounts(minhashPairs(idxD), idxD)
+      interCounts(candidatePairs(s, dir), postings(s, dir))
         .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
         .filter(col("j") >= JaccardT)
         .select("doc_a", "doc_b")
