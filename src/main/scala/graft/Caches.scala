@@ -1,0 +1,85 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Registry of per-(session, corpus dir) materialized DataFrame
+  * artifacts — the posting index, LSH candidate/confirmed pair sets,
+  * quantized vectors, ordinal index. These are the local-mode analog of
+  * tables a 100 TB pipeline writes once and shares across queries; here
+  * they persist at MEMORY_AND_DISK (spill, never recompute).
+  *
+  * Lifecycle contract (replaces the round-2 per-module TrieMaps, which
+  * leaked and could double-build under a concurrent first touch):
+  *
+  *  - '''single build per key''': the builder runs at most once per
+  *    (session, dir, kind). `computeIfAbsent` only installs a cheap lazy
+  *    holder, so nested `memo` calls inside a builder (confirmed pairs →
+  *    candidate pairs → postings) never recursively update the map; the
+  *    actual build is serialized by the holder's `lazy val`.
+  *  - '''eviction''': [[clear]] unpersists and drops entries — per
+  *    session, or everything. A session-end listener is registered on
+  *    first use so a stopping application releases its cached blocks.
+  *  - '''immutability assumption''': a corpus dir is assumed immutable
+  *    for the lifetime of the session — if files under `dir` change,
+  *    call [[clear]] to invalidate, otherwise reads serve stale data.
+  */
+object Caches {
+
+  private final class Holder(build: () => DataFrame) {
+    @volatile private var builtOpt: Option[DataFrame] = None
+    lazy val df: DataFrame = { val d = build(); builtOpt = Some(d); d }
+    /** The frame if the lazy build ever ran (only those need unpersist). */
+    def peek: Option[DataFrame] = builtOpt
+  }
+
+  private val entries =
+    new ConcurrentHashMap[(SparkSession, String, String), Holder]()
+  private val hooked =
+    java.util.Collections.newSetFromMap(
+      new ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Memoize `build` (persisted MEMORY_AND_DISK) under
+    * (session, dir, kind). The first caller builds; concurrent callers
+    * block on the same holder instead of racing to a second, orphaned
+    * persist.
+    */
+  def memo(s: SparkSession, dir: String, kind: String)(
+      build: => DataFrame): DataFrame = {
+    if (hooked.add(s)) {
+      s.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(
+            end: SparkListenerApplicationEnd): Unit = clear(s)
+      })
+    }
+    entries
+      .computeIfAbsent((s, dir, kind),
+        _ => new Holder(() => build.persist(StorageLevel.MEMORY_AND_DISK)))
+      .df
+  }
+
+  /** Unpersist and drop every artifact owned by `s`. */
+  def clear(s: SparkSession): Unit = {
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        e.getValue.peek.foreach(_.unpersist(false))
+        it.remove()
+      }
+    }
+    hooked.remove(s)
+  }
+
+  /** Unpersist and drop everything (explicit invalidation hook — e.g.
+    * after mutating a corpus dir).
+    */
+  def clearAll(): Unit = {
+    entries.values().forEach(h => h.peek.foreach(_.unpersist(false)))
+    entries.clear()
+    hooked.clear()
+  }
+}

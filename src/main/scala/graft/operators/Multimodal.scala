@@ -86,6 +86,10 @@ object Multimodal {
     * `targetBytes` bytes (`out(i) = in(⌊i·n/target⌋)`) — the 1-D analog
     * of image rescaling, deterministic and map-only; a real codec would
     * decode, rescale pixels, re-encode in the same batched loop.
+    * An EMPTY payload resamples to `targetBytes` zero bytes — the output
+    * length is unconditionally `targetBytes`, matching what the oracle
+    * replays (an empty-in-empty-out special case would silently diverge
+    * from the SQL leg on any empty document).
     */
   def resize(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
@@ -93,7 +97,7 @@ object Multimodal {
     media.mapPartitions(_.map { r =>
       val n = r.payload.length
       val out =
-        if (n == 0) r.payload
+        if (n == 0) new Array[Byte](targetBytes)
         else Array.tabulate(targetBytes)(i => r.payload(((i.toLong * n) / targetBytes).toInt))
       r.copy(payload = out)
     })

@@ -87,12 +87,9 @@ object Fingerprints extends QueryModule {
     * run candidate generation + confirm against the materialized table.
     * MEMORY_AND_DISK: partitions spill, never recompute.
     */
-  private val postingCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def postings(s: SparkSession, dir: String): DataFrame =
-    postingCache.getOrElseUpdate((s, dir),
-      shingleIndex(s, dir).dropDuplicates("doc_id", "h")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.Caches.memo(s, dir, "postings")(
+      shingleIndex(s, dir).dropDuplicates("doc_id", "h"))
 
   /** Per-pair shared-hash counts for given candidate pairs: join each
     * side against per-doc hash ARRAYS (one groupBy over the index, rows
@@ -154,12 +151,8 @@ object Fingerprints extends QueryModule {
     * signature build (16 min-aggregates over every posting) runs once
     * per corpus, not once per consuming query.
     */
-  private val candCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def candidatePairs(s: SparkSession, dir: String): DataFrame =
-    candCache.getOrElseUpdate((s, dir),
-      minhashPairs(postings(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.Caches.memo(s, dir, "minhash_cands")(minhashPairs(postings(s, dir)))
 
   /** The confirmed near-dup pair set (minhash candidates, exact Jaccard
     * ≥ 0.5 confirm) — itself a MATERIALIZED corpus artifact: both the
@@ -167,16 +160,19 @@ object Fingerprints extends QueryModule {
     * a production clean writes it out (it is the provenance record of
     * every removal decision). Tiny relative to the corpus.
     */
-  private val confirmedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def confirmedPairs(s: SparkSession, dir: String): DataFrame =
-    confirmedCache.getOrElseUpdate((s, dir), {
+    graft.Caches.memo(s, dir, "confirmed_pairs")(
       interCounts(candidatePairs(s, dir), postings(s, dir))
         .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
         .filter(col("j") >= JaccardT)
-        .select("doc_a", "doc_b")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+        .select("doc_a", "doc_b"))
+
+  /** One count through the deepest artifact materializes the whole
+    * chain (confirmed pairs → candidates → postings) into the cache.
+    */
+  override def prewarm(s: SparkSession, dir: String): Unit = {
+    confirmedPairs(s, dir).count(); ()
+  }
 
   /** 48-bit SimHash fingerprint per document (majority vote per bit over
     * word hashes).

@@ -22,14 +22,36 @@ import org.apache.spark.sql.functions._
   */
 object IoQ extends QueryModule {
 
+  /** One scratch root per JVM for the round-trip sinks, deleted on JVM
+    * exit — repeated bench/verify runs REUSE it (writers are
+    * mode=overwrite) instead of accumulating a fresh temp dir per query
+    * invocation. `SPARK_GRAFT_SCRATCH` overrides the location; on a real
+    * multi-node cluster it must point at a shared filesystem (the
+    * default driver-local path only works because local[*] executors
+    * share the driver's disk).
+    */
+  private lazy val scratch: String = {
+    val root = sys.env.get("SPARK_GRAFT_SCRATCH")
+      .map(java.nio.file.Paths.get(_))
+      .map { p => java.nio.file.Files.createDirectories(p); p }
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft_scratch"))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(root.toFile)
+    }))
+    root.toString
+  }
+
   /** CSV round-trip fidelity: parquet → to_csv → read_csv(schema) ≡
     * parquet. Distributed on both legs (no coalesce; reader splits
     * files).
     */
   def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val src = Tables.nation(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt")
-      .toString + "/nation"
+    val tmp = s"$scratch/csv/nation"
     Io.writeCsv(src, tmp)
     Io.readCsv(s, tmp, schema = Some(src.schema)).orderBy("n_nationkey")
   }
@@ -39,8 +61,7 @@ object IoQ extends QueryModule {
     */
   def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val src = Tables.region(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_json_rt")
-      .toString + "/region"
+    val tmp = s"$scratch/json/region"
     Io.writeJson(src, tmp)
     Io.readJson(s, tmp, schema = Some(src.schema))
       .select(src.columns.map(col): _*)
@@ -50,8 +71,7 @@ object IoQ extends QueryModule {
   /** ORC round-trip: the columnar alternative container. */
   def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val src = Tables.supplier(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_rt")
-      .toString + "/supplier"
+    val tmp = s"$scratch/orc/supplier"
     Io.writeOrc(src, tmp)
     Io.readOrc(s, tmp).select(src.columns.map(col): _*)
       .orderBy("s_suppkey")

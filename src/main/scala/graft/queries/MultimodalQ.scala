@@ -70,7 +70,9 @@ object MultimodalQ extends QueryModule {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Replays resize(64) + StubCodec.decode: bytes from hex pairs,
     // nearest-neighbor index ⌊i·nb/64⌋ (integer division both engines),
-    // then the decode width/height formulas over the SAMPLED sum.
+    // then the decode width/height formulas over the SAMPLED sum. An
+    // empty payload resamples to 64 zero bytes (s = 0), mirroring
+    // Multimodal.resize's defined empty case.
     "q_multimodal_resize" ->
       """WITH m AS (
         |  SELECT doc_id,
@@ -87,7 +89,8 @@ object MultimodalQ extends QueryModule {
         |         substring(hx, CAST(2 * ((i * nb) // 64) + 2 AS INTEGER), 1)) - 1)) AS sb
         |  FROM m),
         |d AS (SELECT doc_id, kind,
-        |    CAST(COALESCE(list_sum(sb), 0) AS BIGINT) AS s FROM b)
+        |    CAST(CASE WHEN nb = 0 THEN 0
+        |      ELSE COALESCE(list_sum(sb), 0) END AS BIGINT) AS s FROM b)
         |SELECT doc_id AS id, kind, CAST(64 AS BIGINT) AS "nBytes",
         |  CAST(64 + (s + 7 * 64) % 1856 AS INTEGER) AS width,
         |  CAST(64 + (s // 7 + 64) % 1016 AS INTEGER) AS height

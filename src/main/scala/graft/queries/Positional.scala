@@ -36,12 +36,13 @@ object Positional extends QueryModule {
     * safe (MEMORY_AND_DISK); at corpus scale the same artifact would be
     * a written table bucketed by ordinal range.
     */
-  private val ordCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def indexed(s: SparkSession, dir: String): DataFrame =
-    ordCache.getOrElseUpdate((s, dir),
-      Ordinal.withOrdinal(li(s, dir), orderCols)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.Caches.memo(s, dir, "ordinal_index")(
+      Ordinal.withOrdinal(li(s, dir), orderCols))
+
+  override def prewarm(s: SparkSession, dir: String): Unit = {
+    indexed(s, dir).count(); ()
+  }
 
   /** head(n) (`frame.py:460-483`): sort + limit ⇒ per-partition top-k,
     * merged on one reducer — k rows, not the whole table, cross the wire.

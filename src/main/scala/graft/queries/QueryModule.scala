@@ -12,6 +12,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]
 
+  /** Materialize any shared per-corpus artifacts (posting index,
+    * quantized vectors, ordinal index — see [[graft.Caches]]) this
+    * module's queries read. Bench calls this before the timed loop so
+    * the one-off build cost is measured separately ("prep") instead of
+    * landing in whichever query happens to run first.
+    */
+  def prewarm(s: SparkSession, dir: String): Unit = {}
+
   /** DuckDB-runnable ANSI SQL per query key; omit a key for ops whose
     * semantics aren't SQL-expressible (driver falls back to rows>0).
     */

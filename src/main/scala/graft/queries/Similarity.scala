@@ -88,15 +88,16 @@ object Similarity extends QueryModule {
     * suite's posting index: at corpus scale the quantized vectors are a
     * written artifact, not something re-derived per query. Spill-safe.
     */
-  private val quantCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    quantCache.getOrElseUpdate((s, dir),
+    graft.Caches.memo(s, dir, "quantized_vecs")(
       Tables.embeddings(s, dir)
         .select(col("vec_id"), expr(qvecExpr).as("qv"))
         .repartition(col("vec_id"))
-        .withColumn("n2", G.dotl(col("qv"), col("qv")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .withColumn("n2", G.dotl(col("qv"), col("qv"))))
+
+  override def prewarm(s: SparkSession, dir: String): Unit = {
+    quantized(s, dir).count(); ()
+  }
 
   private def qcos(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))

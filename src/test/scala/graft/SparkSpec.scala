@@ -10,6 +10,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * hash-order-nondeterministic ops and float tolerance.
   */
 object SparkSpec {
+  /** One scratch root for the whole test JVM, recursively deleted on
+    * exit — specs that write files use [[SparkSpec.tmpDir]] instead of
+    * leaking a fresh `Files.createTempDirectory` per test run.
+    */
+  lazy val scratch: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_test_scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
@@ -26,6 +42,10 @@ object SparkSpec {
 
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.spark
+
+  /** A unique subdirectory under the JVM-wide auto-cleaned scratch. */
+  def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(SparkSpec.scratch, prefix).toString
 
   /** Normalize a row for comparison: floats rounded to `places`. */
   private def norm(r: Row, places: Int): Seq[Any] =

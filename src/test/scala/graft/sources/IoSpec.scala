@@ -3,7 +3,6 @@ package graft.sources
 import graft.SparkSpec
 import graft.operators.Ordinal
 import org.apache.spark.sql.functions.col
-import java.nio.file.Files
 
 /** CSV round-trip (reference golden-file test `tests/io/test_csv.py:
   * 173-192`) + positional gather.
@@ -25,7 +24,7 @@ class IoSpec extends SparkSpec {
   }
 
   test("to_csv golden bytes: header and row formatting (test_csv.py:21-33)") {
-    val dir = Files.createTempDirectory("graft_csv_gold").toString + "/out"
+    val dir = tmpDir("graft_csv_gold") + "/out"
     val df = Seq((2L, 0L, 1.0), (3L, 1L, 2.0)).toDF("idx", "a", "b")
     Io.writeCsv(df.coalesce(1), dir)
     val part = new java.io.File(dir).listFiles()
@@ -37,7 +36,7 @@ class IoSpec extends SparkSpec {
   }
 
   test("csv round-trip preserves values with header and custom sep") {
-    val dir = Files.createTempDirectory("graft_csv").toString + "/out"
+    val dir = tmpDir("graft_csv") + "/out"
     val df = Seq((2L, 0L, 1.0), (3L, 1L, 2.0), (4L, 2L, 3.0)).toDF("idx", "a", "b")
     Io.writeCsv(df, dir, sep = ";")
     val back = Io.readCsv(spark, dir, sep = ";").orderBy("idx")
@@ -45,7 +44,7 @@ class IoSpec extends SparkSpec {
   }
 
   test("readCsv usecols + nrows subset") {
-    val dir = Files.createTempDirectory("graft_csv2").toString + "/out"
+    val dir = tmpDir("graft_csv2") + "/out"
     Io.writeCsv(Seq((1, "x", 9.0), (2, "y", 8.0), (3, "z", 7.0)).toDF("a", "b", "c"), dir)
     val back = Io.readCsv(spark, dir, usecols = Seq("a", "c"))
     assert(back.columns.toSeq == Seq("a", "c"))
@@ -53,7 +52,7 @@ class IoSpec extends SparkSpec {
   }
 
   test("parquet round-trip") {
-    val dir = Files.createTempDirectory("graft_pq").toString + "/out"
+    val dir = tmpDir("graft_pq") + "/out"
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     Io.writeParquet(df, dir)
     assert(Io.readParquet(spark, dir).orderBy("k").collect().map(_.getString(1)).toSeq
@@ -61,7 +60,7 @@ class IoSpec extends SparkSpec {
   }
 
   test("partitioned write + filter read prunes partitions at the source") {
-    val dir = Files.createTempDirectory("graft_part").toString + "/out"
+    val dir = tmpDir("graft_part") + "/out"
     val df = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("C", 4.0)).toDF("flag", "v")
     df.write.partitionBy("flag").mode("overwrite").parquet(dir)
     val q = spark.read.parquet(dir).filter(col("flag") === "A")
