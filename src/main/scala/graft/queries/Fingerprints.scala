@@ -360,9 +360,45 @@ object Fingerprints extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Decontamination with a BLOOM prefilter in front of the exact
+    * check — same result as [[qDecontaminate]] by construction (a Bloom
+    * filter has no false negatives, and the surviving candidates are
+    * confirmed against the true hash set), which is exactly why the
+    * oracle for both queries is the same SQL.
+    *
+    * Scale rationale: the broadcast semi-join in [[qDecontaminate]]
+    * ships the benchmark's full distinct-hash set to every executor —
+    * fine at megabytes, heavy when the eval suite grows to 10^9
+    * shingles. The bloom is a fixed few MB at any set size (here
+    * `fpp`=1%), so the corpus-side scan drops ~99% of non-contaminated
+    * postings before the exact join sees them. Built driver-side with
+    * `DataFrameStatFunctions.bloomFilter` (one aggregation over the tiny
+    * set) and broadcast; the per-row probe is two hash ops. This is the
+    * hand-rolled face of the runtime-filter bloom Spark itself injects
+    * for large shuffle joins.
+    */
+  def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val idx = postings(s, dir)
+    val benchHashes = idx.filter(col("doc_id") < 20).select("h").distinct()
+    val bloom = benchHashes.stat.bloomFilter("h", 20000L, 0.01)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    val removed = idx.filter(col("doc_id") >= 20)
+      .filter(mightContain(col("h")))
+      .join(broadcast(benchHashes), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= DecontamT)
+      .select("doc_id")
+    Tables.documents(s, dir).select("doc_id", "lang", "source")
+      .filter(col("doc_id") >= 20)
+      .join(removed, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_clean" -> (qCorpusClean(_, _)),
     "q_decontaminate" -> (qDecontaminate(_, _)),
+    "q_decontaminate_bloom" -> (qDecontaminateBloom(_, _)),
     "q_dedup_pipeline" -> (qDedupPipeline(_, _)),
     "q_dedup_minhash" -> (qDedupMinhash(_, _)),
     "q_fingerprint_simhash" -> (qFingerprintSimhash(_, _)),

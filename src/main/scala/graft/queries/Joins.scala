@@ -139,8 +139,22 @@ object Joins extends QueryModule {
       .limit(10)
   }
 
+  /** Cross join (beyond reference — SURVEY §2.8 "not present"): the
+    * 125-row nation×region grid with a computed pairing label. Spark
+    * makes cross products explicit (`crossJoin`) — the right default
+    * for an engine where an accidental cross product over 100 TB is a
+    * cluster-killer; a legitimate small-grid enumeration broadcasts the
+    * smaller side, as here.
+    */
+  def qJoinCross(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir).select("n_nationkey", "n_name")
+      .crossJoin(broadcast(Tables.region(s, dir).select("r_regionkey", "r_name")))
+      .withColumn("pair", concat_ws("-", col("n_name"), col("r_name")))
+      .orderBy("n_nationkey", "r_regionkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_shipping" -> (q3Shipping(_, _)),
+    "q_join_cross" -> (qJoinCross(_, _)),
     "q_join_inner" -> (qJoinInner(_, _)),
     "q_join_left" -> (qJoinLeft(_, _)),
     "q_join_right" -> (qJoinRight(_, _)),
@@ -151,6 +165,11 @@ object Joins extends QueryModule {
     "q_join_anti" -> (qJoinAnti(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_join_cross" ->
+      """SELECT n_nationkey, n_name, r_regionkey, r_name,
+        |  n_name || '-' || r_name AS pair
+        |FROM nation CROSS JOIN region
+        |ORDER BY n_nationkey, r_regionkey""".stripMargin,
     "q3_shipping" ->
       s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
          |  ${Q.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue

@@ -153,6 +153,37 @@ object TextAnalysis extends QueryModule {
       .withColumn("n_chunk_words", size(split(col("chunk"), " ")))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Top TF-IDF terms per document (for doc_id < 50; document
+    * frequencies over the WHOLE corpus). The idf is the rational
+    * (N+1)/(df+1) — rank-equivalent to the log form within a corpus and
+    * exactly reproducible cross-engine (the score is one double division
+    * of exact integers; `ln` differs in the last ulp between libm and
+    * the JVM, which flips ranks on near-ties).
+    *
+    * Scale: tf is a hash aggregate over exploded tokens with map-side
+    * partials; df the same over (doc, term) distincts; the tf⋈df join
+    * shuffles on the term key only for the probed documents (the tf
+    * side prunes to doc_id < 50 before the join); the corpus size joins
+    * in as a broadcast scalar. Per-doc top-k is a partitioned window.
+    */
+  def qTextTfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val tokens = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tokens.filter(col("doc_id") < 50)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tokens.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * (col("n_docs") + 1)).cast("double") / (col("df") + 1))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text — the content-defined fingerprint used for near-exact dedup.
     */
@@ -175,6 +206,7 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tfidf" -> (qTextTfidf(_, _)),
     "q_text_chunks" -> (qTextChunks(_, _)),
     "q_text_langid_ngram" -> (qTextLangidNgram(_, _)),
     "q_text_rollhash" -> (qTextRollhash(_, _)),
@@ -186,6 +218,21 @@ object TextAnalysis extends QueryModule {
   private val stopSql = inList(stopwords)
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE doc_id < 50 GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        |  GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (df.df + 1) AS score
+        |  FROM tf JOIN df ON tf.term = df.term, n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term ASC) AS INTEGER) AS rank FROM sc)
+        |SELECT doc_id, term, tf, df, score, rank FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // Mirrors RollingHashMath exactly: W=8, B=257, P=2^31−1,
     // Pow = [257^7..257^0] mod P, one mod per window, min over windows,
     // −1 when len < 8. Integer arithmetic ⇒ value-exact.

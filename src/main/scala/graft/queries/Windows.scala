@@ -120,7 +120,99 @@ object Windows extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Session gap: a new session starts after this much user inactivity.
+    * (6 h suits the testdata's per-user event cadence; production tunes
+    * it per product.)
+    */
+  private val SessionGapUs = 6L * 3600L * 1000000L
+
+  /** Batch sessionization — the classic gaps-and-islands shape and the
+    * batch twin of the streaming `flatMapGroupsWithState` sessionizer:
+    * per user, an event opens a new session when the gap to the previous
+    * event exceeds [[SessionGapUs]]; session id = running count of
+    * session-opens; then one aggregate per (user, session).
+    *
+    * Scale: both windows AND the final groupBy are partitioned by
+    * user_id — one shuffle on user_id total (the window sort and the
+    * aggregation reuse the same partitioning), no global ordering
+    * anywhere. Gap math in exact epoch-microsecond integers.
+    */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull
+          || col("us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        Q.dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Range-join bucket width = the probe window length (10 min), so
+    * every probe interval spans at most two buckets.
+    */
+  private val RangeWinUs = 600L * 1000000L
+
+  /** Interval/range join via time bucketing — for every error event,
+    * the same user's clicks in the preceding 10 minutes. Spark plans a
+    * raw `t1.ts BETWEEN t2.ts - w AND t2.ts` theta join as a nested-loop
+    * cross product (O(n·m) — a cluster-killer at scale), so the probe
+    * side explodes to the ≤2 bucket keys its window can span and the
+    * join becomes an EQUI-join on (user_id, bucket) + an exact residual
+    * filter: shuffle on small integer keys, candidates bounded by
+    * per-bucket occupancy. The standard distributed interval-join shape.
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val err = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+    val clk = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("cus"), col("value"))
+    val candidates = err
+      .withColumn("bkt", explode(array(
+        floor(col("us") / RangeWinUs) - 1, floor(col("us") / RangeWinUs))))
+      .join(clk.withColumn("bkt", floor(col("cus") / RangeWinUs)),
+        Seq("user_id", "bkt"))
+      .filter(col("cus") >= col("us") - RangeWinUs && col("cus") <= col("us"))
+    val counted = candidates.groupBy("event_id")
+      .agg(count(lit(1)).as("n_clicks"), Q.dsum(col("value")).as("click_value"))
+    err.join(counted, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("click_value"), lit(0.0)).as("click_value"))
+      .orderBy("event_id")
+  }
+
+  /** Value-RANGE window frame (vs the row frames above): per event, the
+    * count/sum of the same user's events in the trailing 10 minutes —
+    * frame bounds are values of the ORDER BY key (exact epoch micros),
+    * not row offsets, so ties (peers) enter the frame together on both
+    * engines.
+    */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-RangeWinUs, 0)
+    ev(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(
+        col("user_id"), col("event_id"), col("ts"), col("value"),
+        count(lit(1)).over(w).as("n_10m"),
+        sum(col("value").cast(dec)).over(w).cast(DoubleType).as("sum_10m"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> (qSessionize(_, _)),
+    "q_range_join" -> (qRangeJoin(_, _)),
+    "q_window_range" -> (qWindowRange(_, _)),
     "q_window_rank_full" -> (qWindowRankFull(_, _)),
     "q_asof_join" -> (qAsofJoin(_, _)),
     "q_json_extract" -> (qJsonExtract(_, _)),
@@ -136,6 +228,55 @@ object Windows extends QueryModule {
       |  CAST(ts AS TIMESTAMP) AS ts FROM events""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_sessionize" ->
+      s"""WITH e AS ($evSql),
+         |g AS (SELECT user_id, event_id, ts, value,
+         |    epoch_us(ts) AS us,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_us
+         |  FROM e),
+         |m AS (SELECT *, CASE WHEN prev_us IS NULL
+         |      OR us - prev_us > $SessionGapUs THEN 1 ELSE 0 END AS is_new
+         |  FROM g),
+         |sess AS (SELECT *,
+         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM m)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |  count(*) AS n_events,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  ${Q.sqlDsum("value")} AS sum_value
+         |FROM sess GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+    // The oracle brute-forces the same answer with a theta join — the
+    // bucketed equi-join is provably equivalent (a click in the probe
+    // window always lands in one of the two probed buckets).
+    "q_range_join" ->
+      s"""WITH e AS ($evSql),
+         |err AS (SELECT event_id, user_id, ts FROM e
+         |  WHERE event_type = 'error'),
+         |clk AS (SELECT user_id, ts, value FROM e
+         |  WHERE event_type = 'click'),
+         |j AS (SELECT err.event_id,
+         |    count(clk.user_id) AS n_clicks,
+         |    ${Q.sqlDsum("clk.value")} AS click_value
+         |  FROM err LEFT JOIN clk ON clk.user_id = err.user_id
+         |    AND clk.ts <= err.ts
+         |    AND clk.ts >= err.ts - INTERVAL 10 MINUTE
+         |  GROUP BY err.event_id)
+         |SELECT err.event_id, err.user_id, err.ts,
+         |  j.n_clicks, COALESCE(j.click_value, 0.0) AS click_value
+         |FROM err JOIN j ON err.event_id = j.event_id
+         |ORDER BY err.event_id""".stripMargin,
+    "q_window_range" ->
+      s"""WITH e AS ($evSql)
+         |SELECT user_id, event_id, ts, value,
+         |  count(*) OVER w AS n_10m,
+         |  CAST(sum(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS sum_10m
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN $RangeWinUs PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, ts, event_id""".stripMargin,
     "q_window_rank_full" ->
       s"""WITH e AS ($evSql)
          |SELECT user_id, event_id,
