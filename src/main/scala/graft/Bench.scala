@@ -100,8 +100,15 @@ object Bench {
 
     // Compact line: short keys, 2-decimal seconds, slowest first; fold
     // the smallest entries into _other if the line would overflow.
-    val sfNum = "sf([0-9.]+)/*$".r.findFirstMatchIn(sfDir).map(_.group(1))
-    val sfJson = sfNum.getOrElse("\"" + sfDir + "\"")
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)/*$".r.findFirstMatchIn(sfDir).map(_.group(1))
+    val sfJson = sfNum.getOrElse {
+      "\"" + sfDir.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    }
     val failedJson =
       if (failed.isEmpty) ""
       else failed.sorted.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")

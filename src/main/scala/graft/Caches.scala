@@ -71,7 +71,11 @@ object Caches {
         it.remove()
       }
     }
-    hooked.remove(s)
+    // Deliberately NOT removed from `hooked`: the session keeps its one
+    // app-end listener for life. Removing it here would make a later
+    // memo() on the same session register a second identical listener
+    // per clear/memo cycle (clear is idempotent, but the listener bus
+    // would bloat).
   }
 
   /** Unpersist and drop everything (explicit invalidation hook — e.g.
@@ -80,6 +84,6 @@ object Caches {
   def clearAll(): Unit = {
     entries.values().forEach(h => h.peek.foreach(_.unpersist(false)))
     entries.clear()
-    hooked.clear()
+    // `hooked` intentionally survives — see clear().
   }
 }

@@ -380,7 +380,13 @@ object Fingerprints extends QueryModule {
   def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
     val idx = postings(s, dir)
     val benchHashes = idx.filter(col("doc_id") < 20).select("h").distinct()
-    val bloom = benchHashes.stat.bloomFilter("h", 20000L, 0.01)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Size from the actual set (2× headroom): a hardcoded capacity
+    // silently degrades the false-positive rate — and thus the
+    // prefilter's pruning power — once the eval suite outgrows it.
+    val expected = math.max(1000L, benchHashes.count() * 2)
+    val bloom = benchHashes.stat.bloomFilter("h", expected, 0.01)
+    benchHashes.unpersist(false)
     val bc = s.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
     val removed = idx.filter(col("doc_id") >= 20)
@@ -450,21 +456,28 @@ object Fingerprints extends QueryModule {
        |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id)""".stripMargin
   }
 
+  /** Shared by q_decontaminate and q_decontaminate_bloom: the bloom is a
+    * pure prefilter (no false negatives + exact confirm), so both
+    * queries provably produce this same result set.
+    */
+  private def sqlDecontaminate: String =
+    s"""WITH shingled AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
+       |dh AS (SELECT doc_id, list_distinct($sqlHs) AS dh FROM shingled),
+       |bench AS (SELECT list(DISTINCT h) AS bl FROM (
+       |  SELECT unnest(dh) AS h FROM dh WHERE doc_id < 20)),
+       |hits AS (
+       |  SELECT d.doc_id,
+       |    len(list_filter(d.dh, x -> list_contains(b.bl, x))) AS n_hits
+       |  FROM dh d, bench b
+       |  WHERE d.doc_id >= 20),
+       |removed AS (SELECT doc_id FROM hits WHERE n_hits >= $DecontamT)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM removed)
+       |ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "q_decontaminate" ->
-      s"""WITH shingled AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
-         |dh AS (SELECT doc_id, list_distinct($sqlHs) AS dh FROM shingled),
-         |bench AS (SELECT list(DISTINCT h) AS bl FROM (
-         |  SELECT unnest(dh) AS h FROM dh WHERE doc_id < 20)),
-         |hits AS (
-         |  SELECT d.doc_id,
-         |    len(list_filter(d.dh, x -> list_contains(b.bl, x))) AS n_hits
-         |  FROM dh d, bench b
-         |  WHERE d.doc_id >= 20),
-         |removed AS (SELECT doc_id FROM hits WHERE n_hits >= $DecontamT)
-         |SELECT doc_id, lang, source FROM documents
-         |WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM removed)
-         |ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" -> sqlDecontaminate,
+    "q_decontaminate_bloom" -> sqlDecontaminate,
     "q_corpus_clean" ->
       s"""$sqlMinhashCtes,
          |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),

@@ -31,17 +31,26 @@ object IoQ extends QueryModule {
     * share the driver's disk).
     */
   private lazy val scratch: String = {
-    val root = sys.env.get("SPARK_GRAFT_SCRATCH")
-      .map(java.nio.file.Paths.get(_))
-      .map { p => java.nio.file.Files.createDirectories(p); p }
-      .getOrElse(java.nio.file.Files.createTempDirectory("graft_scratch"))
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(root.toFile)
-    }))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    val root = sys.env.get("SPARK_GRAFT_SCRATCH") match {
+      case Some(user) =>
+        // User-supplied dir may pre-exist with unrelated contents: clean
+        // up ONLY the subtrees our sinks write, never the root itself.
+        val p = java.nio.file.Paths.get(user)
+        java.nio.file.Files.createDirectories(p)
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          Seq("csv", "json", "orc").foreach(sub =>
+            rm(p.resolve(sub).toFile))))
+        p
+      case None =>
+        // Self-created temp dir: safe to delete recursively on exit.
+        val p = java.nio.file.Files.createTempDirectory("graft_scratch")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => rm(p.toFile)))
+        p
+    }
     root.toString
   }
 
