@@ -332,6 +332,54 @@ object Fingerprints extends QueryModule {
     exact.join(removed, Seq("doc_id"), "left_anti").orderBy("doc_id")
   }
 
+  /** Near-dup CLUSTERS: connected components over the confirmed-pair
+    * graph, labeling every member with the minimum doc_id reachable from
+    * it. This is the grouping step a production dedup actually ships —
+    * pairwise removal ("drop the higher id of each pair") under-removes
+    * on chains A~B~C where (A,C) was never confirmed; clustering keeps
+    * exactly one representative per component.
+    *
+    * Algorithm: BSP min-label propagation — each iteration is one
+    * equi-join (labels onto symmetric edges) + one min-aggregate, both
+    * shuffle-partitioned on doc id, i.e. the standard distributed
+    * connected-components shape (cf. GraphX/Pregel). Iterations =
+    * graph diameter, and near-dup components are shallow (pairs and
+    * small chains), so convergence is a handful of rounds; each round
+    * localCheckpoints to cut lineage (on a cluster: checkpoint to the
+    * shared FS). Convergence test is exact and cheap: labels only ever
+    * decrease, so the label SUM strictly decreases until fixpoint.
+    */
+  def qDedupCluster(s: SparkSession, dir: String): DataFrame =
+    components(confirmedPairs(s, dir)).orderBy("doc_id")
+
+  /** Min-label propagation over an undirected edge list (doc_a, doc_b)
+    * → (doc_id, cluster) for every endpoint, cluster = min reachable id.
+    * Exposed for PipelinesSpec's synthetic-graph tests.
+    */
+  private[graft] def components(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum("cluster")).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val msgs = sym.join(labels, sym("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("cluster")).as("mc"))
+      labels = labels.join(msgs, labels("doc_id") === msgs("dst"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster"), coalesce(col("mc"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      val s1 = labels.agg(sum("cluster")).head.getLong(0)
+      converged = s1 == prevSum
+      prevSum = s1
+      iter += 1
+    }
+    labels
+  }
+
   /** Contamination overlap threshold: ≥ this many distinct shared
     * shingle hashes with the benchmark set ⇒ the doc is removed.
     */
@@ -406,6 +454,7 @@ object Fingerprints extends QueryModule {
     "q_decontaminate" -> (qDecontaminate(_, _)),
     "q_decontaminate_bloom" -> (qDecontaminateBloom(_, _)),
     "q_dedup_pipeline" -> (qDedupPipeline(_, _)),
+    "q_dedup_cluster" -> (qDedupCluster(_, _)),
     "q_dedup_minhash" -> (qDedupMinhash(_, _)),
     "q_fingerprint_simhash" -> (qFingerprintSimhash(_, _)),
     "q_dedup_simhash" -> (qDedupSimhash(_, _)),
@@ -521,6 +570,28 @@ object Fingerprints extends QueryModule {
     "q_dedup_minhash" ->
       s"""$sqlMinhashCtes
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    // Transitive closure by recursive CTE: reach(doc, m) enumerates every
+    // node m reachable from doc over the symmetric confirmed-pair edges;
+    // min(m) per doc is exactly the propagated min-label fixpoint.
+    "q_dedup_cluster" ->
+      s"""${sqlMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),
+         |confirmed AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM pairs p
+         |  JOIN dhs a ON a.doc_id = p.doc_a
+         |  JOIN dhs b ON b.doc_id = p.doc_b
+         |  WHERE len(list_intersect(a.dh, b.dh))
+         |    / (a.n + b.n - len(list_intersect(a.dh, b.dh))) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM confirmed
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM confirmed),
+         |reach(doc, m) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.m FROM edges e JOIN reach r ON r.doc = e.dst)
+         |SELECT doc AS doc_id, CAST(min(m) AS BIGINT) AS cluster
+         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
     "q_dedup_pipeline" ->
       s"""$sqlMinhashCtes,
          |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),

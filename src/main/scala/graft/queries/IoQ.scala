@@ -30,7 +30,7 @@ object IoQ extends QueryModule {
     * default driver-local path only works because local[*] executors
     * share the driver's disk).
     */
-  private lazy val scratch: String = {
+  private[queries] lazy val scratch: String = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm))
       f.delete(); ()
@@ -42,7 +42,7 @@ object IoQ extends QueryModule {
         val p = java.nio.file.Paths.get(user)
         java.nio.file.Files.createDirectories(p)
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          Seq("csv", "json", "orc").foreach(sub =>
+          Seq("csv", "json", "orc", "parts").foreach(sub =>
             rm(p.resolve(sub).toFile))))
         p
       case None =>

@@ -1,0 +1,263 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Storage-layout and corpus-preparation operators a production
+  * training-data pipeline runs at 100 TB — each one exercising a piece
+  * of physical design the plain per-query suite cannot show:
+  *
+  *  - '''bucketed co-located join''' ([[qBucketedJoin]]): the SURVEY §7
+  *    strategy of pre-bucketing fact tables on their join key so every
+  *    subsequent join/groupBy on that key skips its shuffle entirely.
+  *  - '''partition pruning''' ([[qPartitionPrune]]): hive-style
+  *    partitioned layout so a filter on the partition column prunes
+  *    whole directories at planning time — the scan never opens
+  *    non-matching files.
+  *  - '''sequence packing''' ([[qSeqPack]]): assigning documents to
+  *    fixed-token-budget training sequences — one window cumsum, no
+  *    driver-side loop.
+  *  - '''PII redaction''' ([[qTextRedact]]): chained codegen'd
+  *    regexp_replace over text (map-only at any scale). The parquet
+  *    corpus is synthetic word-salad with nothing to redact, so the
+  *    query runs over a literal in-memory frame and the oracle replays
+  *    the same literals via VALUES — the checked surface is the
+  *    redaction chain itself.
+  *
+  * The bucketed tables and the partitioned directory are written ONCE
+  * per (session, corpus) through an idempotent guard — the local-mode
+  * analog of a pipeline's one-off layout job; queries only pay the read
+  * path. [[prewarm]] triggers the writes so Bench accounts them as prep.
+  */
+object Pipelines extends QueryModule {
+
+  /** Idempotent one-shot guard per (session, corpus, artifact). */
+  private val written = new ConcurrentHashMap[(SparkSession, String, String), Unit]()
+
+  private def once(s: SparkSession, dir: String, what: String)(write: => Unit): Unit =
+    written.computeIfAbsent((s, dir, what), _ => write)
+
+  private def ident(dir: String): String =
+    dir.map(c => if (c.isLetterOrDigit) c else '_')
+
+  // ---- bucketed co-located join ----
+
+  private val Buckets = 32
+
+  /** The session catalog is in-memory but the warehouse directory
+    * outlives the JVM: a stale location from a previous run makes
+    * saveAsTable refuse even under mode=overwrite. Drop any catalog
+    * entry AND remove the leftover directory before writing.
+    */
+  private def resetTable(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = java.net.URI.create(
+      s.conf.get("spark.sql.warehouse.dir")).getPath
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$wh/$name"))
+  }
+
+  /** Write lineitem + orders bucketed AND sorted by their join key, one
+    * file per bucket (the repartition matches Spark's bucket hash, so
+    * each task owns whole buckets). At 100 TB this is the one-off
+    * layout job; after it, every orderkey join/groupBy is exchange-free.
+    */
+  private def ensureBucketed(s: SparkSession, dir: String): Unit =
+    once(s, dir, "bucketed") {
+      val suf = ident(dir)
+      resetTable(s, s"graft_li_$suf")
+      resetTable(s, s"graft_ord_$suf")
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(Buckets, col("l_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+        .format("parquet").saveAsTable(s"graft_li_$suf")
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(Buckets, col("o_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+        .format("parquet").saveAsTable(s"graft_ord_$suf")
+    }
+
+  /** Fact⋈fact join + aggregation over the pre-bucketed tables: both
+    * scans report their bucket layout, the sort-merge join consumes it,
+    * and the plan carries NO Exchange before the join (verified in
+    * PipelinesSpec) — the shuffle that dominates a 100 TB join is paid
+    * once at layout time instead of per query.
+    */
+  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    ensureBucketed(s, dir)
+    val suf = ident(dir)
+    s.table(s"graft_li_$suf")
+      .join(s.table(s"graft_ord_$suf"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ---- partition-pruned scan ----
+
+  /** Hive-style layout: events written partitioned by event_type, so a
+    * predicate on event_type prunes directories at planning time (the
+    * plan's PartitionFilters — scan never opens non-matching files).
+    */
+  private def ensurePartitioned(s: SparkSession, dir: String): Unit =
+    once(s, dir, "events_by_type") {
+      Tables.events(s, dir)
+        .select("event_id", "user_id", "value", "event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(partedPath(dir))
+    }
+
+  private def partedPath(dir: String): String =
+    s"${IoQ.scratch}/parts/events_by_type_${ident(dir)}"
+
+  /** Per-user purchase totals read through the partitioned layout: the
+    * event_type predicate never touches row data — it prunes the
+    * directory listing. At 100 TB with date/source partitions this is
+    * the difference between scanning everything and scanning one day.
+    */
+  def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    ensurePartitioned(s, dir)
+    s.read.parquet(partedPath(dir))
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), Q.dsum(col("value")).as("total"))
+      .orderBy("user_id")
+  }
+
+  // ---- sequence packing ----
+
+  private val SeqTokens = 2048L
+
+  /** Pack documents into fixed-budget training sequences: within each
+    * source, documents in doc_id order are laid end-to-end and a
+    * document belongs to the sequence its first token lands in. One
+    * partitioned window cumsum + one aggregation — no driver loop, and
+    * the window partitions by source so no global sort barrier.
+    */
+  def qSeqPack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq",
+        floor((col("cum") - col("n_tok")) / lit(SeqTokens.toDouble)).cast("long"))
+      .groupBy("source", "seq")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok_total"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("source", "seq")
+  }
+
+  // ---- PII redaction ----
+
+  /** Literal rows with plantable PII (the corpus itself is synthetic
+    * word-salad). Shared verbatim with the oracle's VALUES clause.
+    */
+  private val RedactRows: Seq[(Long, String)] = Seq(
+    1L -> "contact alice.smith@example.com or bob@mail.co for details",
+    2L -> "call +1 (555) 123-4567 tomorrow morning",
+    3L -> "server 192.168.1.100 responded; backup at 10.0.0.7",
+    4L -> "no sensitive content in this row",
+    5L -> "mixed: eve@corp.io, phone 555-987-6543, host 172.16.254.1")
+
+  // Patterns valid (and identical in behavior) in both Java regex and
+  // RE2: character classes + bounded repetition only, no lookaround.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** The redaction chain — order matters: emails first (their local
+    * part may contain digits), then IPs (dotted digit runs), then the
+    * greedy phone pattern over whatever digit runs remain. Pure
+    * codegen'd regexp_replace: map-only over any corpus size.
+    */
+  def redact(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  def qTextRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    RedactRows.toDF("id", "text")
+      .select(col("id"), redact(col("text")).as("clean"))
+      .orderBy("id")
+  }
+
+  override def prewarm(s: SparkSession, dir: String): Unit = {
+    ensureBucketed(s, dir)
+    ensurePartitioned(s, dir)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucketed_join" -> (qBucketedJoin(_, _)),
+    "q_partition_prune" -> (qPartitionPrune(_, _)),
+    "q_seq_pack" -> (qSeqPack(_, _)),
+    "q_text_redact" -> (qTextRedact(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_bucketed_join" ->
+      s"""SELECT o_orderpriority,
+         |  count(*) AS n_items,
+         |  ${Q.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+    "q_partition_prune" ->
+      s"""SELECT user_id, count(*) AS n_events,
+         |  ${Q.sqlDsum("value")} AS total
+         |FROM events
+         |WHERE event_type = 'purchase'
+         |GROUP BY user_id
+         |ORDER BY user_id""".stripMargin,
+    "q_seq_pack" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT source,
+         |  CAST(floor((cum - n_tok) / ${SeqTokens}.0) AS BIGINT) AS seq,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS tok_total,
+         |  min(doc_id) AS first_doc
+         |FROM c
+         |GROUP BY source, seq
+         |ORDER BY source, seq""".stripMargin,
+    "q_text_redact" -> {
+      val vals = RedactRows
+        .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }
+        .mkString(",\n  ")
+      s"""SELECT CAST(id AS BIGINT) AS id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'),
+         |      '$Ipv4Re', '[IP]', 'g'),
+         |    '$PhoneRe', '[PHONE]', 'g') AS clean
+         |FROM (VALUES
+         |  $vals) t(id, text)
+         |ORDER BY id""".stripMargin
+    })
+}

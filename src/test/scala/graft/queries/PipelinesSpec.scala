@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Plan-shape and semantics tests for the storage-layout / pipeline
+  * operators ([[Pipelines]]) and the connected-components clustering
+  * ([[Fingerprints.components]]).
+  */
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed join plan has no Exchange on the join key and matches the plain join") {
+    // Force the join shape that matters at scale (orders too big to
+    // broadcast): the SMJ must consume the bucket layout directly —
+    // no exchange on either join key. (The aggregate's tiny exchange on
+    // o_orderpriority is a different key and expected.)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (df, plan) =
+      try {
+        val d = Pipelines.qBucketedJoin(spark, sf)
+        (d, d.queryExecution.executedPlan.toString) // force plan under the conf
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.matches(
+      "(?s).*Exchange hashpartitioning\\((l_orderkey|o_orderkey).*"),
+      s"bucketed join must not shuffle its join keys:\n$plan")
+    val plain = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+    assertFrame(df, plain.collect().toSeq.map(_.toSeq))
+  }
+
+  test("partitioned read prunes directories via PartitionFilters") {
+    val df = Pipelines.qPartitionPrune(spark, sf)
+    // The partition predicate must appear as a PartitionFilter on the
+    // scan (directory pruning), not as a row-level data filter.
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("event_type"),
+      s"expected event_type in PartitionFilters:\n$scan")
+    val plain = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), Q.dsum(col("value")).as("total"))
+      .orderBy("user_id")
+    assertFrame(df, plain.collect().toSeq.map(_.toSeq))
+  }
+
+  test("sequence packing matches a sequential brute-force layout") {
+    val got = Pipelines.qSeqPack(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).map { case (_, id, n) =>
+        val seq = cum / 2048L // doc starts at offset `cum`
+        cum += n
+        (src, seq, id, n)
+      }.groupBy(_._2).map { case (seq, ds) =>
+        (src, seq, ds.size.toLong, ds.map(_._4).sum, ds.map(_._3).min)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want)
+  }
+
+  test("redaction chain replaces emails, IPs, and phone numbers") {
+    val got = Pipelines.qTextRedact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      1L -> "contact [EMAIL] or [EMAIL] for details",
+      2L -> "call [PHONE] tomorrow morning",
+      3L -> "server [IP] responded; backup at [IP]",
+      4L -> "no sensitive content in this row",
+      5L -> "mixed: [EMAIL], phone [PHONE], host [IP]"))
+  }
+
+  test("connected components labels chains and leaves islands apart") {
+    // 1-2, 2-3, 3-4 chain; 10-11; 20 alone (absent: not an endpoint).
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Fingerprints.components(edges).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("cluster representatives: one per component, the min doc_id") {
+    val labels = Fingerprints.qDedupCluster(spark, sf)
+    val byCluster = labels.groupBy("cluster")
+      .agg(min("doc_id").as("lo"), count(lit(1)).as("n"))
+    // every cluster id IS its minimum member (idempotent representative)
+    assert(byCluster.filter(col("cluster") =!= col("lo")).count() == 0)
+    // clustering refines the pairwise graph: at least 2 docs per cluster
+    assert(byCluster.filter(col("n") < 2).count() == 0)
+  }
+}
