@@ -380,6 +380,22 @@ object Fingerprints extends QueryModule {
     labels
   }
 
+  /** Cluster-aware dedup pipeline: survivors = every document except
+    * non-representative members of near-dup components. Strictly better
+    * semantics than [[qDedupPipeline]]'s pairwise rule on chains
+    * A~B~C with (A,C) unconfirmed: pairwise keeps {A} but also drops C
+    * only if (B,C) confirmed with B surviving — cluster removal keeps
+    * exactly one representative (the min doc_id) per component,
+    * independent of which particular pairs witnessed the component.
+    */
+  def qDedupPipelineCc(s: SparkSession, dir: String): DataFrame = {
+    val removed = components(confirmedPairs(s, dir))
+      .filter(col("doc_id") =!= col("cluster")).select("doc_id")
+    Tables.documents(s, dir).select("doc_id", "lang", "source")
+      .join(removed, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** Contamination overlap threshold: ≥ this many distinct shared
     * shingle hashes with the benchmark set ⇒ the doc is removed.
     */
@@ -454,6 +470,7 @@ object Fingerprints extends QueryModule {
     "q_decontaminate" -> (qDecontaminate(_, _)),
     "q_decontaminate_bloom" -> (qDecontaminateBloom(_, _)),
     "q_dedup_pipeline" -> (qDedupPipeline(_, _)),
+    "q_dedup_pipeline_cc" -> (qDedupPipelineCc(_, _)),
     "q_dedup_cluster" -> (qDedupCluster(_, _)),
     "q_dedup_minhash" -> (qDedupMinhash(_, _)),
     "q_fingerprint_simhash" -> (qFingerprintSimhash(_, _)),
@@ -592,6 +609,28 @@ object Fingerprints extends QueryModule {
          |  SELECT e.src, r.m FROM edges e JOIN reach r ON r.doc = e.dst)
          |SELECT doc AS doc_id, CAST(min(m) AS BIGINT) AS cluster
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "q_dedup_pipeline_cc" ->
+      s"""${sqlMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),
+         |confirmed AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM pairs p
+         |  JOIN dhs a ON a.doc_id = p.doc_a
+         |  JOIN dhs b ON b.doc_id = p.doc_b
+         |  WHERE len(list_intersect(a.dh, b.dh))
+         |    / (a.n + b.n - len(list_intersect(a.dh, b.dh))) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM confirmed
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM confirmed),
+         |reach(doc, m) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.m FROM edges e JOIN reach r ON r.doc = e.dst),
+         |labels AS (SELECT doc, min(m) AS cluster FROM reach GROUP BY doc),
+         |removed AS (SELECT doc AS doc_id FROM labels WHERE doc <> cluster)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
+         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_pipeline" ->
       s"""$sqlMinhashCtes,
          |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),

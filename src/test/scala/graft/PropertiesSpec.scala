@@ -117,4 +117,31 @@ class PropertiesSpec extends SparkSpec {
       assert(exact(key) == r.getDouble(2), s"cosine mismatch at $key")
     }
   }
+
+  test("connected components ≡ union-find on random edge lists") {
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(40, Gen.zip(Gen.choose(0L, 24L), Gen.choose(0L, 24L)))
+        .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) })
+    samples(edgeGen, 6).filter(_.nonEmpty).foreach { edges =>
+      val got = queries.Fingerprints.components(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val roots = parent.keys.toSeq.map(x => x -> find(x))
+      // same node set, and per node the same min-root
+      val want = roots.groupBy(_._2).values.flatMap { members =>
+        val lo = members.map(_._1).min
+        members.map { case (n, _) => n -> lo }
+      }.toMap
+      assert(got == want, s"\nedges=$edges\ngot=$got\nwant=$want")
+    }
+  }
 }
