@@ -310,7 +310,15 @@ object Fingerprints extends QueryModule {
     * reuses [[postings]]/[[minhashPairs]]/[[interCounts]] — nothing here
     * adds a shuffle beyond what the standalone queries already pay.
     */
-  def qCorpusClean(s: SparkSession, dir: String): DataFrame = {
+  def qCorpusClean(s: SparkSession, dir: String): DataFrame =
+    corpusCleanSurvivors(s, dir).orderBy("doc_id")
+
+  /** Stages 1–4 of the corpus clean, unsorted — shared with the
+    * end-to-end training-prep capstone ([[Pipelines.qTrainPrep]]).
+    * Returns survivors as (doc_id, lang, n_words).
+    */
+  private[queries] def corpusCleanSurvivors(
+      s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = Tables.documents(s, dir)
       .withColumn("words", split(col("text"), " "))
@@ -329,7 +337,23 @@ object Fingerprints extends QueryModule {
       .join(exact.select(col("doc_id").as("doc_a")), "doc_a")
       .join(exact.select(col("doc_id").as("doc_b")), "doc_b")
       .select(col("doc_b").as("doc_id")).distinct()
-    exact.join(removed, Seq("doc_id"), "left_anti").orderBy("doc_id")
+    exact.join(removed, Seq("doc_id"), "left_anti")
+  }
+
+  /** Contaminated training docs (doc_id ≥ 20 overlapping the eval
+    * stand-in set by ≥ [[DecontamT]] distinct shingle hashes) — the
+    * removal set both decontamination queries and the training-prep
+    * capstone share.
+    */
+  private[queries] def contaminatedDocs(
+      s: SparkSession, dir: String): DataFrame = {
+    val idx = postings(s, dir)
+    val benchHashes = idx.filter(col("doc_id") < 20).select("h").distinct()
+    idx.filter(col("doc_id") >= 20)
+      .join(broadcast(benchHashes), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= DecontamT)
+      .select("doc_id")
   }
 
   /** Near-dup CLUSTERS: connected components over the confirmed-pair
@@ -410,19 +434,11 @@ object Fingerprints extends QueryModule {
     * the per-doc count — the shape that holds when the corpus is 100 TB
     * and the benchmark is megabytes.
     */
-  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val idx = postings(s, dir)
-    val benchHashes = idx.filter(col("doc_id") < 20).select("h").distinct()
-    val removed = idx.filter(col("doc_id") >= 20)
-      .join(broadcast(benchHashes), "h")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-      .filter(col("n_hits") >= DecontamT)
-      .select("doc_id")
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select("doc_id", "lang", "source")
       .filter(col("doc_id") >= 20)
-      .join(removed, Seq("doc_id"), "left_anti")
+      .join(contaminatedDocs(s, dir), Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
-  }
 
   /** Decontamination with a BLOOM prefilter in front of the exact
     * check — same result as [[qDecontaminate]] by construction (a Bloom
@@ -522,6 +538,53 @@ object Fingerprints extends QueryModule {
        |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id)""".stripMargin
   }
 
+  /** The corpus-clean CTE chain (stages 1–4), ending with `surv`
+    * (post-exact-dedup survivors) and `removed` (near-dup removals
+    * among them); `dhs` (per-doc distinct hash lists) stays visible for
+    * downstream decontamination. Shared by q_corpus_clean and
+    * [[Pipelines]]'s training-prep capstone oracle.
+    */
+  private[queries] def sqlCorpusCleanCtes: String =
+    s"""$sqlMinhashCtes,
+       |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),
+       |confirmed AS (
+       |  SELECT p.doc_a, p.doc_b
+       |  FROM pairs p
+       |  JOIN dhs a ON a.doc_id = p.doc_a
+       |  JOIN dhs b ON b.doc_id = p.doc_b
+       |  WHERE len(list_intersect(a.dh, b.dh))
+       |    / (a.n + b.n - len(list_intersect(a.dh, b.dh))) >= 0.5),
+       |sc AS (SELECT doc_id, lang, text,
+       |  len(string_split(text, ' ')) AS n_words,
+       |  len(list_filter(string_split(text,' '), w -> w IN ('der','und','die'))) AS s_de,
+       |  len(list_filter(string_split(text,' '), w -> w IN ('the','and','of'))) AS s_en,
+       |  len(list_filter(string_split(text,' '), w -> w IN ('el','los','y'))) AS s_es,
+       |  len(list_filter(string_split(text,' '), w -> w IN ('le','la','et'))) AS s_fr
+       |FROM documents),
+       |gated AS (
+       |  SELECT doc_id, lang, CAST(n_words AS INTEGER) AS n_words, text
+       |  FROM sc
+       |  WHERE n_words >= 20 AND (CASE
+       |    WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+       |    WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+       |    WHEN s_de >= s_es THEN 'de'
+       |    ELSE 'es' END) = lang),
+       |exact AS (
+       |  SELECT doc_id, lang, n_words,
+       |    row_number() OVER (
+       |      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+       |      ORDER BY doc_id) AS rn
+       |  FROM gated),
+       |surv AS (SELECT doc_id, lang, n_words FROM exact WHERE rn = 1),
+       |removed AS (
+       |  SELECT DISTINCT c.doc_b AS doc_id
+       |  FROM confirmed c
+       |  JOIN surv a ON a.doc_id = c.doc_a
+       |  JOIN surv b ON b.doc_id = c.doc_b)""".stripMargin
+
+  /** Decontamination threshold, shared with the capstone oracle. */
+  private[queries] def decontamThreshold: Int = DecontamT
+
   /** Shared by q_decontaminate and q_decontaminate_bloom: the bloom is a
     * pure prefilter (no false negatives + exact confirm), so both
     * queries provably produce this same result set.
@@ -545,42 +608,7 @@ object Fingerprints extends QueryModule {
     "q_decontaminate" -> sqlDecontaminate,
     "q_decontaminate_bloom" -> sqlDecontaminate,
     "q_corpus_clean" ->
-      s"""$sqlMinhashCtes,
-         |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),
-         |confirmed AS (
-         |  SELECT p.doc_a, p.doc_b
-         |  FROM pairs p
-         |  JOIN dhs a ON a.doc_id = p.doc_a
-         |  JOIN dhs b ON b.doc_id = p.doc_b
-         |  WHERE len(list_intersect(a.dh, b.dh))
-         |    / (a.n + b.n - len(list_intersect(a.dh, b.dh))) >= 0.5),
-         |sc AS (SELECT doc_id, lang, text,
-         |  len(string_split(text, ' ')) AS n_words,
-         |  len(list_filter(string_split(text,' '), w -> w IN ('der','und','die'))) AS s_de,
-         |  len(list_filter(string_split(text,' '), w -> w IN ('the','and','of'))) AS s_en,
-         |  len(list_filter(string_split(text,' '), w -> w IN ('el','los','y'))) AS s_es,
-         |  len(list_filter(string_split(text,' '), w -> w IN ('le','la','et'))) AS s_fr
-         |FROM documents),
-         |gated AS (
-         |  SELECT doc_id, lang, CAST(n_words AS INTEGER) AS n_words, text
-         |  FROM sc
-         |  WHERE n_words >= 20 AND (CASE
-         |    WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
-         |    WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
-         |    WHEN s_de >= s_es THEN 'de'
-         |    ELSE 'es' END) = lang),
-         |exact AS (
-         |  SELECT doc_id, lang, n_words,
-         |    row_number() OVER (
-         |      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-         |      ORDER BY doc_id) AS rn
-         |  FROM gated),
-         |surv AS (SELECT doc_id, lang, n_words FROM exact WHERE rn = 1),
-         |removed AS (
-         |  SELECT DISTINCT c.doc_b AS doc_id
-         |  FROM confirmed c
-         |  JOIN surv a ON a.doc_id = c.doc_a
-         |  JOIN surv b ON b.doc_id = c.doc_b)
+      s"""$sqlCorpusCleanCtes
          |SELECT doc_id, lang, n_words FROM surv
          |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
          |ORDER BY doc_id""".stripMargin,

@@ -141,7 +141,7 @@ object Pipelines extends QueryModule {
 
   // ---- sequence packing ----
 
-  private val SeqTokens = 2048L
+  private[queries] val SeqTokens = 2048L
 
   /** Pack documents into fixed-budget training sequences: within each
     * source, documents in doc_id order are laid end-to-end and a
@@ -153,6 +153,46 @@ object Pipelines extends QueryModule {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq",
+        floor((col("cum") - col("n_tok")) / lit(SeqTokens.toDouble)).cast("long"))
+      .groupBy("source", "seq")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok_total"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("source", "seq")
+  }
+
+  // ---- end-to-end training-data preparation (capstone) ----
+
+  /** The WHOLE training-data pipeline as one declarative plan — what a
+    * user of this library actually ships against a 100 TB corpus:
+    *
+    *   1.–4. corpus clean (quality gate → language-ID gate → exact
+    *         dedup → MinHash/LSH+Jaccard near-dup removal) —
+    *         [[Fingerprints.corpusCleanSurvivors]];
+    *   5.    eval-set exclusion + benchmark decontamination —
+    *         [[Fingerprints.contaminatedDocs]] (broadcast semi-join of
+    *         the shared posting index, no corpus-side shuffle);
+    *   6.    sequence packing of the surviving docs into
+    *         [[SeqTokens]]-token training sequences (one partitioned
+    *         window cumsum).
+    *
+    * Output: one row per packed training sequence. Every stage reads
+    * the once-materialized corpus artifacts; nothing here shuffles the
+    * corpus beyond what the standalone stage queries already pay.
+    */
+  def qTrainPrep(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val train = Fingerprints.corpusCleanSurvivors(s, dir)
+      .select("doc_id")
+      .filter(col("doc_id") >= 20) // eval stand-in docs never train
+      .join(Fingerprints.contaminatedDocs(s, dir), Seq("doc_id"), "left_anti")
+    Tables.documents(s, dir)
+      .join(train, Seq("doc_id"), "left_semi")
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .withColumn("cum", sum(col("n_tok")).over(w))
@@ -211,6 +251,7 @@ object Pipelines extends QueryModule {
     "q_bucketed_join" -> (qBucketedJoin(_, _)),
     "q_partition_prune" -> (qPartitionPrune(_, _)),
     "q_seq_pack" -> (qSeqPack(_, _)),
+    "q_train_prep" -> (qTrainPrep(_, _)),
     "q_text_redact" -> (qTextRedact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -244,6 +285,40 @@ object Pipelines extends QueryModule {
          |  CAST(sum(n_tok) AS BIGINT) AS tok_total,
          |  min(doc_id) AS first_doc
          |FROM c
+         |GROUP BY source, seq
+         |ORDER BY source, seq""".stripMargin,
+    "q_train_prep" ->
+      s"""${Fingerprints.sqlCorpusCleanCtes},
+         |cleaned AS (
+         |  SELECT doc_id FROM surv
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM removed)),
+         |bench AS (SELECT list(DISTINCT h) AS bl FROM (
+         |  SELECT unnest(dh) AS h FROM dhs WHERE doc_id < 20)),
+         |hits AS (
+         |  SELECT d.doc_id,
+         |    len(list_filter(d.dh, x -> list_contains(b.bl, x))) AS n_hits
+         |  FROM dhs d, bench b
+         |  WHERE d.doc_id >= 20),
+         |contam AS (SELECT doc_id FROM hits
+         |  WHERE n_hits >= ${Fingerprints.decontamThreshold}),
+         |train AS (
+         |  SELECT doc_id FROM cleaned
+         |  WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |tt AS (
+         |  SELECT d.source, d.doc_id,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents d JOIN train t ON t.doc_id = d.doc_id),
+         |cm AS (
+         |  SELECT source, doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM tt)
+         |SELECT source,
+         |  CAST(floor((cum - n_tok) / ${SeqTokens}.0) AS BIGINT) AS seq,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS tok_total,
+         |  min(doc_id) AS first_doc
+         |FROM cm
          |GROUP BY source, seq
          |ORDER BY source, seq""".stripMargin,
     "q_text_redact" -> {
