@@ -29,6 +29,11 @@ object AsOfJoin {
   /** @param payload right-side value columns to carry (must not collide
     *                with left column names)
     * @param rightTsAs if nonempty, also emit the matched right timestamp
+    * @param toleranceUs if ≥ 0, a match older than this many
+    *                microseconds before the left timestamp is discarded
+    *                (payload columns NULL) — pandas `merge_asof`'s
+    *                `tolerance`. Applied as a post-predicate on the
+    *                struct-carried match timestamp: zero extra shuffles.
     *
     * The whole right payload (+ its ts) travels as ONE struct through a
     * single `last(_, ignoreNulls)` — all emitted payload columns come
@@ -37,7 +42,8 @@ object AsOfJoin {
     * quotes), and the matched ts keeps tsCol's exact type.
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
-      payload: Seq[String], rightTsAs: String = ""): DataFrame = {
+      payload: Seq[String], rightTsAs: String = "",
+      toleranceUs: Long = -1L): DataFrame = {
     require(payload.intersect(left.columns.toSeq).isEmpty,
       s"right payload ${payload.intersect(left.columns.toSeq)} collides with left columns")
     val leftOnly = left.columns.toSeq.filterNot(c => keys.contains(c) || c == tsCol)
@@ -54,9 +60,15 @@ object AsOfJoin {
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = unioned
+    val filled0 = unioned
       .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    val filled =
+      if (toleranceUs < 0) filled0
+      else filled0.withColumn("__match",
+        when(unix_micros(col(tsCol))
+          - unix_micros(col("__match").getField("__ts")) <= toleranceUs,
+          col("__match")))
     val withPayload = payload.foldLeft(filled) { (df, p) =>
       df.withColumn(p, col("__match").getField(p))
     }

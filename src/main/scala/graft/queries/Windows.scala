@@ -120,6 +120,30 @@ object Windows extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Bounded-staleness as-of tolerance (pandas merge_asof `tolerance`):
+    * a view older than this is no match. 30 min suits the testdata's
+    * event cadence (some matches survive, some age out).
+    */
+  private val AsofTolUs = 30L * 60L * 1000000L
+
+  /** As-of join with a staleness bound: like [[qAsofJoin]] but a match
+    * more than [[AsofTolUs]] before the click is discarded (NULL
+    * payload) — the quote-too-stale rule every real trades⋈quotes job
+    * applies. Same one-shuffle plan; the bound is a post-predicate on
+    * the carried match timestamp.
+    */
+  def qAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val clicks = ev(s, dir).filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").as("click_value"))
+    val views = ev(s, dir).filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value").as("view_value"))
+    graft.operators.AsOfJoin.asOf(
+        clicks, views, Seq("user_id"), "ts", Seq("view_value"),
+        rightTsAs = "view_ts", toleranceUs = AsofTolUs)
+      .select("event_id", "user_id", "ts", "click_value", "view_value", "view_ts")
+      .orderBy("event_id")
+  }
+
   /** Session gap: a new session starts after this much user inactivity.
     * (6 h suits the testdata's per-user event cadence; production tunes
     * it per product.)
@@ -215,6 +239,7 @@ object Windows extends QueryModule {
     "q_window_range" -> (qWindowRange(_, _)),
     "q_window_rank_full" -> (qWindowRankFull(_, _)),
     "q_asof_join" -> (qAsofJoin(_, _)),
+    "q_asof_tolerance" -> (qAsofTolerance(_, _)),
     "q_json_extract" -> (qJsonExtract(_, _)),
     "q_window_rank" -> (qWindowRank(_, _)),
     "q_window_moving" -> (qWindowMoving(_, _)),
@@ -299,6 +324,23 @@ object Windows extends QueryModule {
          |    value AS view_value FROM events WHERE event_type = 'view')
          |SELECT tr.event_id, tr.user_id, tr.ts, tr.click_value,
          |  qt.view_value, qt.ts AS view_ts
+         |FROM tr ASOF LEFT JOIN qt
+         |  ON tr.user_id = qt.user_id AND qt.ts <= tr.ts
+         |ORDER BY event_id""".stripMargin,
+    // Tolerance = post-predicate on the native ASOF match: a stale
+    // match degrades to NULL payload (not to the next-older match,
+    // which by ASOF minimality would be staler still) — identical to
+    // the engine's bounded-staleness rule.
+    "q_asof_tolerance" ->
+      s"""WITH tr AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    value AS click_value FROM events WHERE event_type = 'click'),
+         |qt AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    value AS view_value FROM events WHERE event_type = 'view')
+         |SELECT tr.event_id, tr.user_id, tr.ts, tr.click_value,
+         |  CASE WHEN epoch_us(tr.ts) - epoch_us(qt.ts) <= ${30L * 60L * 1000000L}
+         |    THEN qt.view_value END AS view_value,
+         |  CASE WHEN epoch_us(tr.ts) - epoch_us(qt.ts) <= ${30L * 60L * 1000000L}
+         |    THEN qt.ts END AS view_ts
          |FROM tr ASOF LEFT JOIN qt
          |  ON tr.user_id = qt.user_id AND qt.ts <= tr.ts
          |ORDER BY event_id""".stripMargin,

@@ -74,6 +74,19 @@ class PropertiesSpec extends SparkSpec {
         i.toLong -> (if (cand.isEmpty) null else cand.maxBy(_._2.getTime)._3)
       }.toMap
       assert(got == want)
+
+      // tolerance: a match older than tolUs degrades to NULL (pandas
+      // merge_asof tolerance semantics)
+      val tolUs = 300L * 1000L // 300 ms of the 0..1000 ms ts range
+      val gotTol = operators.AsOfJoin.asOf(left, right, Seq("u"), "ts",
+          Seq("rv"), toleranceUs = tolUs)
+        .collect().map(row => row.getAs[Long]("id") -> row.getAs[Any]("rv")).toMap
+      val wantTol = l.map { case ((u, t, _), i) =>
+        val cand = rights.filter(x => x._1 == u && !x._2.after(t)
+          && (t.getTime - x._2.getTime) * 1000L <= tolUs)
+        i.toLong -> (if (cand.isEmpty) null else cand.maxBy(_._2.getTime)._3)
+      }.toMap
+      assert(gotTol == wantTol)
     }
   }
 
