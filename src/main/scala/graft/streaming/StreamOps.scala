@@ -50,6 +50,32 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Watermarked stream-stream interval join — each click pairs with
+    * the same user's views inside [click.ts − maxAge, click.ts]. The
+    * interval bound plus the watermarks is what makes the join state
+    * FINITE: each side buffers only rows younger than watermark+maxAge,
+    * and Spark prunes the rest as event time advances. An unbounded
+    * stream-stream equi-join would buffer both streams forever — the
+    * bound is not an optimization, it is the thing that makes the
+    * operator runnable on an infinite stream. Inner matches emit as
+    * soon as both rows arrive (no watermark wait on the output path).
+    */
+  def intervalJoin(clicks: DataFrame, views: DataFrame,
+      watermark: String = "10 minutes",
+      maxAge: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("view_user"), col("ts").as("view_ts"),
+        col("value").as("view_value"))
+    c.join(v,
+        col("user_id") === col("view_user")
+          && col("view_ts") <= col("click_ts")
+          && col("view_ts") >= col("click_ts") - expr(s"INTERVAL $maxAge"))
+      .drop("view_user")
+  }
+
   case class Event(event_id: Long, user_id: Long, event_type: String,
       value: Double, ts: Timestamp)
   case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)

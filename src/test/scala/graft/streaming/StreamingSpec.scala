@@ -73,6 +73,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with in-window views only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[StreamOps.Event]
+    val views = MemoryStream[StreamOps.Event]
+    val q = StreamOps.intervalJoin(clicks.toDF(), views.toDF())
+      .writeStream.format("memory").queryName("interval_join_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(
+        StreamOps.Event(101, 1, "view", 5.0, ts("2024-01-01 10:10:00")), // in window
+        StreamOps.Event(102, 1, "view", 6.0, ts("2024-01-01 09:30:00")), // too old
+        StreamOps.Event(103, 2, "view", 7.0, ts("2024-01-01 10:20:00"))) // wrong user
+      clicks.addData(
+        StreamOps.Event(10, 1, "click", 1.0, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      val rows = spark.table("interval_join_test").collect()
+        .map(r => (r.getAs[Long]("click_id"),
+          r.getAs[Timestamp]("view_ts").toString, r.getAs[Double]("view_value")))
+        .toSeq
+      assert(rows == Seq((10L, "2024-01-01 10:10:00.0", 5.0)))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops repeat keys inside the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.Event]
