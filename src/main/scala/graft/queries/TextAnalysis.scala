@@ -22,6 +22,21 @@ object TextAnalysis extends QueryModule {
   /** Token counting: whitespace tokens + regex word tokens (the BPE-ish
     * pre-tokenizer split `[a-z]+|[0-9]`).
     */
+  /** Vocabulary build — the corpus-wide word-frequency table every
+    * tokenizer-training pipeline starts from: explode → one hash
+    * aggregate (partial map-side, shuffle carries (word, count) pairs —
+    * far smaller than the corpus) → top 100 by frequency with a total
+    * tie-break. At 100 TB the same plan holds; only the tiny top-k
+    * passes the final single-partition TakeOrdered.
+    */
+  def qTextVocab(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(100)
+
   def qTextTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(
@@ -211,6 +226,7 @@ object TextAnalysis extends QueryModule {
     "q_text_langid_ngram" -> (qTextLangidNgram(_, _)),
     "q_text_rollhash" -> (qTextRollhash(_, _)),
     "q_text_tokens" -> (qTextTokens(_, _)),
+    "q_text_vocab" -> (qTextVocab(_, _)),
     "q_text_quality" -> (qTextQuality(_, _)),
     "q_text_langid" -> (qTextLangid(_, _)),
     "q_text_fingerprint" -> (qTextFingerprint(_, _)))
@@ -218,6 +234,14 @@ object TextAnalysis extends QueryModule {
   private val stopSql = inList(stopwords)
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_vocab" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+        |      FROM documents)
+        |WHERE len(word) > 0
+        |GROUP BY word
+        |ORDER BY n DESC, word
+        |LIMIT 100""".stripMargin,
     "q_text_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |  FROM documents),
