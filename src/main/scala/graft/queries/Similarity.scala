@@ -99,6 +99,22 @@ object Similarity extends QueryModule {
     quantized(s, dir).count(); ()
   }
 
+  /** Per-label centroid vectors — the embedding-space aggregation step
+    * of clustering/IVF training and class-prototype pipelines. Shape:
+    * posexplode → ONE hash aggregate keyed (label, dim) with map-side
+    * partials; the shuffle carries (label, dim, partial-sum) triples —
+    * labels×dims rows, independent of corpus size. Numerics are exact:
+    * sums of 2^20-quantized longs (≪ 2^53), one double division at the
+    * end — bit-identical on any engine.
+    */
+  def qEmbedCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(expr(qvecExpr)).as(Seq("pos", "q")))
+      .groupBy("label", "pos")
+      .agg((sum(col("q")).cast("double") / (count(lit(1)) * lit(1048576.0)))
+        .as("centroid"))
+      .orderBy("label", "pos")
+
   private def qcos(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
@@ -304,7 +320,8 @@ object Similarity extends QueryModule {
     "q_embed_ann" -> (qEmbedAnn(_, _)),
     "q_embed_ivf" -> (qEmbedIvf(_, _)),
     "q_dedup_embed" -> (qDedupEmbed(_, _)),
-    "q_dedup_embed_lsh" -> (qDedupEmbedLsh(_, _)))
+    "q_dedup_embed_lsh" -> (qDedupEmbedLsh(_, _)),
+    "q_embed_centroids" -> (qEmbedCentroids(_, _)))
 
   // ---- DuckDB spellings of the integer-quantized vector math ----
 
@@ -328,6 +345,14 @@ object Similarity extends QueryModule {
     }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_embed_centroids" ->
+      s"""WITH q AS (SELECT label, $sqlQvec AS qv FROM embeddings),
+         |e AS (SELECT label, CAST(t.i AS INTEGER) AS pos, qv[t.i + 1] AS q
+         |  FROM q, range(0, 64) t(i))
+         |SELECT label, pos,
+         |  CAST(sum(q) AS DOUBLE) / (count(*) * 1048576.0) AS centroid
+         |FROM e GROUP BY label, pos
+         |ORDER BY label, pos""".stripMargin,
     "q_embed_norms" ->
       s"""SELECT vec_id,
          |  CAST(len(embedding) AS INTEGER) AS dim,
