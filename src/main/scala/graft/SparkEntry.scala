@@ -14,7 +14,8 @@ object SparkEntry {
   def modules: Seq[QueryModule] =
     Seq(Relational, Aggregations, GroupBys, Joins, Positional,
       Strings, MissingData, Dedup, TextAnalysis, Similarity, Fingerprints,
-      UnaryMath, Windows, MultimodalQ, SetOps, IoQ, Sampling, Pipelines)
+      UnaryMath, Windows, MultimodalQ, SetOps, IoQ, Sampling, Pipelines,
+      CorpusQuality)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

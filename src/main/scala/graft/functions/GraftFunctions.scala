@@ -23,6 +23,8 @@ object GraftFunctions {
       Erf(Cast(children.head, DoubleType))),
     "graft_rollhash" -> ((children: Seq[Expression]) =>
       RollingHash(Cast(children.head, StringType))),
+    "graft_spanhashes" -> ((children: Seq[Expression]) =>
+      SpanHashes(Cast(children.head, StringType))),
     "graft_dotl" -> ((children: Seq[Expression]) =>
       LongDot(Cast(children.head, ArrayType(LongType)),
         Cast(children(1), ArrayType(LongType)))),
@@ -53,6 +55,9 @@ object GraftFunctions {
 
   /** Min windowed Karp–Rabin hash — winnowing-style doc fingerprint. */
   def rollhash(c: Column): Column = call_function("graft_rollhash", c)
+
+  /** Distinct 32-char-window Karp–Rabin hashes — substring-dedup spans. */
+  def spanhashes(c: Column): Column = call_function("graft_spanhashes", c)
 
   /** Codegen'd integer dot product of two `array<bigint>` vectors. */
   def dotl(a: Column, b: Column): Column = call_function("graft_dotl", a, b)

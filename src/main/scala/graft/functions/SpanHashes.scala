@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All distinct Karp–Rabin hashes of the [[SpanHashMath.W]]-char windows
+  * of a document — the building block of exact substring deduplication
+  * (flag/remove long character spans that recur across a corpus, the
+  * "exact substring dedup" of training-data pipelines; cf. the suffix
+  * -array approach the single-node literature uses — a rolling-hash
+  * bucket join is its shuffle-friendly distributed analog).
+  *
+  * Same constants and window math as [[RollingHashMath]] (reference
+  * fingerprint spec: winnowing-style content hash) but W=32 chars — a
+  * span long enough that a cross-document match is evidence of copying
+  * rather than a shared phrase — and returns EVERY distinct window hash
+  * (ascending) instead of the minimum, so the caller can explode and
+  * count cross-document recurrences with one hash aggregate.
+  *
+  * Codegen'd `UnaryExpression`; integer-only arithmetic mirrored by the
+  * DuckDB oracle in [[graft.queries.CorpusQuality]] — keep in sync.
+  * Scale note: per-doc work is O(n·W) with O(distinct windows) memory;
+  * the downstream plan shuffles only (hash, doc) pairs, never text.
+  */
+object SpanHashMath {
+  val W = 32
+  val P = 2147483647L // 2^31 − 1
+  val B = 257L
+  /** Pow(j) = B^(W−1−j) mod P. */
+  val Pow: Array[Long] = {
+    val a = new Array[Long](W)
+    var v = 1L
+    var j = W - 1
+    while (j >= 0) { a(j) = v; v = v * B % P; j -= 1 }
+    a
+  }
+
+  /** Distinct ascending window hashes; empty for strings shorter than W.
+    * Window sums stay < 2^44, so a single mod per window is exact — the
+    * SQL spelling computes the identical value.
+    */
+  def spanHashes(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    if (n < W) return new GenericArrayData(Array.empty[Long])
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i <= n - W) {
+      var sum = 0L
+      var j = 0
+      while (j < W) { sum += str.charAt(i + j).toLong * Pow(j); j += 1 }
+      set.add(sum % P)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class SpanHashes(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_spanhashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SpanHashMath.spanHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SpanHashMath.spanHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanHashes =
+    copy(child = newChild)
+}

@@ -1,0 +1,218 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.GraftFunctions.spanhashes
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level quality / curation operators a large-scale training-data
+  * pipeline runs between raw crawl and tokenization (beyond-reference
+  * suite; builder brief + SURVEY.md §7.4): repetition metrics, corpus
+  * -frequency boilerplate detection, unigram-LM familiarity scoring,
+  * source mixture weighting, and exact substring-span dedup.
+  *
+  * Shapes are scan → explode → hash-aggregate → (small) join: the
+  * shuffle payload is always (key, count) pairs — shingle hashes, span
+  * hashes, words — never document text, so each plan's shuffle volume is
+  * a small multiple of the corpus token count regardless of document
+  * size. All ratios are single double divisions of exact integer counts
+  * — bit-deterministic across engines.
+  */
+object CorpusQuality extends QueryModule {
+
+  /** Gopher-style repetition signals: duplicate-word fraction and the
+    * fraction of word-bigrams claimed by the single most frequent bigram
+    * (high values flag machine-generated / boilerplate text). Distinct
+    * counting happens in-row (array_distinct); the bigram mode is a
+    * relational hash-agg + max, not an in-array mode computation, so the
+    * heavy lifting stays in codegen'd hash aggregates.
+    */
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")))
+      .filter(col("n_words") >= 2)
+    val base = docs.select(col("doc_id"), col("n_words"),
+      size(array_distinct(col("words"))).as("n_distinct"))
+    val top = docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, n_words - 1), i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"))
+        .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_bigram_n"))
+    base.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_words")).as("dup_word_frac"),
+        col("top_bigram_n"),
+        (col("top_bigram_n").cast("double") / (col("n_words") - 1)).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** A 5-gram word shingle is "common" when > [[BoilerDf]] distinct
+    * documents contain it; a document's common-shingle fraction is the
+    * boilerplate signal (CCNet/RefinedWeb-style corpus-frequency line
+    * removal, recast over shingles since this corpus has no line
+    * structure). Per-doc distinct shingles → one df hash-agg → join back
+    * → per-doc fraction: shuffle carries shingle strings once and
+    * (shingle, df) pairs once.
+    */
+  private val BoilerDf = 2
+
+  def qTextBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")))
+      .filter(col("n_words") >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, n_words - 4), i -> array_join(slice(words, i, 5), ' '))"))
+        .as("sh"))
+      .distinct()
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "sh")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > BoilerDf, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_shingles"), col("n_common"),
+        (col("n_common").cast("double") / col("n_shingles")).as("common_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Unigram-LM familiarity score — the cheap stand-in for perplexity
+    * filtering: mean corpus frequency of a document's tokens,
+    * Σ_t count(t) / (n_tokens · total_tokens). Exact integer sums with
+    * one final double division, so the score is bit-identical on any
+    * engine (a log-prob formulation would differ in libm's last ulp).
+    * Scale: the vocab hash-agg shuffles (word, count); the token⋈vocab
+    * join broadcasts nothing here but AQE picks broadcast when the
+    * vocab side is small enough; the corpus total rides in as a
+    * broadcast scalar.
+    */
+  def qTextUnigramScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+    val total = toks.agg(count(lit(1)).as("ct"))
+    toks.join(vocab, "w")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_toks"),
+        sum(col("cw")).as("sum_cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_toks"), col("sum_cnt"),
+        (col("sum_cnt").cast("double") / (col("n_toks") * col("ct"))).as("familiarity"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-scaled source mixture (α = 0.5): sampling weight per
+    * source ∝ √count, plus the per-source document budget out of
+    * [[MixBudget]]. The √count doubles are quantized to integer
+    * micro-units BEFORE normalization, so the weight is a ratio of exact
+    * integers — deterministic across engines — and the budgets sum to at
+    * most the target by construction. One tiny aggregate; the per-source
+    * table is dimension-sized at any corpus scale.
+    */
+  private val MixBudget = 100000L
+
+  def qMixWeights(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("sq", floor(sqrt(col("n_docs")) * 1e6).cast("long"))
+    val tot = counts.agg(sum(col("sq")).as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("sq"),
+        (col("sq").cast("double") / col("tot")).as("weight"),
+        floor(lit(MixBudget) * col("sq") / col("tot")).cast("long").as("n_target"))
+      .orderBy("source")
+  }
+
+  /** Exact substring-span dedup: 32-char spans whose Karp–Rabin hash
+    * recurs in ≥ 2 distinct documents (the distributed analog of
+    * suffix-array exact-substring dedup). [[graft.functions.SpanHashes]]
+    * emits per-doc DISTINCT hashes in the codegen'd scan, so the
+    * aggregate's count(*) is already a distinct-document count and the
+    * shuffle carries only (hash) — 8 bytes per distinct span per doc.
+    */
+  def qDedupSpans(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(spanhashes(col("text"))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("h")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_repetition" -> (qTextRepetition(_, _)),
+    "q_text_boilerplate" -> (qTextBoilerplate(_, _)),
+    "q_text_unigram_score" -> (qTextUnigramScore(_, _)),
+    "q_mix_weights" -> (qMixWeights(_, _)),
+    "q_dedup_spans" -> (qDedupSpans(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(words)),
+        |      i -> words[CAST(i AS INTEGER)] || ' ' || words[CAST(i + 1 AS INTEGER)])) AS bg
+        |  FROM d),
+        |t AS (SELECT doc_id, max(c) AS top_bigram_n
+        |  FROM (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(words) AS INTEGER) AS n_words,
+        |  CAST(len(list_distinct(words)) AS INTEGER) AS n_distinct,
+        |  1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS dup_word_frac,
+        |  t.top_bigram_n,
+        |  CAST(t.top_bigram_n AS DOUBLE) / (len(words) - 1) AS top_bigram_frac
+        |FROM d JOIN t ON d.doc_id = t.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_text_boilerplate" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(string_split(text, ' ')) - 3),
+         |      i -> array_to_string(
+         |        (string_split(text, ' '))[CAST(i AS INTEGER):CAST(i + 4 AS INTEGER)],
+         |        ' '))) AS sh
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+         |dfq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+         |SELECT sh.doc_id,
+         |  count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN dfq.df > $BoilerDf THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         |  CAST(sum(CASE WHEN dfq.df > $BoilerDf THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS common_frac
+         |FROM sh JOIN dfq ON sh.sh = dfq.sh
+         |GROUP BY sh.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "q_text_unigram_score" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |vocab AS (SELECT w, count(*) AS cw FROM toks GROUP BY w),
+        |tot AS (SELECT count(*) AS ct FROM toks)
+        |SELECT toks.doc_id,
+        |  count(*) AS n_toks,
+        |  CAST(sum(vocab.cw) AS BIGINT) AS sum_cnt,
+        |  CAST(sum(vocab.cw) AS DOUBLE) / (count(*) * any_value(tot.ct)) AS familiarity
+        |FROM toks JOIN vocab ON toks.w = vocab.w, tot
+        |GROUP BY toks.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_mix_weights" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_docs,
+         |    CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS sq
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT sum(sq) AS tot FROM c)
+         |SELECT c.source, c.n_docs, c.sq,
+         |  CAST(c.sq AS DOUBLE) / t.tot AS weight,
+         |  CAST(floor($MixBudget * c.sq / t.tot) AS BIGINT) AS n_target
+         |FROM c, t
+         |ORDER BY source""".stripMargin,
+    "q_dedup_spans" -> {
+      val pows = graft.functions.SpanHashMath.Pow.mkString("[", ", ", "]")
+      s"""WITH h AS (SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(0, greatest(length(text) - 31, 0)), i ->
+         |      list_sum(list_transform(range(0, 32), j ->
+         |        CAST(ascii(substr(text, CAST(i + j + 1 AS INTEGER), 1)) AS BIGINT)
+         |          * ($pows)[CAST(j + 1 AS INTEGER)]
+         |      )) % 2147483647)) AS h
+         |  FROM documents)
+         |SELECT CAST(h AS BIGINT) AS h, count(*) AS n_docs
+         |FROM h GROUP BY h HAVING count(*) >= 2
+         |ORDER BY h""".stripMargin
+    })
+}

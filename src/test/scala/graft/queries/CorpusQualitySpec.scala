@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions.spanhashes
+import graft.functions.SpanHashMath
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality suite specs: the SpanHashes expression's window math
+  * and the repetition / mixture-weight invariants the driver queries
+  * rely on.
+  */
+class CorpusQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spanhashes: short string → empty; uniform string → one hash") {
+    val rows = Seq("short", "a" * 40).toDF("text")
+      .select(spanhashes(col("text")).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    assert(rows(0).isEmpty)
+    // every 32-char window of "aaaa…" is identical → exactly one
+    // distinct hash
+    assert(rows(1).length == 1)
+  }
+
+  test("spanhashes: ascending distinct, matches brute-force window hashes") {
+    val s = "the quick brown fox jumps over the lazy dog repeatedly and often"
+    val got = Seq(s).toDF("text")
+      .select(spanhashes(col("text")).as("h"))
+      .head().getSeq[Long](0)
+    val brute = (0 to s.length - SpanHashMath.W).map { i =>
+      (0 until SpanHashMath.W)
+        .map(j => s.charAt(i + j).toLong * SpanHashMath.Pow(j))
+        .sum % SpanHashMath.P
+    }.distinct.sorted
+    assert(got == brute)
+    assert(got == got.distinct.sorted)
+  }
+
+  test("shared 32-char span across docs is detected; disjoint docs are not") {
+    val span = "0123456789abcdefghijklmnopqrstuv" // exactly 32 chars
+    assert(span.length == SpanHashMath.W)
+    val docs = Seq(
+      (1L, s"prefix one $span suffix alpha"),
+      (2L, s"other start $span closing words"),
+      (3L, "completely unrelated text with no overlap at all here ok"))
+      .toDF("doc_id", "text")
+    val hits = docs
+      .select(col("doc_id"), explode(spanhashes(col("text"))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    // docs 1 and 2 share the span; doc 3 shares nothing
+    assert(hits.count() >= 1)
+    val sharedDocs = docs
+      .select(col("doc_id"), explode(spanhashes(col("text"))).as("h"))
+      .join(hits.select("h"), "h")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(sharedDocs == Set(1L, 2L))
+  }
+
+  test("repetition metrics on a degenerate all-same-word doc") {
+    // 10 identical words: 1 distinct, dup_word_frac = 0.9, a single
+    // bigram claims all 9 bigram slots
+    val words = Seq.fill(10)("spam").mkString(" ")
+    val df = Seq((0L, words)).toDF("doc_id", "text")
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")))
+    val base = df.select(
+      size(array_distinct(col("words"))).as("n_distinct"),
+      col("n_words")).head()
+    assert(base.getInt(0) == 1)
+    assert(base.getInt(1) == 10)
+    val bigrams = df.select(explode(expr(
+      "transform(sequence(1, n_words - 1), i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"))
+      .as("bg"))
+    assert(bigrams.count() == 9)
+    assert(bigrams.distinct().count() == 1)
+  }
+
+  test("mixture weights sum to ~1 and budgets never exceed the total") {
+    val out = CorpusQuality.qMixWeights(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-9)
+    val budget = rows.map(_.getAs[Long]("n_target")).sum
+    assert(budget <= 100000L)
+    // √-temperature flattens: no source's weight exceeds its raw share
+    // by more than the mixture implies for equal counts (all sources
+    // equal here → equal weights)
+    val ws = rows.map(_.getAs[Double]("weight"))
+    assert(ws.max - ws.min < 1e-9 || ws.length > 1)
+  }
+}
