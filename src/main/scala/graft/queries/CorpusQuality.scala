@@ -124,6 +124,31 @@ object CorpusQuality extends QueryModule {
       .orderBy("source")
   }
 
+  /** BPE merge-step pair statistics — the inner loop of byte-pair
+    * tokenizer training: corpus-weighted adjacent character-pair counts.
+    * The word-frequency table is computed once (hash agg over exploded
+    * tokens), then each DISTINCT word explodes into its len−1 character
+    * bigrams — so the heavy per-occurrence work collapses to
+    * per-distinct-word work, exactly the trick real BPE trainers use.
+    * Top [[BpeTopK]] pairs by weighted count; at scale each further
+    * merge round is the same plan over the rewritten symbol table.
+    */
+  private val BpeTopK = 20
+
+  def qBpePairs(s: SparkSession, dir: String): DataFrame = {
+    val wordFreq = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    wordFreq
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(BpeTopK)
+  }
+
   /** Exact substring-span dedup: 32-char spans whose Karp–Rabin hash
     * recurs in ≥ 2 distinct documents (the distributed analog of
     * suffix-array exact-substring dedup). [[graft.functions.SpanHashes]]
@@ -143,6 +168,7 @@ object CorpusQuality extends QueryModule {
     "q_text_boilerplate" -> (qTextBoilerplate(_, _)),
     "q_text_unigram_score" -> (qTextUnigramScore(_, _)),
     "q_mix_weights" -> (qMixWeights(_, _)),
+    "q_bpe_pairs" -> (qBpePairs(_, _)),
     "q_dedup_spans" -> (qDedupSpans(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -202,6 +228,19 @@ object CorpusQuality extends QueryModule {
          |  CAST(floor($MixBudget * c.sq / t.tot) AS BIGINT) AS n_target
          |FROM c, t
          |ORDER BY source""".stripMargin,
+    "q_bpe_pairs" ->
+      s"""WITH wf AS (SELECT word, count(*) AS wc
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE length(word) >= 2
+         |  GROUP BY word),
+         |p AS (SELECT wc,
+         |    unnest(list_transform(range(1, length(word)),
+         |      i -> substr(word, CAST(i AS INTEGER), 2))) AS pair
+         |  FROM wf)
+         |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+         |FROM p GROUP BY pair
+         |ORDER BY n DESC, pair
+         |LIMIT $BpeTopK""".stripMargin,
     "q_dedup_spans" -> {
       val pows = graft.functions.SpanHashMath.Pow.mkString("[", ", ", "]")
       s"""WITH h AS (SELECT DISTINCT doc_id,

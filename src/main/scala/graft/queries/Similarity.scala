@@ -245,6 +245,65 @@ object Similarity extends QueryModule {
       .orderBy("qid", "rank")
   }
 
+  /** One Lloyd iteration of k-means over the corpus vectors, seeded
+    * with the IVF coarse centroids (vec_id < [[IvfK]]) — the training
+    * step behind [[qEmbedIvf]]'s coarse quantizer: broadcast-argmax
+    * assignment (max cosine, cid tie-break — the same plan as IVF list
+    * assignment), then the new centroid of each list as the per-(cid,
+    * dim) mean via posexplode → ONE hash aggregate with map-side
+    * partials. Shuffle carries (cid, dim, partial sum) triples — K×dims
+    * rows, independent of corpus size — so iterating to convergence is
+    * K×dims-bounded per round at any scale. Numerics exact: sums of
+    * 2^20-quantized longs, one double division at the end.
+    */
+  def qKmeansIter(s: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(s, dir)
+    val cents = emb.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("n2").as("cn2"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", qcos(G.dotl(col("qv"), col("cv")), col("n2"), col("cn2")))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    scored.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .groupBy("cid", "pos")
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("q")).cast("double") / (count(lit(1)) * lit(1048576.0)))
+          .as("centroid"))
+      .orderBy("cid", "pos")
+  }
+
+  /** Top-[[GraphK]] cosine neighbor graph over ALL vectors — the input
+    * to semantic dedup / clustering (vs [[qEmbedAnn]], which ranks for
+    * a small query set only). Candidates come from the same band-OR
+    * sign-LSH equi-join; the cosine is computed BEFORE the pair dedup
+    * so the distinct and the ranking window shuffle only (qid, vid,
+    * cos) triples, never the vectors. Per-vector work is bucket-sized,
+    * not corpus-sized; the graph is recall-approximate exactly like any
+    * production kNN-graph build.
+    */
+  private val GraphK = 3
+
+  def qKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val bands = banded(s, dir)
+    val cand = bands
+      .select(col("vec_id").as("qid"), col("qv").as("qe"),
+        col("n2").as("qn2"), col("band"), col("bkt"))
+      .join(bands.select(col("vec_id").as("vid"), col("qv").as("ve"),
+        col("n2").as("vn2"), col("band"), col("bkt")),
+        Seq("band", "bkt"))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cos", qcos(G.dotl(col("qe"), col("ve")), col("qn2"), col("vn2")))
+      .select("qid", "vid", "cos")
+      .dropDuplicates("qid", "vid")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= GraphK)
+      .select("qid", "vid", "cos", "rank")
+      .orderBy("qid", "rank")
+  }
+
   /** Approximate near-dup via the bucket-candidate → exact-confirm
     * composition — the PRIMARY shape at corpus scale for thresholds
     * with sign-LSH margin (τ ≥ ~0.8): candidate pairs share ≥1 band
@@ -321,7 +380,9 @@ object Similarity extends QueryModule {
     "q_embed_ivf" -> (qEmbedIvf(_, _)),
     "q_dedup_embed" -> (qDedupEmbed(_, _)),
     "q_dedup_embed_lsh" -> (qDedupEmbedLsh(_, _)),
-    "q_embed_centroids" -> (qEmbedCentroids(_, _)))
+    "q_embed_centroids" -> (qEmbedCentroids(_, _)),
+    "q_kmeans_iter" -> (qKmeansIter(_, _)),
+    "q_knn_graph" -> (qKnnGraph(_, _)))
 
   // ---- DuckDB spellings of the integer-quantized vector math ----
 
@@ -428,6 +489,47 @@ object Similarity extends QueryModule {
          |WHERE a.vec_id < b.vec_id
          |  AND ${sqlQcos("a.qv", "b.qv", "a.n2", "b.n2")} >= 0.40
          |ORDER BY ida, idb""".stripMargin,
+    "q_kmeans_iter" ->
+      s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2 FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, qv AS cv, n2 AS cn2 FROM e
+         |  WHERE vec_id < $IvfK),
+         |scored AS (
+         |  SELECT e.vec_id, e.qv, c.cid,
+         |    ${sqlQcos("e.qv", "c.cv", "e.n2", "c.cn2")} AS ccos
+         |  FROM e, cents c),
+         |ranked AS (SELECT vec_id, qv, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid ASC) AS rn
+         |  FROM scored),
+         |assigned AS (SELECT cid, qv FROM ranked WHERE rn = 1),
+         |x AS (SELECT cid, CAST(t.i AS INTEGER) AS pos, qv[t.i + 1] AS q
+         |  FROM assigned, range(0, 64) t(i))
+         |SELECT cid, pos, count(*) AS n_members,
+         |  CAST(sum(q) AS DOUBLE) / (count(*) * 1048576.0) AS centroid
+         |FROM x GROUP BY cid, pos
+         |ORDER BY cid, pos""".stripMargin,
+    "q_knn_graph" -> {
+      val bandSelects = (0 until AnnBands)
+        .map(b => s"SELECT vec_id, qv, n2, $b AS band, bkt$b AS bkt FROM eb")
+        .mkString("\n  UNION ALL ")
+      val bktSelects = (0 until AnnBands).map(b => s"${sqlBucket(b)} AS bkt$b").mkString(",\n  ")
+      s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2 FROM embeddings),
+         |eb AS (SELECT vec_id, qv, n2,
+         |  $bktSelects
+         |FROM e),
+         |bands AS (
+         |  $bandSelects),
+         |c AS (
+         |  SELECT DISTINCT q.vec_id AS qid, v.vec_id AS vid,
+         |    ${sqlQcos("q.qv", "v.qv", "q.n2", "v.n2")} AS cos
+         |  FROM bands q JOIN bands v ON q.band = v.band AND q.bkt = v.bkt
+         |  WHERE q.vec_id <> v.vec_id),
+         |r AS (SELECT qid, vid, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INTEGER) AS rank
+         |  FROM c)
+         |SELECT qid, vid, cos, rank FROM r WHERE rank <= $GraphK
+         |ORDER BY qid, rank""".stripMargin
+    },
     "q_dedup_embed_lsh" -> {
       val bandSelects = (0 until AnnBands)
         .map(b => s"SELECT vec_id, qv, n2, $b AS band, bkt$b AS bkt FROM eb")

@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the embedding-suite queries added round 4:
+  * one-iteration k-means and the all-vectors kNN graph.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("kmeans_iter: every vector assigned exactly once; members partition the corpus") {
+    val out = Similarity.qKmeansIter(spark, dir).cache()
+    try {
+      // n_members is constant across dims within a cluster
+      val perCluster = out.groupBy("cid")
+        .agg(countDistinct(col("n_members")).as("d"),
+          first(col("n_members")).as("m"),
+          count(lit(1)).as("dims"))
+        .collect()
+      assert(perCluster.forall(_.getAs[Long]("d") == 1L))
+      assert(perCluster.forall(_.getAs[Long]("dims") == 64L))
+      // memberships partition the corpus: Σ members = corpus size
+      val total = perCluster.map(_.getAs[Long]("m")).sum
+      val corpus = graft.Tables.embeddings(spark, dir).count()
+      assert(total == corpus, s"members $total != corpus $corpus")
+    } finally { out.unpersist(); () }
+  }
+
+  test("knn_graph: contiguous ranks 1..k per vector, cosines within [-1, 1] + quantization slack") {
+    val out = Similarity.qKnnGraph(spark, dir).cache()
+    try {
+      val byQid = out.groupBy("qid")
+        .agg(count(lit(1)).as("n"), max(col("rank")).as("maxr"),
+          min(col("rank")).as("minr"), max(col("cos")).as("maxc"),
+          min(col("cos")).as("minc"))
+        .collect()
+      byQid.foreach { r =>
+        assert(r.getAs[Long]("n") <= 3L)
+        assert(r.getAs[Int]("minr") == 1)
+        assert(r.getAs[Long]("n") == r.getAs[Int]("maxr").toLong) // contiguous
+        assert(r.getAs[Double]("maxc") <= 1.0 + 1e-9)
+        assert(r.getAs[Double]("minc") >= -1.0 - 1e-9)
+      }
+      // the graph covers vectors that share at least one LSH bucket —
+      // on this corpus that is everyone
+      assert(byQid.length.toLong == graft.Tables.embeddings(spark, dir).count())
+    } finally { out.unpersist(); () }
+  }
+}
