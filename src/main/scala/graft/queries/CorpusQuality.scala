@@ -48,27 +48,24 @@ object CorpusQuality extends QueryModule {
       .orderBy("doc_id")
   }
 
-  /** A 5-gram word shingle is "common" when > [[BoilerDf]] distinct
-    * documents contain it; a document's common-shingle fraction is the
+  /** A shingle is "common" when > [[BoilerDf]] distinct documents
+    * contain it; a document's common-shingle fraction is the
     * boilerplate signal (CCNet/RefinedWeb-style corpus-frequency line
-    * removal, recast over shingles since this corpus has no line
-    * structure). Per-doc distinct shingles → one df hash-agg → join back
-    * → per-doc fraction: shuffle carries shingle strings once and
-    * (shingle, df) pairs once.
+    * removal, recast over 3-word shingle hashes since this corpus has
+    * no line structure). Reads the dedup suite's MATERIALIZED posting
+    * index ([[Fingerprints.postings]] — one (doc_id, h) row per
+    * distinct document shingle, built once per corpus and shared by
+    * every dedup/decontamination leg), so the only new work is one df
+    * hash-agg over (h) and one join back: the shuffle carries (h, df)
+    * pairs, never text. This is the 100 TB shape: boilerplate stats
+    * fall out of the inverted index the pipeline already maintains.
     */
   private val BoilerDf = 2
 
   def qTextBoilerplate(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("n_words", size(col("words")))
-      .filter(col("n_words") >= 5)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, n_words - 4), i -> array_join(slice(words, i, 5), ' '))"))
-        .as("sh"))
-      .distinct()
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    sh.join(dfreq, "sh")
+    val post = Fingerprints.postings(s, dir).select("doc_id", "h")
+    val dfreq = post.groupBy("h").agg(count(lit(1)).as("df"))
+    post.join(dfreq, "h")
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_shingles"),
         sum(when(col("df") > BoilerDf, 1L).otherwise(0L)).as("n_common"))
@@ -191,21 +188,19 @@ object CorpusQuality extends QueryModule {
         |FROM d JOIN t ON d.doc_id = t.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "q_text_boilerplate" ->
-      s"""WITH sh AS (SELECT DISTINCT doc_id,
-         |    unnest(list_transform(range(1, len(string_split(text, ' ')) - 3),
-         |      i -> array_to_string(
-         |        (string_split(text, ' '))[CAST(i AS INTEGER):CAST(i + 4 AS INTEGER)],
-         |        ' '))) AS sh
-         |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
-         |dfq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
-         |SELECT sh.doc_id,
+      s"""WITH shingled AS (SELECT doc_id, ${Fingerprints.sqlShingles} AS sh
+         |  FROM documents),
+         |p AS (SELECT DISTINCT doc_id, unnest(${Fingerprints.sqlHs}) AS h
+         |  FROM shingled),
+         |dfq AS (SELECT h, count(*) AS df FROM p GROUP BY h)
+         |SELECT p.doc_id,
          |  count(*) AS n_shingles,
          |  CAST(sum(CASE WHEN dfq.df > $BoilerDf THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
          |  CAST(sum(CASE WHEN dfq.df > $BoilerDf THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*) AS common_frac
-         |FROM sh JOIN dfq ON sh.sh = dfq.sh
-         |GROUP BY sh.doc_id
-         |ORDER BY doc_id""".stripMargin,
+         |FROM p JOIN dfq USING (h)
+         |GROUP BY p.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
     "q_text_unigram_score" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |  FROM documents),

@@ -87,7 +87,7 @@ object Fingerprints extends QueryModule {
     * run candidate generation + confirm against the materialized table.
     * MEMORY_AND_DISK: partitions spill, never recompute.
     */
-  private def postings(s: SparkSession, dir: String): DataFrame =
+  private[queries] def postings(s: SparkSession, dir: String): DataFrame =
     graft.Caches.memo(s, dir, "postings")(
       shingleIndex(s, dir).dropDuplicates("doc_id", "h"))
 
@@ -511,7 +511,7 @@ object Fingerprints extends QueryModule {
   // ---- DuckDB oracle SQL (same integer algorithms, brute-force where
   // that is simpler — provably the same result set) ----
 
-  private val sqlShingles =
+  private[queries] val sqlShingles =
     """CASE WHEN len(string_split(text, ' ')) >= 3
       |  THEN list_transform(range(0, len(string_split(text, ' ')) - 2),
       |    i -> string_split(text, ' ')[i + 1] || ' ' ||
@@ -519,7 +519,7 @@ object Fingerprints extends QueryModule {
       |         string_split(text, ' ')[i + 3])
       |  ELSE [text] END""".stripMargin
 
-  private val sqlHs =
+  private[queries] val sqlHs =
     s"list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $P)"
 
   // Outer CAST: DuckDB list_sum returns HUGEINT, which the driver's
