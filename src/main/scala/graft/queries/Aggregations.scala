@@ -66,9 +66,72 @@ object Aggregations extends QueryModule {
         |) AS (agg, value)""".stripMargin)
     .orderBy("agg")
 
+  /** Table profiling — the ANALYZE/data-quality pass a pipeline runs
+    * before relying on a table: per-column row/null/distinct counts and
+    * min/max, ONE aggregation pass over the scan (multiple
+    * count-distincts plan as a single Expand + two-level aggregate —
+    * rows × #distinct-cols expansion, the standard Catalyst shape), then
+    * a `stack` to the (column, stat…) presentation. At 100 TB swap the
+    * exact distincts for `approx_count_distinct` and the same plan
+    * loses the Expand entirely; exact is kept here because the oracle
+    * must hash-match.
+    */
+  def qProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("l_quantity")).as("nn_qty"),
+      countDistinct(col("l_quantity")).as("nd_qty"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      count(col("l_discount")).as("nn_disc"),
+      countDistinct(col("l_discount")).as("nd_disc"),
+      min(col("l_discount")).as("min_disc"),
+      max(col("l_discount")).as("max_disc"),
+      count(col("l_extendedprice")).as("nn_price"),
+      countDistinct(col("l_extendedprice")).as("nd_price"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"))
+    .selectExpr(
+      """stack(3,
+        |  'l_discount', n_rows, nn_disc, nd_disc, min_disc, max_disc,
+        |  'l_extendedprice', n_rows, nn_price, nd_price, min_price, max_price,
+        |  'l_quantity', n_rows, nn_qty, nd_qty, min_qty, max_qty
+        |) AS (column, n_rows, n_notnull, n_distinct, vmin, vmax)""".stripMargin)
+    .orderBy("column")
+
+  /** Equi-width histogram of l_extendedprice in [[HistBins]] buckets —
+    * distribution profiling. Bounds come from one tiny min/max
+    * aggregate broadcast as a scalar; bucketing is then map-only and
+    * the histogram itself one hash aggregate over small integer keys.
+    * Bucket edges are the same double arithmetic on both engines, so
+    * boundary assignment is bit-identical.
+    */
+  private val HistBins = 10
+
+  def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
+      max(col("l_extendedprice")).as("hi"))
+    li.select(col("l_extendedprice").as("x"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("w", (col("hi") - col("lo")) / HistBins)
+      .withColumn("bucket",
+        least(floor((col("x") - col("lo")) / col("w")).cast("int"), lit(HistBins - 1)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        first(col("lo")).as("flo"), first(col("w")).as("fw"))
+      .select(col("bucket"),
+        (col("flo") + col("bucket") * col("fw")).as("b_lo"),
+        (col("flo") + (col("bucket") + 1) * col("fw")).as("b_hi"),
+        col("n"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_row" -> (qAggRow(_, _)),
-    "q_agg_matrix" -> (qAggMatrix(_, _)))
+    "q_agg_matrix" -> (qAggMatrix(_, _)),
+    "q_profile" -> (qProfile(_, _)),
+    "q_histogram" -> (qHistogram(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q_agg_row" ->
@@ -86,6 +149,33 @@ object Aggregations extends QueryModule {
          |  ${Q.sqlDsum("l_extendedprice")} AS sum_price,
          |  ${Q.sqlDavg("l_extendedprice")} AS mean_price
          |FROM lineitem""".stripMargin,
+    "q_profile" ->
+      """WITH m AS (SELECT count(*) AS n_rows,
+        |  count(l_quantity) AS nn_qty, count(DISTINCT l_quantity) AS nd_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  count(l_discount) AS nn_disc, count(DISTINCT l_discount) AS nd_disc,
+        |  min(l_discount) AS min_disc, max(l_discount) AS max_disc,
+        |  count(l_extendedprice) AS nn_price, count(DISTINCT l_extendedprice) AS nd_price,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem)
+        |SELECT 'l_discount' AS "column", n_rows, nn_disc AS n_notnull,
+        |  nd_disc AS n_distinct, min_disc AS vmin, max_disc AS vmax FROM m
+        |UNION ALL SELECT 'l_extendedprice', n_rows, nn_price, nd_price,
+        |  min_price, max_price FROM m
+        |UNION ALL SELECT 'l_quantity', n_rows, nn_qty, nd_qty,
+        |  min_qty, max_qty FROM m
+        |ORDER BY "column"""".stripMargin,
+    "q_histogram" ->
+      s"""WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+         |  FROM lineitem),
+         |x AS (SELECT l_extendedprice AS x, lo, (hi - lo) / $HistBins AS w
+         |  FROM lineitem, b),
+         |g AS (SELECT least(CAST(floor((x - lo) / w) AS INTEGER), ${HistBins - 1}) AS bucket,
+         |    count(*) AS n, any_value(lo) AS flo, any_value(w) AS fw
+         |  FROM x GROUP BY 1)
+         |SELECT bucket, flo + bucket * fw AS b_lo,
+         |  flo + (bucket + 1) * fw AS b_hi, n
+         |FROM g ORDER BY bucket""".stripMargin,
     "q_agg_matrix" ->
       s"""WITH m AS (SELECT
          |  CAST(min(l_quantity) AS DOUBLE) AS vmin,

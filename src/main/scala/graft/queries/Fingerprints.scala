@@ -174,6 +174,36 @@ object Fingerprints extends QueryModule {
     confirmedPairs(s, dir).count(); ()
   }
 
+  /** Incremental-ingest dedup: the last 20% of the corpus (by doc_id)
+    * plays the role of a newly arriving batch checked against the
+    * already-ingested 80%. Per new document: the smallest matching
+    * existing near-dup (exact-Jaccard-confirmed LSH match, the same
+    * J ≥ 0.5 rule as the batch pipeline), the match count, and the
+    * admit/reject verdict. Consumes the MATERIALIZED artifact chain
+    * (postings → candidates → confirmed pairs) — the production shape,
+    * where ingesting a batch probes the standing band index and posting
+    * store instead of recomputing the corpus; within-batch dedup stays
+    * the batch pipeline's job (q_dedup_pipeline_cc). Cross-boundary
+    * candidate pairs always arrive as (old, new) because pair
+    * construction orders doc_a < doc_b.
+    */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bnd = docs.agg(floor(count(lit(1)) * 0.8).cast("long").as("b"))
+    val cross = confirmedPairs(s, dir).crossJoin(broadcast(bnd))
+      .filter(col("doc_a") < col("b") && col("doc_b") >= col("b"))
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("dup_of"), count(lit(1)).as("n_matches"))
+    docs.select("doc_id").crossJoin(broadcast(bnd))
+      .filter(col("doc_id") >= col("b"))
+      .join(cross, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("dup_of").isNull.as("admitted"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      .orderBy("doc_id")
+  }
+
   /** 48-bit SimHash fingerprint per document (majority vote per bit over
     * word hashes).
     */
@@ -504,6 +534,7 @@ object Fingerprints extends QueryModule {
     "q_dedup_pipeline_cc" -> (qDedupPipelineCc(_, _)),
     "q_dedup_cluster" -> (qDedupCluster(_, _)),
     "q_dedup_minhash" -> (qDedupMinhash(_, _)),
+    "q_dedup_incremental" -> (qDedupIncremental(_, _)),
     "q_fingerprint_simhash" -> (qFingerprintSimhash(_, _)),
     "q_dedup_simhash" -> (qDedupSimhash(_, _)),
     "q_dedup_jaccard" -> (qDedupJaccard(_, _)))
@@ -630,6 +661,29 @@ object Fingerprints extends QueryModule {
     "q_dedup_minhash" ->
       s"""$sqlMinhashCtes
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""$sqlMinhashCtes,
+         |bnd AS (SELECT CAST(floor(count(*) * 0.8) AS BIGINT) AS b FROM documents),
+         |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),
+         |confirmed AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM pairs p
+         |  JOIN bnd ON p.doc_a < bnd.b AND p.doc_b >= bnd.b
+         |  JOIN dhs a ON a.doc_id = p.doc_a
+         |  JOIN dhs b ON b.doc_id = p.doc_b
+         |  WHERE len(list_intersect(a.dh, b.dh))
+         |      / (a.n + b.n - len(list_intersect(a.dh, b.dh))) >= $JaccardT),
+         |agg AS (SELECT doc_b AS doc_id, CAST(min(doc_a) AS BIGINT) AS dup_of,
+         |    count(*) AS n_matches
+         |  FROM confirmed GROUP BY doc_b)
+         |SELECT d.doc_id,
+         |  (a.doc_id IS NULL) AS admitted,
+         |  COALESCE(a.dup_of, -1) AS dup_of,
+         |  CAST(COALESCE(a.n_matches, 0) AS BIGINT) AS n_matches
+         |FROM documents d
+         |JOIN bnd ON d.doc_id >= bnd.b
+         |LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // Transitive closure by recursive CTE: reach(doc, m) enumerates every
     // node m reachable from doc over the symmetric confirmed-pair edges;
     // min(m) per doc is exactly the propagated min-label fixpoint.
