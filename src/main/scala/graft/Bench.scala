@@ -63,9 +63,14 @@ object Bench {
     SparkEntry.queries.get("q1_agg").foreach(f => f(spark, sfDir).count())
 
     // Build the shared per-corpus artifacts up front; their cost is the
-    // `prep` field, not part of any query's time.
+    // `prep` field, not part of any query's time. Per-module seconds go
+    // to the detail file so a prep regression is attributable.
     val prepT0 = System.nanoTime()
-    SparkEntry.modules.foreach(_.prewarm(spark, sfDir))
+    val prepDetail = SparkEntry.modules.map { m =>
+      val t0 = System.nanoTime()
+      m.prewarm(spark, sfDir)
+      m.getClass.getSimpleName.stripSuffix("$") -> (System.nanoTime() - t0) / 1e9
+    }.filter(_._2 >= 0.005)
     val prepSec = (System.nanoTime() - prepT0) / 1e9
 
     // Optional comma-separated query filter for targeted profiling, and
@@ -92,9 +97,11 @@ object Bench {
     try {
       val detail = results.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
+      val prepJson = prepDetail.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(DetailFile),
-        s"""{"total":$total,"prep":$prepSec,"sf":"$sfDir","queries":$detail}\n"""
+        s"""{"total":$total,"prep":$prepSec,"prep_by_module":$prepJson,"sf":"$sfDir","queries":$detail}\n"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => }
 
