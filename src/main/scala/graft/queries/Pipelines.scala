@@ -125,6 +125,15 @@ object Pipelines extends QueryModule {
   private def partedPath(dir: String): String =
     s"${IoQ.scratch}/parts/events_by_type_${ident(dir)}"
 
+  /** The partitioned events layout as a DataFrame — shared with specs
+    * that assert layout-dependent plan shapes (partition pruning,
+    * dynamic partition pruning).
+    */
+  private[queries] def partitionedEvents(s: SparkSession, dir: String): DataFrame = {
+    ensurePartitioned(s, dir)
+    s.read.parquet(partedPath(dir))
+  }
+
   /** Per-user purchase totals read through the partitioned layout: the
     * event_type predicate never touches row data — it prunes the
     * directory listing. At 100 TB with date/source partitions this is
@@ -247,14 +256,65 @@ object Pipelines extends QueryModule {
     ensurePartitioned(s, dir)
   }
 
+  /** Z-order (Morton) layout key over (l_partkey, l_suppkey) and the
+    * data-skipping evidence it buys: bit-interleave the two keys (16
+    * bits each, masked — a codegen'd shift/mask expression TREE built at
+    * plan time, no interpreted lambda), then summarize 32 equal-width
+    * z-ranges with each dimension's min/max. Bounded per-range extents
+    * in BOTH dimensions are exactly what lets a z-sorted file layout
+    * skip row groups for predicates on EITHER key — the multi-dim
+    * complement of the single-key `Io.bucketedParquet` layout. At scale
+    * the same zval feeds `repartitionByRange(zval).sortWithinPartitions`
+    * before the write; here the summary table is the verifiable part.
+    */
+  private def zInterleave(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .plus(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ + _)
+
+  def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").bitwiseAND(lit(65535L)).as("pk"),
+        col("l_suppkey").bitwiseAND(lit(65535L)).as("sk"))
+      .withColumn("z", zInterleave(col("pk"), col("sk")))
+    val mx = li.agg(max(col("z")).as("mz"))
+    li.crossJoin(broadcast(mx))
+      .withColumn("bucket",
+        least(floor(col("z") * 32 / (col("mz") + 1)).cast("int"), lit(31)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
+        min(col("sk")).as("min_sk"), max(col("sk")).as("max_sk"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder" -> (qZorder(_, _)),
     "q_bucketed_join" -> (qBucketedJoin(_, _)),
     "q_partition_prune" -> (qPartitionPrune(_, _)),
     "q_seq_pack" -> (qSeqPack(_, _)),
     "q_train_prep" -> (qTrainPrep(_, _)),
     "q_text_redact" -> (qTextRedact(_, _)))
 
+  private val sqlZ = (0 until 16).map { i =>
+    s"((((l_partkey & 65535) >> $i) & 1) << ${2 * i + 1}) + ((((l_suppkey & 65535) >> $i) & 1) << ${2 * i})"
+  }.mkString(" + ")
+
   val oracleSql: Map[String, String] = Map(
+    "q_zorder" ->
+      s"""WITH z AS (SELECT l_partkey & 65535 AS pk, l_suppkey & 65535 AS sk,
+         |    CAST($sqlZ AS BIGINT) AS z
+         |  FROM lineitem),
+         |m AS (SELECT max(z) AS mz FROM z),
+         |b AS (SELECT pk, sk,
+         |    least(CAST(floor(z * 32 / (m.mz + 1)) AS INTEGER), 31) AS bucket
+         |  FROM z, m)
+         |SELECT bucket, count(*) AS n,
+         |  min(pk) AS min_pk, max(pk) AS max_pk,
+         |  min(sk) AS min_sk, max(sk) AS max_sk
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_bucketed_join" ->
       s"""SELECT o_orderpriority,
          |  count(*) AS n_items,

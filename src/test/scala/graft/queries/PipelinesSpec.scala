@@ -105,4 +105,55 @@ class PipelinesSpec extends SparkSpec {
     // clustering refines the pairwise graph: at least 2 docs per cluster
     assert(byCluster.filter(col("n") < 2).count() == 0)
   }
+
+  test("dynamic partition pruning fires on the partitioned events layout") {
+    val ev = Pipelines.partitionedEvents(spark, sf)
+    // the dim must come from a source with a real (non-constant-folded)
+    // filter — a LocalRelation folds the predicate away and the pruning
+    // rule sees no selective filter to propagate
+    val dimPath = s"${graft.SparkSpec.scratch}/dpp_dim"
+    Seq(("purchase", 1), ("view", 0), ("click", 0))
+      .toDF("event_type", "keep")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val q = ev.join(dim.filter(col("keep") === 1), Seq("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString.toLowerCase
+    // the fact scan's partition filter must carry a runtime pruning
+    // subquery on event_type — directory pruning decided by the dim's
+    // filter result, the mechanism that turns "scan all partitions"
+    // into "scan the one day/source that survives the dim filter"
+    assert(plan.contains("dynamicpruning"),
+      s"expected a DynamicPruning partition filter:\n$plan")
+    assert(q.collect().nonEmpty)
+  }
+
+  test("incremental dedup covers every new doc; rejects have an old-corpus witness") {
+    val out = Fingerprints.qDedupIncremental(spark, sf).cache()
+    try {
+      val docs = graft.Tables.documents(spark, sf)
+      val b = math.floor(docs.count() * 0.8).toLong
+      // one verdict row per new doc
+      assert(out.count() == docs.filter(col("doc_id") >= b).count())
+      val rejected = out.filter(!col("admitted"))
+        .select("doc_id", "dup_of", "n_matches").collect()
+      rejected.foreach { r =>
+        // the witness is an existing (pre-boundary) doc, and the match
+        // count is positive
+        assert(r.getAs[Long]("dup_of") >= 0 && r.getAs[Long]("dup_of") < b)
+        assert(r.getAs[Long]("n_matches") >= 1)
+      }
+      // admitted rows carry the no-match sentinels
+      val admitted = out.filter(col("admitted")).collect()
+      admitted.foreach { r =>
+        assert(r.getAs[Long]("dup_of") == -1L && r.getAs[Long]("n_matches") == 0L)
+      }
+      // every rejected doc belongs to a near-dup component whose label
+      // is an old doc (the cluster query sees the same confirmed edges)
+      val labels = Fingerprints.qDedupCluster(spark, sf)
+      val bad = out.filter(!col("admitted")).select("doc_id")
+        .join(labels, "doc_id").filter(col("cluster") >= b)
+      assert(bad.count() == 0)
+    } finally { out.unpersist(); () }
+  }
 }
