@@ -151,6 +151,8 @@ object Fingerprints extends QueryModule {
     * signature build (16 min-aggregates over every posting) runs once
     * per corpus, not once per consuming query.
     */
+  private[queries] def candidatePairsForProf(s: SparkSession, dir: String): DataFrame = candidatePairs(s, dir)
+
   private def candidatePairs(s: SparkSession, dir: String): DataFrame =
     graft.Caches.memo(s, dir, "minhash_cands")(minhashPairs(postings(s, dir)))
 
@@ -160,6 +162,8 @@ object Fingerprints extends QueryModule {
     * a production clean writes it out (it is the provenance record of
     * every removal decision). Tiny relative to the corpus.
     */
+  private[queries] def confirmedPairsForProf(s: SparkSession, dir: String): DataFrame = confirmedPairs(s, dir)
+
   private def confirmedPairs(s: SparkSession, dir: String): DataFrame =
     graft.Caches.memo(s, dir, "confirmed_pairs")(
       interCounts(candidatePairs(s, dir), postings(s, dir))
