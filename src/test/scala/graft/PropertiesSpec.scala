@@ -157,4 +157,37 @@ class PropertiesSpec extends SparkSpec {
       assert(got == want, s"\nedges=$edges\ngot=$got\nwant=$want")
     }
   }
+
+  test("span hashes ≡ brute-force distinct window hashes on random ASCII text") {
+    import graft.functions.SpanHashMath.{P, Pow, W, spanHashes}
+    import org.apache.spark.unsafe.types.UTF8String
+    val asciiText = Gen.choose(0, 120)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(32.toChar, 126.toChar)).map(_.mkString))
+    samples(asciiText, 40).foreach { s =>
+      val got = {
+        val a = spanHashes(UTF8String.fromString(s))
+        (0 until a.numElements()).map(a.getLong)
+      }
+      val want =
+        if (s.length < W) Seq.empty[Long]
+        else (0 to s.length - W).map { i =>
+          (0 until W).map(j => s.charAt(i + j).toLong * Pow(j)).sum % P
+        }.distinct.sorted
+      assert(got == want, s"text=${s.take(60)}…")
+    }
+  }
+
+  test("z-order interleave is a bijection: odd/even bit extraction decodes both keys") {
+    samples(Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)), 60)
+      .foreach { case (a, b) =>
+        // mirror of Pipelines.zInterleave's bit layout: a on odd bits,
+        // b on even bits
+        val z = (0 until 16).map { i =>
+          (((a >> i) & 1L) << (2 * i + 1)) + (((b >> i) & 1L) << (2 * i))
+        }.sum
+        val da = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+        val db = (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).sum
+        assert(da == a && db == b, s"a=$a b=$b z=$z")
+      }
+  }
 }
