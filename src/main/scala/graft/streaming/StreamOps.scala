@@ -50,6 +50,21 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming ingest decontamination — the streaming face of the
+    * batch decontamination / incremental-dedup queries: drop arriving
+    * documents whose content fingerprint appears in a STATIC blocklist
+    * (eval-set fingerprints, or an existing corpus's exact-dup
+    * digests). Stream-static left-anti join: the static side joins
+    * (broadcast when small) against each micro-batch, with NO streaming
+    * state at all — memory is bounded by the blocklist, not the
+    * stream. The near-dup variant at scale swaps the fingerprint
+    * equi-key for the LSH band key against the standing band index,
+    * same join shape.
+    */
+  def decontaminate(docs: DataFrame, blocklist: DataFrame,
+      fpCol: String = "fp"): DataFrame =
+    docs.join(blocklist, Seq(fpCol), "left_anti")
+
   /** Watermarked stream-stream interval join — each click pairs with
     * the same user's views inside [click.ts − maxAge, click.ts]. The
     * interval bound plus the watermarks is what makes the join state

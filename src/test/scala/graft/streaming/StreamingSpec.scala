@@ -73,6 +73,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination anti-joins arriving docs against a static blocklist") {
+    import org.apache.spark.sql.functions.{col, md5}
+    implicit val sqlCtx = spark.sqlContext
+    val blocklist = Seq("known eval document", "banned content")
+      .toDF("t").select(md5(col("t")).as("fp"))
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+      .withColumn("fp", md5(col("text")))
+    val q = StreamOps.decontaminate(docs, blocklist)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("decon_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, "fresh new document"),
+        (2L, "known eval document"), // blocked
+        (3L, "another fresh one"),
+        (4L, "banned content")) // blocked
+      q.processAllAvailable()
+      val kept = spark.table("decon_test").collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(1L, 3L))
+      // stateless: a stream-static anti-join keeps no watermark state
+      assert(q.lastProgress == null ||
+        Option(q.lastProgress.stateOperators).forall(_.isEmpty))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with in-window views only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[StreamOps.Event]
