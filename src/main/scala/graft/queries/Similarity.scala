@@ -304,6 +304,66 @@ object Similarity extends QueryModule {
       .orderBy("qid", "rank")
   }
 
+  /** PQ geometry: [[PqSubs]] subspaces of [[PqDim]] dims, [[PqK]]
+    * centroids per subspace (codebook = the seed vectors' subvectors,
+    * deterministic like the IVF coarse centroids, so the oracle replays
+    * the exact algorithm; production trains the codebook with
+    * [[qKmeansIter]]'s plan per subspace).
+    */
+  private val PqSubs = 8
+  private val PqDim = 8
+  private val PqK = 16
+
+  /** (id, s, sv) — every vector split into its 8-dim subvectors; the
+    * shared explode for PQ encode and query ADC tables.
+    */
+  private def pqSubvectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, ${PqSubs - 1}), s -> struct(s AS s, slice(qv, s * $PqDim + 1, $PqDim) AS sv))"))
+      .as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+
+  /** Product-quantization ANN — the memory-bound scale path of the ANN
+    * family (vs sign-LSH's recall path and IVF's partition path): every
+    * vector compresses to [[PqSubs]] one-byte codes (here: argmin
+    * squared-L2 subvector assignment against a broadcast codebook),
+    * and each query scores candidates through its asymmetric-distance
+    * table (query-subvector × centroid distances, PqSubs × PqK entries
+    * — tiny, broadcast) with ONE equi-join on (subspace, code) + a sum
+    * aggregate: the corpus-side work per query is a lookup-join over
+    * 8-byte codes, never the vectors. All distances are exact integer
+    * arithmetic over the shared 2^20-quantized vectors (squared L2 via
+    * dotl: ⟨a,a⟩ + ⟨b,b⟩ − 2⟨a,b⟩, codegen'd), so ranking is
+    * value-exact cross-engine. Top-5 per query by approximated
+    * distance, vid tie-break.
+    */
+  def qEmbedPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(s, dir)
+    val subs = pqSubvectors(emb)
+    val cents = pqSubvectors(emb.filter(col("vec_id") < PqK))
+      .select(col("vec_id").as("c"), col("s"), col("sv").as("cv"))
+    val sq = G.dotl(col("sv"), col("sv")) + G.dotl(col("cv"), col("cv")) -
+      lit(2L) * G.dotl(col("sv"), col("cv"))
+    val dists = subs.join(broadcast(cents), Seq("s")).withColumn("d", sq)
+    // encode: per (vector, subspace) the nearest centroid's id
+    val wEnc = Window.partitionBy("vec_id", "s").orderBy(col("d").asc, col("c").asc)
+    val codes = dists.withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("vid"), col("s"), col("c"))
+    // ADC tables for the query set: (qid, s, c) → exact subvector
+    // distance to centroid c
+    val dtab = dists.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("s"), col("c"), col("d"))
+    val scored = codes.join(broadcast(dtab), Seq("s", "c"))
+      .filter(col("qid") =!= col("vid"))
+      .groupBy("qid", "vid").agg(sum(col("d")).as("dist"))
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("vid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "vid", "dist", "rank")
+      .orderBy("qid", "rank")
+  }
+
   /** Approximate near-dup via the bucket-candidate → exact-confirm
     * composition — the PRIMARY shape at corpus scale for thresholds
     * with sign-LSH margin (τ ≥ ~0.8): candidate pairs share ≥1 band
@@ -382,7 +442,8 @@ object Similarity extends QueryModule {
     "q_dedup_embed_lsh" -> (qDedupEmbedLsh(_, _)),
     "q_embed_centroids" -> (qEmbedCentroids(_, _)),
     "q_kmeans_iter" -> (qKmeansIter(_, _)),
-    "q_knn_graph" -> (qKnnGraph(_, _)))
+    "q_knn_graph" -> (qKnnGraph(_, _)),
+    "q_embed_pq" -> (qEmbedPq(_, _)))
 
   // ---- DuckDB spellings of the integer-quantized vector math ----
 
@@ -489,6 +550,35 @@ object Similarity extends QueryModule {
          |WHERE a.vec_id < b.vec_id
          |  AND ${sqlQcos("a.qv", "b.qv", "a.n2", "b.n2")} >= 0.40
          |ORDER BY ida, idb""".stripMargin,
+    "q_embed_pq" ->
+      s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv FROM embeddings),
+         |subs AS (SELECT vec_id, CAST(t.s AS INTEGER) AS s,
+         |    qv[CAST(t.s * $PqDim + 1 AS INTEGER):CAST(t.s * $PqDim + $PqDim AS INTEGER)] AS sv
+         |  FROM e, range(0, $PqSubs) t(s)),
+         |cents AS (SELECT vec_id AS c, s, sv AS cv FROM subs WHERE vec_id < $PqK),
+         |dists AS (
+         |  SELECT sub.vec_id, sub.s, cents.c,
+         |    CAST(list_sum(list_transform(range(1, ${PqDim + 1}), j ->
+         |      (sub.sv[CAST(j AS INTEGER)] - cents.cv[CAST(j AS INTEGER)])
+         |      * (sub.sv[CAST(j AS INTEGER)] - cents.cv[CAST(j AS INTEGER)])))
+         |      AS BIGINT) AS d
+         |  FROM subs sub JOIN cents ON sub.s = cents.s),
+         |codes AS (SELECT vid, s, c FROM (
+         |    SELECT vec_id AS vid, s, c,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |dtab AS (SELECT vec_id AS qid, s, c, d FROM dists WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT dtab.qid, codes.vid, CAST(sum(dtab.d) AS BIGINT) AS dist
+         |  FROM codes JOIN dtab ON codes.s = dtab.s AND codes.c = dtab.c
+         |  WHERE dtab.qid <> codes.vid
+         |  GROUP BY dtab.qid, codes.vid),
+         |r AS (SELECT qid, vid, dist,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY dist ASC, vid ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT qid, vid, dist, rank FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
     "q_kmeans_iter" ->
       s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2 FROM embeddings),
          |cents AS (SELECT vec_id AS cid, qv AS cv, n2 AS cn2 FROM e

@@ -48,4 +48,17 @@ class SimilaritySpec extends SparkSpec {
       assert(byQid.length.toLong == graft.Tables.embeddings(spark, dir).count())
     } finally { out.unpersist(); () }
   }
+
+  test("PQ ANN: 5 ranked hits per query, non-negative non-decreasing distances") {
+    val rows = Similarity.qEmbedPq(spark, dir).collect()
+    val byQid = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQid.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQid.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val dists = sorted.map(_.getAs[Long]("dist"))
+      assert(dists.forall(_ >= 0L))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    }
+  }
 }
