@@ -345,11 +345,15 @@ object Similarity extends QueryModule {
     val sq = G.dotl(col("sv"), col("sv")) + G.dotl(col("cv"), col("cv")) -
       lit(2L) * G.dotl(col("sv"), col("cv"))
     val dists = subs.join(broadcast(cents), Seq("s")).withColumn("d", sq)
-    // encode: per (vector, subspace) the nearest centroid's id
-    val wEnc = Window.partitionBy("vec_id", "s").orderBy(col("d").asc, col("c").asc)
-    val codes = dists.withColumn("rn", row_number().over(wEnc))
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("vid"), col("s"), col("c"))
+    // encode: per (vector, subspace) the nearest centroid's id —
+    // argmin as min(struct(d, c)) in a HASH aggregate (lexicographic
+    // struct ordering = min distance, centroid-id tie-break), not a
+    // row_number sort window: partial aggregation runs map-side and
+    // nothing sorts, which is the shape that holds when the corpus ×
+    // codebook product is billions of rows
+    val codes = dists.groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d"), col("c"))).as("m"))
+      .select(col("vec_id").as("vid"), col("s"), col("m.c").as("c"))
     // ADC tables for the query set: (qid, s, c) → exact subvector
     // distance to centroid c
     val dtab = dists.filter(col("vec_id") < 5)
