@@ -158,6 +158,27 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("round-4 query results are shuffle-partition-invariant (exact numerics)") {
+    // the determinism contract (oracle hash-compare) requires results
+    // to be independent of the physical partitioning; these queries mix
+    // aggregation and double division, so an accidental float SUM would
+    // surface here as a partition-count-dependent low bit
+    val sf = "/root/testdata/sf0.001"
+    val qs: Seq[(String, () => Seq[org.apache.spark.sql.Row])] = Seq(
+      "kmeans" -> (() => queries.Similarity.qKmeansIter(spark, sf).collect().toSeq),
+      "unigram" -> (() => queries.CorpusQuality.qTextUnigramScore(spark, sf).collect().toSeq),
+      "boilerplate" -> (() => queries.CorpusQuality.qTextBoilerplate(spark, sf).collect().toSeq),
+      "pq" -> (() => queries.Similarity.qEmbedPq(spark, sf).collect().toSeq))
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val baseline = qs.map { case (n, f) => n -> f() }.toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      qs.foreach { case (n, f) =>
+        assert(f() == baseline(n), s"$n differs at 7 shuffle partitions")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("span hashes ≡ brute-force distinct window hashes on random ASCII text") {
     import graft.functions.SpanHashMath.{P, Pow, W, spanHashes}
     import org.apache.spark.unsafe.types.UTF8String
