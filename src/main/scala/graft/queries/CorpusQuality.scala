@@ -121,6 +121,33 @@ object CorpusQuality extends QueryModule {
       .orderBy("source")
   }
 
+  /** Materialize the √-temperature mixture as an actual corpus sample:
+    * per-source keep budget = floor(30%·corpus · sqᵢ/Σsq), and a doc
+    * survives when its stable md5 bucket clears the source's keep
+    * fraction — the comparison `bucket · n_docs < n_keep · 10^6` is
+    * exact integer arithmetic, so membership is bit-deterministic,
+    * reproducible under re-runs and incremental extension, and engine
+    * -independent (same contract as [[Sampling]]'s stratified sample).
+    * Map-only after a broadcast join with the 20-row weight table.
+    */
+  def qMixResample(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("sq", floor(sqrt(col("n_docs")) * 1e6).cast("long"))
+    val tot = counts.agg(sum(col("sq")).as("tot"),
+      floor(sum(col("n_docs")) * 0.3).cast("long").as("budget"))
+    val w = counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        floor(col("budget") * col("sq") / col("tot")).cast("long").as("n_keep"))
+    Tables.documents(s, dir).select("doc_id", "source")
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1000000"))
+      .join(broadcast(w), "source")
+      .filter(col("bucket") * col("n_docs") < col("n_keep") * lit(1000000L))
+      .select("doc_id", "source", "bucket")
+      .orderBy("doc_id")
+  }
+
   /** BPE merge-step pair statistics — the inner loop of byte-pair
     * tokenizer training: corpus-weighted adjacent character-pair counts.
     * The word-frequency table is computed once (hash agg over exploded
@@ -165,6 +192,7 @@ object CorpusQuality extends QueryModule {
     "q_text_boilerplate" -> (qTextBoilerplate(_, _)),
     "q_text_unigram_score" -> (qTextUnigramScore(_, _)),
     "q_mix_weights" -> (qMixWeights(_, _)),
+    "q_mix_resample" -> (qMixResample(_, _)),
     "q_bpe_pairs" -> (qBpePairs(_, _)),
     "q_dedup_spans" -> (qDedupSpans(_, _)))
 
@@ -223,6 +251,22 @@ object CorpusQuality extends QueryModule {
          |  CAST(floor($MixBudget * c.sq / t.tot) AS BIGINT) AS n_target
          |FROM c, t
          |ORDER BY source""".stripMargin,
+    "q_mix_resample" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs,
+        |    CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS sq
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(sq) AS BIGINT) AS tot,
+        |    CAST(floor(sum(n_docs) * 0.3) AS BIGINT) AS budget FROM c),
+        |w AS (SELECT c.source, c.n_docs,
+        |    CAST(floor(t.budget * c.sq / t.tot) AS BIGINT) AS n_keep
+        |  FROM c, t),
+        |d AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bucket
+        |  FROM documents)
+        |SELECT d.doc_id, d.source, d.bucket
+        |FROM d JOIN w USING (source)
+        |WHERE d.bucket * w.n_docs < w.n_keep * 1000000
+        |ORDER BY d.doc_id""".stripMargin,
     "q_bpe_pairs" ->
       s"""WITH wf AS (SELECT word, count(*) AS wc
          |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
