@@ -27,6 +27,8 @@ object ArtifactProf {
       val n = f
       println(f"PROF $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
+    t("scan_only")(graft.Tables.documents(spark, sfDir).count())
+    t("shingle_raw")(Fingerprints.shingleIndexForProf(spark, sfDir).count())
     t("postings")(Fingerprints.postings(spark, sfDir).count())
     t("minhash_cands")(Fingerprints.candidatePairsForProf(spark, sfDir).count())
     t("confirmed_pairs")(Fingerprints.confirmedPairsForProf(spark, sfDir).count())

@@ -53,6 +53,8 @@ object Fingerprints extends QueryModule {
     * count distinct HASHES — the oracle computes the same two numbers,
     * so J is bit-identical cross-engine with no collision caveat.
     */
+  private[queries] def shingleIndexForProf(s: SparkSession, dir: String): DataFrame = shingleIndex(s, dir)
+
   private def shingleIndex(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       // Shingling + hashing is ~10× the CPU of scanning the text bytes,

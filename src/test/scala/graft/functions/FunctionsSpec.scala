@@ -88,4 +88,27 @@ class FunctionsSpec extends SparkSpec {
       .selectExpr("graft_sinter(a, b) AS s").collect()
     assert(nul(0).isNullAt(0))
   }
+
+  test("every graft function is callable from pure SQL (extension surface)") {
+    // the same (name, builder) list GraftExtensions injects cluster-wide
+    val r = spark.sql(
+      """SELECT graft_erf(1.0) AS e,
+        |  graft_rollhash('abcdefghij') AS rh,
+        |  graft_spanhashes(repeat('a', 40)) AS sh,
+        |  graft_dotl(array(1L, 2L), array(3L, 4L)) AS d,
+        |  graft_sinter(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS si""".stripMargin)
+      .head()
+    assert(math.abs(r.getDouble(0) - 0.8427007929) < 1.5e-7)
+    assert(r.getLong(1) >= 0L)
+    assert(r.getSeq[Long](2).length == 1) // uniform string -> one span hash
+    assert(r.getLong(3) == 11L)
+    assert(r.getLong(4) == 2L)
+    val p = spark.sql("SELECT graft_prod(x) FROM VALUES (2.0), (3.0) AS t(x)")
+      .head().getDouble(0)
+    assert(p == 6.0)
+    // the injected list covers every registered builder
+    val names = graft.functions.GraftFunctions.builders.map(_._1).toSet
+    assert(names == Set("graft_prod", "graft_erf", "graft_rollhash",
+      "graft_spanhashes", "graft_dotl", "graft_sinter"))
+  }
 }
