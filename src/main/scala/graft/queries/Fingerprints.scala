@@ -422,7 +422,7 @@ object Fingerprints extends QueryModule {
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum("cluster")).head.getLong(0)
+    var prevSum = labels.agg(sum("cluster")).head().getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
@@ -432,7 +432,7 @@ object Fingerprints extends QueryModule {
         .select(labels("doc_id"),
           least(col("cluster"), coalesce(col("mc"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
-      val s1 = labels.agg(sum("cluster")).head.getLong(0)
+      val s1 = labels.agg(sum("cluster")).head().getLong(0)
       converged = s1 == prevSum
       prevSum = s1
       iter += 1

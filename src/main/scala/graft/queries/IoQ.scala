@@ -73,7 +73,7 @@ object IoQ extends QueryModule {
     val tmp = s"$scratch/json/region"
     Io.writeJson(src, tmp)
     Io.readJson(s, tmp, schema = Some(src.schema))
-      .select(src.columns.map(col): _*)
+      .select(src.columns.toIndexedSeq.map(col): _*)
       .orderBy("r_regionkey")
   }
 
@@ -82,7 +82,7 @@ object IoQ extends QueryModule {
     val src = Tables.supplier(s, dir)
     val tmp = s"$scratch/orc/supplier"
     Io.writeOrc(src, tmp)
-    Io.readOrc(s, tmp).select(src.columns.map(col): _*)
+    Io.readOrc(s, tmp).select(src.columns.toIndexedSeq.map(col): _*)
       .orderBy("s_suppkey")
   }
 

@@ -35,7 +35,7 @@ object MultimodalQ extends QueryModule {
     val media = Multimodal.syntheticMedia(s, dir)
     val meta = Multimodal.decodeMeta(media)
     val feats = Multimodal.extractFeatures(media)
-    meta.toDF.join(feats.toDF.select(col("id"), col("features")), "id")
+    meta.toDF().join(feats.toDF().select(col("id"), col("features")), "id")
       .groupBy("kind")
       .agg(
         count(lit(1)).as("n"),
@@ -51,7 +51,7 @@ object MultimodalQ extends QueryModule {
     */
   def qMultimodalResize(s: SparkSession, dir: String): DataFrame = {
     val resized = Multimodal.resize(Multimodal.syntheticMedia(s, dir), 64)
-    Multimodal.decodeMeta(resized).toDF
+    Multimodal.decodeMeta(resized).toDF()
       .select("id", "kind", "nBytes", "width", "height")
       .orderBy("id")
   }
