@@ -71,4 +71,21 @@ object Io {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+
+  /** Small-file compaction: rewrite a fragmented dataset as
+    * `targetFiles` range-partitioned, internally-sorted parquet files,
+    * each capped at `maxRecordsPerFile` rows. Range partitioning keeps
+    * the sort key clustered (min/max row-group stats stay selective —
+    * the data-skipping complement to `bucketedParquet`'s join layout),
+    * and the per-file cap is Spark's own split point so one oversized
+    * range can't produce a monster file. At 100 TB this is the
+    * periodic maintenance job that keeps scan task counts proportional
+    * to data, not to ingest batch count.
+    */
+  def compactedParquet(df: DataFrame, path: String, rangeCol: String,
+      targetFiles: Int, maxRecordsPerFile: Long = 0L): Unit =
+    df.repartitionByRange(targetFiles, org.apache.spark.sql.functions.col(rangeCol))
+      .sortWithinPartitions(rangeCol)
+      .write.option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite").parquet(path)
 }

@@ -93,4 +93,29 @@ class IoSpec extends SparkSpec {
       .orderBy("ord").collect().map(_.getInt(1)).toSeq
     assert(out == Seq(10, 40))
   }
+
+  test("compaction rewrites a fragmented dataset into few sorted bounded files") {
+    val frag = s"${graft.SparkSpec.scratch}/compact_frag"
+    val tidy = s"${graft.SparkSpec.scratch}/compact_tidy"
+    // fragment: 5000 rows sprayed across 40 files
+    spark.range(5000).toDF("id").repartition(40)
+      .write.mode("overwrite").parquet(frag)
+    def parts(p: String) = new java.io.File(p).listFiles
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts(frag).length == 40)
+    // compact to 4 range files capped at 2000 rows each
+    Io.compactedParquet(spark.read.parquet(frag), tidy, "id", 4, 2000L)
+    val outFiles = parts(tidy)
+    assert(outFiles.length >= 4 && outFiles.length <= 7,
+      s"got ${outFiles.length} files")
+    // data intact, and every file's rows fit the cap
+    val back = spark.read.parquet(tidy)
+    assert(back.count() == 5000L)
+    assert(back.select("id").distinct().count() == 5000L)
+    val perFile = back
+      .select(col("id"), org.apache.spark.sql.functions
+        .input_file_name().as("f"))
+      .groupBy("f").count().collect().map(_.getLong(1))
+    assert(perFile.forall(_ <= 2000L), perFile.mkString(","))
+  }
 }
