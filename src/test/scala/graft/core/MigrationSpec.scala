@@ -92,6 +92,28 @@ class MigrationSpec extends SparkSpec {
     assert(g == Seq((0L, 1L), (1L, 5L), (2L, 4L)))
   }
 
+  test("series.py doctest: arithmetic, series-series zip, aggregations") {
+    // sr = bl.Series([0, 1, 2])
+    val sr = new BalooSeries(
+      Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("idx", "v"), Seq("idx"), "v")
+    assert(sr.toDF.count() == 3)
+    // (sr + 2) → [2, 3, 4]
+    assert((sr + 2.0).toDF.orderBy("idx").collect().map(_.getDouble(1)).toSeq
+      == Seq(2.0, 3.0, 4.0))
+    // (sr - Index(arange(3))) → [0, 0, 0] (index-aligned zip)
+    val other = new BalooSeries(
+      Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("idx", "w"), Seq("idx"), "w")
+    assert((sr - other).toDF.orderBy("idx").collect().map(_.getLong(1)).toSeq
+      == Seq(0L, 0L, 0L))
+    // sr.max() = 2, sr.var() = 1.0 (sample)
+    assert(sr.max() == 2.0)
+    assert(sr.variance() == 1.0)
+    // sr.agg(['min', 'std']) → min 0, std 1
+    val m = sr.agg(Seq("min", "std")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m == Map("min" -> 0.0, "std" -> 1.0))
+  }
+
   test("README benchmark pipeline replayed op for op") {
     // col1 f64, col2 f64, col3 i64, col4 i32 — the reference's schema
     val base = new BalooFrame(
