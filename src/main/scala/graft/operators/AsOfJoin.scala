@@ -29,11 +29,17 @@ object AsOfJoin {
   /** @param payload right-side value columns to carry (must not collide
     *                with left column names)
     * @param rightTsAs if nonempty, also emit the matched right timestamp
-    * @param toleranceUs if ≥ 0, a match older than this many
-    *                microseconds before the left timestamp is discarded
+    * @param toleranceUs if ≥ 0, a match farther than this many
+    *                microseconds from the left timestamp is discarded
     *                (payload columns NULL) — pandas `merge_asof`'s
     *                `tolerance`. Applied as a post-predicate on the
     *                struct-carried match timestamp: zero extra shuffles.
+    * @param direction "backward" (default): most recent right row with
+    *                ts ≤ left ts — or "forward": earliest right row with
+    *                ts ≥ left ts (pandas `merge_asof` `direction`).
+    *                Forward is the same one-shuffle plan traversed in
+    *                descending ts order; DuckDB mirrors it with
+    *                `ASOF … ON right.ts >= left.ts`.
     *
     * The whole right payload (+ its ts) travels as ONE struct through a
     * single `last(_, ignoreNulls)` — all emitted payload columns come
@@ -43,7 +49,9 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
       payload: Seq[String], rightTsAs: String = "",
-      toleranceUs: Long = -1L): DataFrame = {
+      toleranceUs: Long = -1L, direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got $direction")
     require(payload.intersect(left.columns.toSeq).isEmpty,
       s"right payload ${payload.intersect(left.columns.toSeq)} collides with left columns")
     val leftOnly = left.columns.toSeq.filterNot(c => keys.contains(c) || c == tsCol)
@@ -56,19 +64,23 @@ object AsOfJoin {
       keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side"), payStruct.as("__pay"))
 
     val unioned = left.select(lTagged: _*).unionByName(right.select(rTagged: _*))
+    val tsOrder =
+      if (direction == "backward") col(tsCol).asc else col(tsCol).desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled0 = unioned
       .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    val gapUs =
+      if (direction == "backward")
+        unix_micros(col(tsCol)) - unix_micros(col("__match").getField("__ts"))
+      else
+        unix_micros(col("__match").getField("__ts")) - unix_micros(col(tsCol))
     val filled =
       if (toleranceUs < 0) filled0
-      else filled0.withColumn("__match",
-        when(unix_micros(col(tsCol))
-          - unix_micros(col("__match").getField("__ts")) <= toleranceUs,
-          col("__match")))
+      else filled0.withColumn("__match", when(gapUs <= toleranceUs, col("__match")))
     val withPayload = payload.foldLeft(filled) { (df, p) =>
       df.withColumn(p, col("__match").getField(p))
     }

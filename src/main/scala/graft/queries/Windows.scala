@@ -120,6 +120,24 @@ object Windows extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Forward as-of join (pandas merge_asof direction='forward'): for
+    * every click, the user's EARLIEST view at-or-after it — the
+    * "next event" attribution shape. Same one-shuffle plan as
+    * [[qAsofJoin]] traversed in descending time order; oracle is
+    * DuckDB's native ASOF with the inequality flipped.
+    */
+  def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val clicks = ev(s, dir).filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").as("click_value"))
+    val views = ev(s, dir).filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value").as("view_value"))
+    graft.operators.AsOfJoin.asOf(
+        clicks, views, Seq("user_id"), "ts", Seq("view_value"),
+        rightTsAs = "view_ts", direction = "forward")
+      .select("event_id", "user_id", "ts", "click_value", "view_value", "view_ts")
+      .orderBy("event_id")
+  }
+
   /** Bounded-staleness as-of tolerance (pandas merge_asof `tolerance`):
     * a view older than this is no match. 30 min suits the testdata's
     * event cadence (some matches survive, some age out).
@@ -239,6 +257,7 @@ object Windows extends QueryModule {
     "q_window_range" -> (qWindowRange(_, _)),
     "q_window_rank_full" -> (qWindowRankFull(_, _)),
     "q_asof_join" -> (qAsofJoin(_, _)),
+    "q_asof_forward" -> (qAsofForward(_, _)),
     "q_asof_tolerance" -> (qAsofTolerance(_, _)),
     "q_json_extract" -> (qJsonExtract(_, _)),
     "q_window_rank" -> (qWindowRank(_, _)),
@@ -326,6 +345,16 @@ object Windows extends QueryModule {
          |  qt.view_value, qt.ts AS view_ts
          |FROM tr ASOF LEFT JOIN qt
          |  ON tr.user_id = qt.user_id AND qt.ts <= tr.ts
+         |ORDER BY event_id""".stripMargin,
+    "q_asof_forward" ->
+      s"""WITH tr AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    value AS click_value FROM events WHERE event_type = 'click'),
+         |qt AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    value AS view_value FROM events WHERE event_type = 'view')
+         |SELECT tr.event_id, tr.user_id, tr.ts, tr.click_value,
+         |  qt.view_value, qt.ts AS view_ts
+         |FROM tr ASOF LEFT JOIN qt
+         |  ON tr.user_id = qt.user_id AND qt.ts >= tr.ts
          |ORDER BY event_id""".stripMargin,
     // Tolerance = post-predicate on the native ASOF match: a stale
     // match degrades to NULL payload (not to the next-older match,

@@ -87,6 +87,17 @@ class PropertiesSpec extends SparkSpec {
         i.toLong -> (if (cand.isEmpty) null else cand.maxBy(_._2.getTime)._3)
       }.toMap
       assert(gotTol == wantTol)
+
+      // forward direction: earliest right at-or-after (pandas
+      // merge_asof direction='forward')
+      val gotFwd = operators.AsOfJoin.asOf(left, right, Seq("u"), "ts",
+          Seq("rv"), direction = "forward")
+        .collect().map(row => row.getAs[Long]("id") -> row.getAs[Any]("rv")).toMap
+      val wantFwd = l.map { case ((u, t, _), i) =>
+        val cand = rights.filter(x => x._1 == u && !x._2.before(t))
+        i.toLong -> (if (cand.isEmpty) null else cand.minBy(_._2.getTime)._3)
+      }.toMap
+      assert(gotFwd == wantFwd)
     }
   }
 
