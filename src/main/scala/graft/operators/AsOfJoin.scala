@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,12 +34,20 @@ object AsOfJoin {
     *                (payload columns NULL) — pandas `merge_asof`'s
     *                `tolerance`. Applied as a post-predicate on the
     *                struct-carried match timestamp: zero extra shuffles.
-    * @param direction "backward" (default): most recent right row with
-    *                ts ≤ left ts — or "forward": earliest right row with
-    *                ts ≥ left ts (pandas `merge_asof` `direction`).
-    *                Forward is the same one-shuffle plan traversed in
-    *                descending ts order; DuckDB mirrors it with
-    *                `ASOF … ON right.ts >= left.ts`.
+    * @param direction pandas `merge_asof` `direction`: "backward"
+    *                (default, most recent right with ts ≤ left ts),
+    *                "forward" (earliest right with ts ≥ left ts — the
+    *                same one-shuffle plan traversed in descending ts
+    *                order; DuckDB mirrors it with
+    *                `ASOF … ON right.ts >= left.ts`), or "nearest"
+    *                (whichever of the two is closer; backward wins
+    *                ties, pandas' rule — both candidate matches come
+    *                from two windows over the SAME keyed partitioning,
+    *                so still one shuffle, two partition-local sorts).
+    * @param allowExactMatches pandas `allow_exact_matches`: when false
+    *                the inequality is strict (right at the exact left
+    *                ts is not a match) — implemented purely by flipping
+    *                which side sorts first at equal timestamps.
     *
     * The whole right payload (+ its ts) travels as ONE struct through a
     * single `last(_, ignoreNulls)` — all emitted payload columns come
@@ -49,9 +57,10 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
       payload: Seq[String], rightTsAs: String = "",
-      toleranceUs: Long = -1L, direction: String = "backward"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward or forward, got $direction")
+      toleranceUs: Long = -1L, direction: String = "backward",
+      allowExactMatches: Boolean = true): DataFrame = {
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward, forward, or nearest, got $direction")
     require(payload.intersect(left.columns.toSeq).isEmpty,
       s"right payload ${payload.intersect(left.columns.toSeq)} collides with left columns")
     val leftOnly = left.columns.toSeq.filterNot(c => keys.contains(c) || c == tsCol)
@@ -64,20 +73,47 @@ object AsOfJoin {
       keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side"), payStruct.as("__pay"))
 
     val unioned = left.select(lTagged: _*).unionByName(right.select(rTagged: _*))
-    val tsOrder =
-      if (direction == "backward") col(tsCol).asc else col(tsCol).desc
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(tsOrder, col("__side").asc)
+    // at equal ts, the right row sorts before the left (inclusive match)
+    // unless exact matches are disallowed — then the left sorts first
+    // and never sees the equal-ts right
+    val sideOrder =
+      if (allowExactMatches) col("__side").asc else col("__side").desc
+    def win(desc: Boolean) = Window.partitionBy(keys.map(col): _*)
+      .orderBy(if (desc) col(tsCol).desc else col(tsCol).asc, sideOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def gapOf(m: Column, forward: Boolean): Column =
+      if (forward) unix_micros(m.getField("__ts")) - unix_micros(col(tsCol))
+      else unix_micros(col(tsCol)) - unix_micros(m.getField("__ts"))
 
-    val filled0 = unioned
-      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    val filled0 = direction match {
+      case "backward" | "forward" =>
+        unioned
+          .withColumn("__match",
+            last(col("__pay"), ignoreNulls = true).over(win(direction == "forward")))
+          .filter(col("__side") === 1)
+      case "nearest" =>
+        // both candidates from two windows over the SAME partitioning;
+        // backward wins ties (pandas)
+        val b = last(col("__pay"), ignoreNulls = true).over(win(desc = false))
+        val f = last(col("__pay"), ignoreNulls = true).over(win(desc = true))
+        unioned
+          .withColumn("__mb", b).withColumn("__mf", f)
+          .filter(col("__side") === 1)
+          .withColumn("__match",
+            when(col("__mb").isNull, col("__mf"))
+              .when(col("__mf").isNull, col("__mb"))
+              .when(gapOf(col("__mb"), forward = false)
+                <= gapOf(col("__mf"), forward = true), col("__mb"))
+              .otherwise(col("__mf")))
+          .drop("__mb", "__mf")
+    }
     val gapUs =
-      if (direction == "backward")
-        unix_micros(col(tsCol)) - unix_micros(col("__match").getField("__ts"))
-      else
-        unix_micros(col("__match").getField("__ts")) - unix_micros(col(tsCol))
+      if (direction == "nearest")
+        // the directed gaps are negatives of each other; the true
+        // absolute distance is whichever is positive
+        greatest(gapOf(col("__match"), forward = false),
+          gapOf(col("__match"), forward = true))
+      else gapOf(col("__match"), direction == "forward")
     val filled =
       if (toleranceUs < 0) filled0
       else filled0.withColumn("__match", when(gapUs <= toleranceUs, col("__match")))

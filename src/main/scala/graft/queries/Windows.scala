@@ -138,6 +138,24 @@ object Windows extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Nearest as-of join (pandas merge_asof direction='nearest'):
+    * whichever of the at-or-before / at-or-after views is closer in
+    * time, backward winning ties. Still one shuffle — both candidate
+    * windows share the keyed partitioning. Oracle composes two native
+    * DuckDB ASOF joins and picks by gap with the same tie rule.
+    */
+  def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val clicks = ev(s, dir).filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").as("click_value"))
+    val views = ev(s, dir).filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value").as("view_value"))
+    graft.operators.AsOfJoin.asOf(
+        clicks, views, Seq("user_id"), "ts", Seq("view_value"),
+        rightTsAs = "view_ts", direction = "nearest")
+      .select("event_id", "user_id", "ts", "click_value", "view_value", "view_ts")
+      .orderBy("event_id")
+  }
+
   /** Bounded-staleness as-of tolerance (pandas merge_asof `tolerance`):
     * a view older than this is no match. 30 min suits the testdata's
     * event cadence (some matches survive, some age out).
@@ -258,6 +276,7 @@ object Windows extends QueryModule {
     "q_window_rank_full" -> (qWindowRankFull(_, _)),
     "q_asof_join" -> (qAsofJoin(_, _)),
     "q_asof_forward" -> (qAsofForward(_, _)),
+    "q_asof_nearest" -> (qAsofNearest(_, _)),
     "q_asof_tolerance" -> (qAsofTolerance(_, _)),
     "q_json_extract" -> (qJsonExtract(_, _)),
     "q_window_rank" -> (qWindowRank(_, _)),
@@ -355,6 +374,31 @@ object Windows extends QueryModule {
          |  qt.view_value, qt.ts AS view_ts
          |FROM tr ASOF LEFT JOIN qt
          |  ON tr.user_id = qt.user_id AND qt.ts >= tr.ts
+         |ORDER BY event_id""".stripMargin,
+    "q_asof_nearest" ->
+      s"""WITH tr AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    value AS click_value FROM events WHERE event_type = 'click'),
+         |qt AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    value AS view_value FROM events WHERE event_type = 'view'),
+         |b AS (SELECT tr.event_id, tr.user_id, tr.ts, tr.click_value,
+         |    qt.view_value AS bv, qt.ts AS bts
+         |  FROM tr ASOF LEFT JOIN qt
+         |    ON tr.user_id = qt.user_id AND qt.ts <= tr.ts),
+         |f AS (SELECT tr.event_id, qt.view_value AS fv, qt.ts AS fts
+         |  FROM tr ASOF LEFT JOIN qt
+         |    ON tr.user_id = qt.user_id AND qt.ts >= tr.ts)
+         |SELECT b.event_id, b.user_id, b.ts, b.click_value,
+         |  CASE WHEN b.bts IS NULL THEN f.fv
+         |    WHEN f.fts IS NULL THEN b.bv
+         |    WHEN epoch_us(b.ts) - epoch_us(b.bts)
+         |      <= epoch_us(f.fts) - epoch_us(b.ts) THEN b.bv
+         |    ELSE f.fv END AS view_value,
+         |  CASE WHEN b.bts IS NULL THEN f.fts
+         |    WHEN f.fts IS NULL THEN b.bts
+         |    WHEN epoch_us(b.ts) - epoch_us(b.bts)
+         |      <= epoch_us(f.fts) - epoch_us(b.ts) THEN b.bts
+         |    ELSE f.fts END AS view_ts
+         |FROM b JOIN f USING (event_id)
          |ORDER BY event_id""".stripMargin,
     // Tolerance = post-predicate on the native ASOF match: a stale
     // match degrades to NULL payload (not to the next-older match,

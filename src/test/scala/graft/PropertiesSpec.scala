@@ -98,6 +98,35 @@ class PropertiesSpec extends SparkSpec {
         i.toLong -> (if (cand.isEmpty) null else cand.minBy(_._2.getTime)._3)
       }.toMap
       assert(gotFwd == wantFwd)
+
+      // nearest: closer of the two candidates, backward wins ties
+      val gotNear = operators.AsOfJoin.asOf(left, right, Seq("u"), "ts",
+          Seq("rv"), direction = "nearest")
+        .collect().map(row => row.getAs[Long]("id") -> row.getAs[Any]("rv")).toMap
+      val wantNear = l.map { case ((u, t, _), i) =>
+        val back = rights.filter(x => x._1 == u && !x._2.after(t))
+          .sortBy(_._2.getTime).lastOption
+        val fwd = rights.filter(x => x._1 == u && !x._2.before(t))
+          .sortBy(_._2.getTime).headOption
+        val pick = (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (t.getTime - b._2.getTime <= f._2.getTime - t.getTime) Some(b)
+            else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+        i.toLong -> pick.map(_._3).getOrElse(null)
+      }.toMap
+      assert(gotNear == wantNear)
+
+      // allow_exact_matches = false: the equal-ts right is invisible
+      val gotStrict = operators.AsOfJoin.asOf(left, right, Seq("u"), "ts",
+          Seq("rv"), allowExactMatches = false)
+        .collect().map(row => row.getAs[Long]("id") -> row.getAs[Any]("rv")).toMap
+      val wantStrict = l.map { case ((u, t, _), i) =>
+        val cand = rights.filter(x => x._1 == u && x._2.before(t))
+        i.toLong -> (if (cand.isEmpty) null else cand.maxBy(_._2.getTime)._3)
+      }.toMap
+      assert(gotStrict == wantStrict)
     }
   }
 
