@@ -121,6 +121,30 @@ object CorpusQuality extends QueryModule {
       .orderBy("source")
   }
 
+  /** Shannon character entropy per document — the randomness quality
+    * signal (machine-generated or encrypted junk sits at the extremes).
+    * Computed as ln(n) − (Σ cᵢ·ln cᵢ)/n over per-character counts:
+    * the counts are exact integers from one hash aggregate, the only
+    * float work is ~30 ln terms per doc, and the result is rounded at
+    * the 1e-4 grain ([[Q.r4]]'s libm-boundary rule) so cross-engine
+    * last-ulp ln/summation differences cannot surface. Shape: explode
+    * chars → (doc, char) hash agg → per-doc agg; shuffle carries
+    * (doc, char, count) triples — alphabet-bounded per doc.
+    */
+  def qTextEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        round(log(col("n_chars").cast("double"))
+          - col("clc") / col("n_chars"), 4).as("entropy_nats"))
+      .orderBy("doc_id")
+
   /** Materialize the √-temperature mixture as an actual corpus sample:
     * per-source keep budget = floor(30%·corpus · sqᵢ/Σsq), and a doc
     * survives when its stable md5 bucket clears the source's keep
@@ -191,6 +215,7 @@ object CorpusQuality extends QueryModule {
     "q_text_repetition" -> (qTextRepetition(_, _)),
     "q_text_boilerplate" -> (qTextBoilerplate(_, _)),
     "q_text_unigram_score" -> (qTextUnigramScore(_, _)),
+    "q_text_entropy" -> (qTextEntropy(_, _)),
     "q_mix_weights" -> (qMixWeights(_, _)),
     "q_mix_resample" -> (qMixResample(_, _)),
     "q_bpe_pairs" -> (qBpePairs(_, _)),
@@ -251,6 +276,19 @@ object CorpusQuality extends QueryModule {
          |  CAST(floor($MixBudget * c.sq / t.tot) AS BIGINT) AS n_target
          |FROM c, t
          |ORDER BY source""".stripMargin,
+    "q_text_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch
+        |  WHERE length(ch) > 0 GROUP BY doc_id, ch),
+        |agg AS (SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_chars,
+        |    count(*) AS n_distinct_chars,
+        |    CAST(sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS DOUBLE) AS clc
+        |  FROM cc GROUP BY doc_id)
+        |SELECT doc_id, n_chars, n_distinct_chars,
+        |  round(ln(CAST(n_chars AS DOUBLE)) - clc / n_chars, 4) AS entropy_nats
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q_mix_resample" ->
       """WITH c AS (SELECT source, count(*) AS n_docs,
         |    CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS sq

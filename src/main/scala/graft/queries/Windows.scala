@@ -156,6 +156,23 @@ object Windows extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Strict as-of join (pandas allow_exact_matches=False): a view AT
+    * the click instant does not match — only strictly-before ones.
+    * Implemented by flipping the side order at equal timestamps; the
+    * oracle is DuckDB's native ASOF with `<`.
+    */
+  def qAsofStrict(s: SparkSession, dir: String): DataFrame = {
+    val clicks = ev(s, dir).filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").as("click_value"))
+    val views = ev(s, dir).filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value").as("view_value"))
+    graft.operators.AsOfJoin.asOf(
+        clicks, views, Seq("user_id"), "ts", Seq("view_value"),
+        rightTsAs = "view_ts", allowExactMatches = false)
+      .select("event_id", "user_id", "ts", "click_value", "view_value", "view_ts")
+      .orderBy("event_id")
+  }
+
   /** Bounded-staleness as-of tolerance (pandas merge_asof `tolerance`):
     * a view older than this is no match. 30 min suits the testdata's
     * event cadence (some matches survive, some age out).
@@ -277,6 +294,7 @@ object Windows extends QueryModule {
     "q_asof_join" -> (qAsofJoin(_, _)),
     "q_asof_forward" -> (qAsofForward(_, _)),
     "q_asof_nearest" -> (qAsofNearest(_, _)),
+    "q_asof_strict" -> (qAsofStrict(_, _)),
     "q_asof_tolerance" -> (qAsofTolerance(_, _)),
     "q_json_extract" -> (qJsonExtract(_, _)),
     "q_window_rank" -> (qWindowRank(_, _)),
@@ -374,6 +392,16 @@ object Windows extends QueryModule {
          |  qt.view_value, qt.ts AS view_ts
          |FROM tr ASOF LEFT JOIN qt
          |  ON tr.user_id = qt.user_id AND qt.ts >= tr.ts
+         |ORDER BY event_id""".stripMargin,
+    "q_asof_strict" ->
+      s"""WITH tr AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    value AS click_value FROM events WHERE event_type = 'click'),
+         |qt AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    value AS view_value FROM events WHERE event_type = 'view')
+         |SELECT tr.event_id, tr.user_id, tr.ts, tr.click_value,
+         |  qt.view_value, qt.ts AS view_ts
+         |FROM tr ASOF LEFT JOIN qt
+         |  ON tr.user_id = qt.user_id AND qt.ts < tr.ts
          |ORDER BY event_id""".stripMargin,
     "q_asof_nearest" ->
       s"""WITH tr AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
