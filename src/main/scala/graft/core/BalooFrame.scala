@@ -59,6 +59,10 @@ final class BalooFrame(val df: DataFrame, val indexCols: Seq[String]) {
   def slice(start: Long, stop: Long): BalooFrame =
     new BalooFrame(
       Ordinal.slice(df, keep(indexCols), start, stop).drop("ord"), indexCols)
+  /** Stepped positional slice `df[a:b:step]` (`weld_ops.py:136-187`). */
+  def slice(start: Long, stop: Long, step: Long): BalooFrame =
+    new BalooFrame(
+      Ordinal.slice(df, keep(indexCols), start, stop, step).drop("ord"), indexCols)
   def iloc(i: Long): BalooFrame =
     new BalooFrame(Ordinal.iloc(df, keep(indexCols), i).drop("ord"), indexCols)
 

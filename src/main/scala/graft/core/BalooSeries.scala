@@ -213,10 +213,24 @@ final class BalooStr(s: BalooSeries) {
   def startswith(pat: String): BalooSeries = re(c.startsWith(pat))
   def endswith(pat: String): BalooSeries = re(c.endsWith(pat))
 
-  /** First index of `sub` in [start, end) else −1 (strings.py:143-169). */
+  /** First index of `sub` from `start` else −1 (strings.py:143-169). */
   def find(sub: String, start: Int = 0): BalooSeries = {
     val pos = locate(sub, c, start + 1)
     re((pos - 1).cast("int"))
+  }
+
+  /** First index of `sub` confined to [start, end) else −1 — the
+    * reference clamps BOTH bounds (strings.py:143-169; kernel
+    * `weld_str.py:400-473` scans only [start, end−len(sub)]). Searching
+    * the [start, end) substring and re-basing the hit gives exactly that:
+    * the match must lie entirely inside the window, as in Python's
+    * `str.find(sub, start, end)`.
+    */
+  def find(sub: String, start: Int, end: Int): BalooSeries = {
+    require(end > start, "End must be greater than start") // strings.py:162-163
+    val window = c.substr(lit(start + 1), lit(end - start))
+    val pos = locate(sub, window)
+    re(when(pos > 0, pos + lit(start) - 1).otherwise(lit(-1)).cast("int"))
   }
 
   /** Replace FIRST occurrence only (strings.py:171-188). */

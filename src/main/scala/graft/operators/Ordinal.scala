@@ -52,12 +52,19 @@ object Ordinal {
       .drop("__pid", "__off")
   }
 
-  /** Positional slice `df[start:stop)` under `order` — reference
-    * `weld_slice` (`weld_ops.py:136-187`).
+  /** Positional slice `df[start:stop:step)` under `order` — reference
+    * `weld_slice` (`weld_ops.py:136-187`; the strided iter there covers
+    * step ≠ 1). Stride is one more codegen'd predicate on the ordinal —
+    * `(ord − start) % step == 0` — so the stepped form costs nothing
+    * beyond the step-1 plan.
     */
-  def slice(df: DataFrame, order: Seq[Column], start: Long, stop: Long): DataFrame = {
+  def slice(df: DataFrame, order: Seq[Column], start: Long, stop: Long,
+            step: Long = 1L): DataFrame = {
     import org.apache.spark.sql.functions.col
-    withOrdinal(df, order).filter(col("ord") >= start && col("ord") < stop)
+    require(step > 0, "slice step must be positive (same as reference)")
+    val base = withOrdinal(df, order).filter(col("ord") >= start && col("ord") < stop)
+    if (step == 1L) base
+    else base.filter(((col("ord") - start) % step) === 0L)
   }
 
   /** Scalar row lookup at position `i` — reference `iloc[int]`

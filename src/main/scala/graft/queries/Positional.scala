@@ -64,6 +64,16 @@ object Positional extends QueryModule {
   def qSlice(s: SparkSession, dir: String): DataFrame =
     indexed(s, dir).filter(col("ord") >= 100L && col("ord") < 200L).orderBy("ord")
 
+  /** df[a:b:step] stepped positional slice — the reference's strided
+    * iter (`weld_ops.py:136-187`, step ≠ 1). Same memoized ordinal, one
+    * extra codegen'd modulus predicate: every 3rd row of [100, 200).
+    */
+  def qSliceStep(s: SparkSession, dir: String): DataFrame =
+    indexed(s, dir)
+      .filter(col("ord") >= 100L && col("ord") < 200L &&
+        ((col("ord") - 100L) % 3L) === 0L)
+      .orderBy("ord")
+
   /** iloc[int] scalar row lookup (`weld_iloc_int` `weld_ops.py:307-330`). */
   def qIloc(s: SparkSession, dir: String): DataFrame =
     indexed(s, dir).filter(col("ord") === 1234L)
@@ -96,6 +106,7 @@ object Positional extends QueryModule {
     "q_head" -> (qHead(_, _)),
     "q_tail" -> (qTail(_, _)),
     "q_slice" -> (qSlice(_, _)),
+    "q_slice_step" -> (qSliceStep(_, _)),
     "q_iloc" -> (qIloc(_, _)),
     "q_iloc_gather" -> (qIlocGather(_, _)),
     "q_gather_missing" -> (qGatherMissing(_, _)))
@@ -120,6 +131,14 @@ object Positional extends QueryModule {
         |                       l_quantity, l_extendedprice) - 1 AS ord
          |  FROM lineitem)
          |WHERE ord >= 100 AND ord < 200 ORDER BY ord""".stripMargin,
+    "q_slice_step" ->
+      s"""SELECT * FROM (
+         |  SELECT $cols,
+         |    row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+        |                       l_quantity, l_extendedprice) - 1 AS ord
+         |  FROM lineitem)
+         |WHERE ord >= 100 AND ord < 200 AND (ord - 100) % 3 = 0
+         |ORDER BY ord""".stripMargin,
     "q_iloc" ->
       s"""SELECT * FROM (
          |  SELECT $cols,

@@ -52,6 +52,11 @@ object Strings extends QueryModule {
         col("text").endsWith("scan").as("ends_scan"),
         // find: first 0-based index of 'join', -1 when absent
         (locate("join", col("text")) - 1).as("find_join"),
+        // find confined to [5, 60): match must fit inside the window
+        // (reference strings.py:143-169 clamps both bounds)
+        when(locate("join", substring(col("text"), 6, 55)) > 0,
+          locate("join", substring(col("text"), 6, 55)) + 4)
+          .otherwise(lit(-1)).cast("int").as("find_join_5_60"),
         // slice [10:25)
         substring(col("text"), 11, 15).as("slice_10_25"))
       .orderBy("doc_id")
@@ -98,6 +103,9 @@ object Strings extends QueryModule {
         |  starts_with(text, 'the') AS starts_the,
         |  ends_with(text, 'scan') AS ends_scan,
         |  CAST(strpos(text, 'join') - 1 AS INTEGER) AS find_join,
+        |  CAST(CASE WHEN strpos(substring(text, 6, 55), 'join') > 0
+        |    THEN strpos(substring(text, 6, 55), 'join') + 4
+        |    ELSE -1 END AS INTEGER) AS find_join_5_60,
         |  substring(text, 11, 15) AS slice_10_25
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_str_replace_split" ->

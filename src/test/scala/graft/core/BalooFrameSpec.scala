@@ -42,6 +42,16 @@ class BalooFrameSpec extends SparkSpec {
     assertFrame(df1.iloc(4).toDF, Seq(Seq(6L, 4L, 5.0f)))
   }
 
+  test("stepped slice df[a:b:step] keeps every step-th position") {
+    // positions 0,2,4 of [0,5) → idx 2,4,6 (weld_ops.py:136-187 strided)
+    assertFrame(df1.slice(0, 5, 2).toDF.orderBy("idx"),
+      Seq(Seq(2L, 0L, 1.0f), Seq(4L, 2L, 3.0f), Seq(6L, 4L, 5.0f)))
+    // step past the end of the window: only the start position survives
+    assertFrame(df1.slice(1, 3, 5).toDF.orderBy("idx"),
+      Seq(Seq(3L, 1L, 2.0f)))
+    intercept[IllegalArgumentException](df1.slice(0, 5, 0).toDF.collect())
+  }
+
   test("withColumn aligns a differently-indexed series (weld_align analog)") {
     val out = df1.withColumn("c", df2("c")).toDF.orderBy("idx")
     assertFrame(out, Seq(

@@ -105,6 +105,16 @@ class BalooSeriesSpec extends SparkSpec {
     assert(vals(sStr2.str.find("z", start = 1)) == Seq(2, 3, -1, -1, -1))
   }
 
+  test("str.find with end bound confines the match to [start, end)") {
+    // window excludes matches that start before `start` or spill past `end`
+    assert(vals(sStr2.str.find("ab", 0, 3)) == Seq(0, 1, 1, -1, -1))
+    assert(vals(sStr2.str.find("ab", 2, 4)) == Seq(-1, -1, -1, 2, -1))
+    // end beyond the string length behaves like the start-only form
+    assert(vals(sStr2.str.find("z", 1, 100)) == Seq(2, 3, -1, -1, -1))
+    // start >= end raises, as the reference does (strings.py:162-163)
+    intercept[IllegalArgumentException](sStr2.str.find("a", 3, 3))
+  }
+
   test("str.replace replaces FIRST occurrence only") {
     val s = new BalooSeries(
       Seq((0L, "xaxa"), (1L, "bb")).toDF("idx", "s"), Seq("idx"), "s")

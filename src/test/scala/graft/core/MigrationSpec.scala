@@ -114,6 +114,25 @@ class MigrationSpec extends SparkSpec {
     assert(m == Map("min" -> 0.0, "std" -> 1.0))
   }
 
+  test("strings.py find(sub, start, end) + stepped df[a:b:step] replay") {
+    // sr = bl.Series(['abz', 'zabz', 'zab']); sr.str.find('ab', 0, 3)
+    // → [0, 1, 1]; the window clamps BOTH bounds (strings.py:143-169)
+    val sr = new BalooSeries(
+      Seq((0L, "abz"), (1L, "zabz"), (2L, "zab")).toDF("idx", "s"), Seq("idx"), "s")
+    assert(sr.str.find("ab", 0, 3).toDF.orderBy("idx")
+      .collect().map(_.getInt(1)).toSeq == Seq(0, 1, 1))
+    // start >= end → ValueError in the reference (strings.py:162-163)
+    intercept[IllegalArgumentException](sr.str.find("ab", 2, 2))
+
+    // df[0:5:2] strided slice (weld_ops.py:136-187, step != 1 branch):
+    // positions 0, 2, 4 of a 5-row frame
+    val df = new BalooFrame(
+      Seq((0L, 10L), (1L, 11L), (2L, 12L), (3L, 13L), (4L, 14L))
+        .toDF("idx", "v"), Seq("idx"))
+    assert(df.slice(0, 5, 2).toDF.orderBy("idx")
+      .collect().map(_.getLong(1)).toSeq == Seq(10L, 12L, 14L))
+  }
+
   test("README benchmark pipeline replayed op for op") {
     // col1 f64, col2 f64, col3 i64, col4 i32 — the reference's schema
     val base = new BalooFrame(
