@@ -14,8 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Codegen'd `UnaryExpression` (static call inlined into the
   * whole-stage loop). Integer-only arithmetic, so the DuckDB oracle in
   * `graft.queries.TextAnalysis` reproduces it exactly; constants and
-  * operation order are mirrored there — keep in sync. ASCII text
-  * assumed (char code == byte code; the testdata corpus is ASCII).
+  * operation order are mirrored there — keep in sync. Windows are
+  * counted in code points, matching the oracle's `ascii()`/`length()`
+  * semantics on any text.
   */
 object RollingHashMath {
   val W = 8
@@ -30,20 +31,23 @@ object RollingHashMath {
     a
   }
 
-  /** Min windowed hash; −1 for strings shorter than W (mirrored as a
-    * CASE in the oracle). Window sums stay < 2^42, so a single mod per
-    * window is exact — same as the SQL spelling.
+  /** Min windowed hash; −1 for strings shorter than W code points
+    * (mirrored as a CASE in the oracle). Iterates CODE POINTS so the
+    * window positions and values agree with the oracle's
+    * `ascii()`/`length()` code-point semantics on any text. Window sums
+    * stay < 2^55 (code point < 2^21, Pow < 2^31, 8 terms), so a single
+    * mod per window is exact — same as the SQL spelling.
     */
   def rollhash(s: UTF8String): Long = {
-    val str = s.toString
-    val n = str.length
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
     if (n < W) return -1L
     var min = Long.MaxValue
     var i = 0
     while (i <= n - W) {
       var sum = 0L
       var j = 0
-      while (j < W) { sum += str.charAt(i + j).toLong * Pow(j); j += 1 }
+      while (j < W) { sum += cps(i + j).toLong * Pow(j); j += 1 }
       val h = sum % P
       if (h < min) min = h
       i += 1

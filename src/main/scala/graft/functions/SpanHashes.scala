@@ -38,20 +38,24 @@ object SpanHashMath {
     a
   }
 
-  /** Distinct ascending window hashes; empty for strings shorter than W.
-    * Window sums stay < 2^44, so a single mod per window is exact — the
-    * SQL spelling computes the identical value.
+  /** Distinct ascending window hashes; empty for strings shorter than W
+    * code points. Iterates CODE POINTS, not UTF-16 units, so windows and
+    * values agree with the DuckDB oracle's `ascii()`/`length()`
+    * (code-point) semantics on any text, surrogate pairs included.
+    * Window sums stay < 2^57 (code point < 2^21, Pow < 2^31, 32 terms),
+    * so a single mod per window is exact — the SQL spelling computes the
+    * identical value.
     */
   def spanHashes(s: UTF8String): ArrayData = {
-    val str = s.toString
-    val n = str.length
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
     if (n < W) return new GenericArrayData(Array.empty[Long])
     val set = new java.util.TreeSet[java.lang.Long]()
     var i = 0
     while (i <= n - W) {
       var sum = 0L
       var j = 0
-      while (j < W) { sum += str.charAt(i + j).toLong * Pow(j); j += 1 }
+      while (j < W) { sum += cps(i + j).toLong * Pow(j); j += 1 }
       set.add(sum % P)
       i += 1
     }

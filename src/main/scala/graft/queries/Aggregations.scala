@@ -115,8 +115,12 @@ object Aggregations extends QueryModule {
     li.select(col("l_extendedprice").as("x"))
       .crossJoin(broadcast(bounds))
       .withColumn("w", (col("hi") - col("lo")) / HistBins)
+      // degenerate column (min == max → w = 0): every row in bucket 0,
+      // rather than Spark's NULL-on-divide vs DuckDB's inf diverging
       .withColumn("bucket",
-        least(floor((col("x") - col("lo")) / col("w")).cast("int"), lit(HistBins - 1)))
+        when(col("w") === 0d, lit(0))
+          .otherwise(least(floor((col("x") - col("lo")) / col("w")).cast("int"),
+            lit(HistBins - 1))))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         first(col("lo")).as("flo"), first(col("w")).as("fw"))
@@ -170,7 +174,8 @@ object Aggregations extends QueryModule {
          |  FROM lineitem),
          |x AS (SELECT l_extendedprice AS x, lo, (hi - lo) / $HistBins AS w
          |  FROM lineitem, b),
-         |g AS (SELECT least(CAST(floor((x - lo) / w) AS INTEGER), ${HistBins - 1}) AS bucket,
+         |g AS (SELECT CASE WHEN w = 0 THEN 0
+         |    ELSE least(CAST(floor((x - lo) / w) AS INTEGER), ${HistBins - 1}) END AS bucket,
          |    count(*) AS n, any_value(lo) AS flo, any_value(w) AS fw
          |  FROM x GROUP BY 1)
          |SELECT bucket, flo + bucket * fw AS b_lo,

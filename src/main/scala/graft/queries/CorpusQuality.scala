@@ -109,8 +109,14 @@ object CorpusQuality extends QueryModule {
     */
   private val MixBudget = 100000L
 
-  def qMixWeights(s: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.documents(s, dir)
+  def qMixWeights(s: SparkSession, dir: String): DataFrame =
+    mixWeights(Tables.documents(s, dir))
+
+  /** The weight computation over any (source, …) docs frame — split out
+    * so specs can drive it with planted fixtures.
+    */
+  private[queries] def mixWeights(docs: DataFrame): DataFrame = {
+    val counts = docs
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
       .withColumn("sq", floor(sqrt(col("n_docs")) * 1e6).cast("long"))
     val tot = counts.agg(sum(col("sq")).as("tot"))

@@ -219,20 +219,29 @@ class PropertiesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
-  test("span hashes ≡ brute-force distinct window hashes on random ASCII text") {
+  test("span hashes ≡ brute-force distinct window hashes, incl. non-ASCII") {
     import graft.functions.SpanHashMath.{P, Pow, W, spanHashes}
     import org.apache.spark.unsafe.types.UTF8String
-    val asciiText = Gen.choose(0, 120)
-      .flatMap(n => Gen.listOfN(n, Gen.choose(32.toChar, 126.toChar)).map(_.mkString))
-    samples(asciiText, 40).foreach { s =>
+    // mix ASCII with multi-byte BMP chars and astral (surrogate-pair)
+    // code points — the kernel iterates code points, so windows must
+    // line up with the code-point view, not UTF-16 units
+    val cp = Gen.frequency(
+      8 -> Gen.choose(32, 126),
+      1 -> Gen.oneOf(0xe9, 0x4e2d, 0x2603), // é, 中, ☃ (BMP, multi-byte)
+      1 -> Gen.oneOf(0x1f600, 0x10348)) // astral: emoji, Gothic hwair
+    val text = Gen.choose(0, 120)
+      .flatMap(n => Gen.listOfN(n, cp).map(
+        _.map(Character.toChars(_).mkString).mkString))
+    samples(text, 60).foreach { s =>
       val got = {
         val a = spanHashes(UTF8String.fromString(s))
         (0 until a.numElements()).map(a.getLong)
       }
+      val cps = s.codePoints().toArray
       val want =
-        if (s.length < W) Seq.empty[Long]
-        else (0 to s.length - W).map { i =>
-          (0 until W).map(j => s.charAt(i + j).toLong * Pow(j)).sum % P
+        if (cps.length < W) Seq.empty[Long]
+        else (0 to cps.length - W).map { i =>
+          (0 until W).map(j => cps(i + j).toLong * Pow(j)).sum % P
         }.distinct.sorted
       assert(got == want, s"text=${s.take(60)}…")
     }

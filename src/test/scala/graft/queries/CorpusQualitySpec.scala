@@ -83,10 +83,33 @@ class CorpusQualitySpec extends SparkSpec {
     assert(math.abs(wsum - 1.0) < 1e-9)
     val budget = rows.map(_.getAs[Long]("n_target")).sum
     assert(budget <= 100000L)
-    // √-temperature flattens: no source's weight exceeds its raw share
-    // by more than the mixture implies for equal counts (all sources
-    // equal here → equal weights)
-    val ws = rows.map(_.getAs[Double]("weight"))
-    assert(ws.max - ws.min < 1e-9 || ws.length > 1)
+    // √-temperature flattens: a 4:1 count ratio compresses to a 2:1
+    // weight ratio (√4 = 2), never the raw 4:1
+    val byCount = rows.map(r => r.getAs[Long]("n_docs") -> r.getAs[Double]("weight"))
+    val (nMax, wMax) = byCount.maxBy(_._1)
+    val (nMin, wMin) = byCount.minBy(_._1)
+    if (nMax > nMin)
+      assert(wMax / wMin < nMax.toDouble / nMin,
+        s"weight ratio ${wMax / wMin} not flattened vs count ratio ${nMax.toDouble / nMin}")
+  }
+
+  test("equal per-source counts → equal mixture weights") {
+    import spark.implicits._
+    // fixture with three sources of identical size; weights must all be
+    // exactly equal (the quantized √count integers are identical)
+    val docs = (0 until 30).map(i => (i.toLong, s"src${i % 3}", s"doc $i"))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusQuality.mixWeights(docs).collect()
+    val ws = out.map(_.getAs[Double]("weight")).toSeq
+    assert(ws.length == 3 && ws.distinct.length == 1,
+      s"equal counts must give equal weights, got $ws")
+    // and a 4:1 fixture flattens to exactly 2:1 (√-temperature)
+    val skewed = ((0 until 40).map(i => (i.toLong, "big", "x")) ++
+      (0 until 10).map(i => (100L + i, "small", "x")))
+      .toDF("doc_id", "source", "text")
+    val w2 = CorpusQuality.mixWeights(skewed).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("weight")).toMap
+    assert(math.abs(w2("big") / w2("small") - 2.0) < 1e-5,
+      s"4:1 counts must give ~2:1 weights, got ${w2("big") / w2("small")}")
   }
 }
