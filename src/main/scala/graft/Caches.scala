@@ -41,6 +41,19 @@ object Caches {
   private val hooked =
     java.util.Collections.newSetFromMap(
       new ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  // Modules holding their own per-session side caches (e.g. the memoized
+  // bloom capacity in Fingerprints) register an eviction callback so
+  // clear()/clearAll() releases EVERYTHING keyed by a session — a
+  // long-lived JVM cycling sessions must not retain session references.
+  private val sideCaches =
+    new java.util.concurrent.CopyOnWriteArrayList[Option[SparkSession] => Unit]()
+
+  /** Register a side-cache eviction hook, run on [[clear]] (with the
+    * session) and [[clearAll]] (with None = evict everything).
+    * Idempotent callbacks only; registered once per module
+    * (object-init time).
+    */
+  def onClear(f: Option[SparkSession] => Unit): Unit = { sideCaches.add(f); () }
 
   /** Memoize `build` (persisted MEMORY_AND_DISK) under
     * (session, dir, kind). The first caller builds; concurrent callers
@@ -76,6 +89,7 @@ object Caches {
     // memo() on the same session register a second identical listener
     // per clear/memo cycle (clear is idempotent, but the listener bus
     // would bloat).
+    sideCaches.forEach(f => f(Some(s)))
   }
 
   /** Unpersist and drop everything (explicit invalidation hook — e.g.
@@ -84,6 +98,7 @@ object Caches {
   def clearAll(): Unit = {
     entries.values().forEach(h => h.peek.foreach(_.unpersist(false)))
     entries.clear()
+    sideCaches.forEach(f => f(None))
     // `hooked` intentionally survives — see clear().
   }
 }

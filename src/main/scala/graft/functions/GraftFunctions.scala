@@ -30,7 +30,17 @@ object GraftFunctions {
         Cast(children(1), ArrayType(LongType)))),
     "graft_sinter" -> ((children: Seq[Expression]) =>
       SortedInterCount(Cast(children.head, ArrayType(LongType)),
-        Cast(children(1), ArrayType(LongType))))
+        Cast(children(1), ArrayType(LongType)))),
+    // Spark's own bloom build + probe pair (the expressions behind its
+    // runtime row-level join filters) — registered here because Spark
+    // keeps both out of the public registry. The probe stays inside
+    // whole-stage codegen, unlike a Scala-closure UDF.
+    "graft_bloom_agg" -> ((children: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        Cast(children.head, LongType), children(1), children(2))),
+    "graft_might_contain" -> ((children: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children.head, Cast(children(1), LongType)))
   )
 
   /** Idempotently register all graft functions into `spark`'s registry. */
@@ -64,4 +74,17 @@ object GraftFunctions {
 
   /** Codegen'd |a ∩ b| of two SORTED distinct `array<bigint>`s. */
   def sinter(a: Column, b: Column): Column = call_function("graft_sinter", a, b)
+
+  /** Serialized bloom filter over a long column: `estimated` expected
+    * items, `numBits` filter bits (both literals).
+    */
+  def bloomAgg(c: Column, estimated: Column, numBits: Column): Column =
+    call_function("graft_bloom_agg", c, estimated, numBits)
+
+  /** Probe a serialized bloom filter (built by [[bloomAgg]]) for a
+    * long value — `bloom` must be a constant or an uncorrelated scalar
+    * subquery (e.g. `df.agg(...).scalar()`).
+    */
+  def mightContain(bloom: Column, value: Column): Column =
+    call_function("graft_might_contain", bloom, value)
 }

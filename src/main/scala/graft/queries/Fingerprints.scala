@@ -487,41 +487,44 @@ object Fingerprints extends QueryModule {
     * fine at megabytes, heavy when the eval suite grows to 10^9
     * shingles. The bloom is a fixed few MB at any set size (here
     * `fpp`=1%), so the corpus-side scan drops ~99% of non-contaminated
-    * postings before the exact join sees them. Built driver-side with
-    * `DataFrameStatFunctions.bloomFilter` (one aggregation over the tiny
-    * set) and broadcast; the per-row probe is two hash ops. This is the
-    * hand-rolled face of the runtime-filter bloom Spark itself injects
-    * for large shuffle joins.
+    * postings before the exact join sees them.
     *
-    * The filter object is itself a per-(session, corpus) artifact (a
-    * few MB of driver memory): built once — count + one aggregation
-    * over the tiny hash set — and reused by every invocation, like a
-    * production job building the filter once and broadcasting it to
-    * the whole corpus scan.
+    * The filter never touches the driver: it is built IN-PLAN by Spark's
+    * own `bloom_filter_agg` over the bench hashes and fed to the probe
+    * as an uncorrelated scalar subquery; the probe is Spark's native
+    * `BloomFilterMightContain` (the expression behind its runtime
+    * row-level join filters), which stays inside whole-stage codegen —
+    * no Scala-closure UDF, no driver-built sketch. The only driver-side
+    * scalar is the capacity count, memoized per (session, corpus) and
+    * evicted through [[graft.Caches.onClear]]: a hardcoded capacity
+    * would silently degrade the false-positive rate — and thus the
+    * prefilter's pruning power — once the eval suite outgrows it.
     */
-  private val blooms = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), org.apache.spark.util.sketch.BloomFilter]()
+  private val bloomCapacity = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+  locally {
+    graft.Caches.onClear {
+      case Some(s) => bloomCapacity.keySet.removeIf(_._1 eq s)
+      case None => bloomCapacity.clear()
+    }
+  }
 
   def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
     val idx = postings(s, dir)
-    val bloom = blooms.computeIfAbsent((s, dir), _ => {
-      val benchHashes = idx.filter(col("doc_id") < 20).select("h").distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Size from the actual set (2× headroom): a hardcoded capacity
-      // silently degrades the false-positive rate — and thus the
-      // prefilter's pruning power — once the eval suite outgrows it.
-      val expected = math.max(1000L, benchHashes.count() * 2)
-      val b = benchHashes.stat.bloomFilter("h", expected, 0.01)
-      benchHashes.unpersist(false)
-      b
-    })
-    val bc = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    val benchHashes = idx.filter(col("doc_id") < 20).select("h").distinct()
+    // Count-sized capacity (2× headroom), one tiny scalar per corpus.
+    val expected = bloomCapacity.computeIfAbsent((s, dir),
+      _ => math.max(1000L, benchHashes.count() * 2)).longValue()
+    val numBits =
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expected, 0.01)
+    val bloom = benchHashes
+      .agg(graft.functions.GraftFunctions.bloomAgg(
+        col("h"), lit(expected), lit(numBits)))
+      .scalar()
     // Exact-confirm set re-derived from the cached posting index (one
     // cheap distinct); the bloom only prunes what reaches this join.
-    val benchHashes = idx.filter(col("doc_id") < 20).select("h").distinct()
     val removed = idx.filter(col("doc_id") >= 20)
-      .filter(mightContain(col("h")))
+      .filter(graft.functions.GraftFunctions.mightContain(bloom, col("h")))
       .join(broadcast(benchHashes), "h")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= DecontamT)

@@ -216,9 +216,11 @@ object Similarity extends QueryModule {
   private val IvfProbe = 4
 
   /** IVF-Flat ANN: assign every vector to its max-cosine centroid
-    * (broadcast argmax, map-only + one small window), probe the query's
-    * nearest [[IvfProbe]] lists via equi-join on the list id, exact
-    * cosine rank within candidates, top-5.
+    * (broadcast argmax as a `max_by` HASH AGGREGATE — the K centroid
+    * rows per vector collapse map-side before any shuffle, no
+    * per-vector sort window), probe the query's nearest [[IvfProbe]]
+    * lists via equi-join on the list id, exact cosine rank within
+    * candidates, top-5.
     */
   def qEmbedIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = quantized(s, dir)
@@ -226,15 +228,23 @@ object Similarity extends QueryModule {
       .select(col("vec_id").as("cid"), col("qv").as("cv"), col("n2").as("cn2"))
     val scored = emb.crossJoin(broadcast(cents))
       .withColumn("ccos", qcos(G.dotl(col("qv"), col("cv")), col("n2"), col("cn2")))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cid").asc)
-    val ranked = scored.withColumn("rn", row_number().over(wAssign))
-    val ivf = ranked.filter(col("rn") === 1)
-      .select(col("cid"), col("vec_id").as("vid"),
-        col("qv").as("ve"), col("n2").as("vn2"))
-    val probes = ranked.filter(col("vec_id") < 5 && col("rn") <= IvfProbe)
-      .select(col("vec_id").as("qid"), col("qv").as("qe"),
-        col("n2").as("qn2"), col("cid"))
+    // argmax with a total order (max cos, min cid tie-break): map-side
+    // partials shrink K rows/vector to 1 — measurably less shuffle than
+    // a row_number window at 10^9 vectors, same result
+    val ivf = scored.groupBy("vec_id")
+      .agg(max_by(struct(col("cid"), col("qv"), col("n2")),
+        struct(col("ccos"), (-col("cid")).as("tb"))).as("best"))
+      .select(col("best.cid").as("cid"), col("vec_id").as("vid"),
+        col("best.qv").as("ve"), col("best.n2").as("vn2"))
+    // probe lists for the 5 queries: top-IvfProbe centroids per query
+    // from one tiny sorted-array aggregate — still no window
+    val probes = scored.filter(col("vec_id") < 5)
+      .groupBy("vec_id")
+      .agg(first(col("qv")).as("qe"), first(col("n2")).as("qn2"),
+        slice(sort_array(collect_list(
+          struct((-col("ccos")).as("nc"), col("cid")))), 1, IvfProbe).as("top"))
+      .select(col("vec_id").as("qid"), col("qe"), col("qn2"),
+        explode(col("top.cid")).as("cid"))
     val cand = broadcast(probes).join(ivf, Seq("cid"))
       .filter(col("qid") =!= col("vid"))
       .withColumn("cos", qcos(G.dotl(col("qe"), col("ve")), col("qn2"), col("vn2")))
@@ -262,11 +272,13 @@ object Similarity extends QueryModule {
       .select(col("vec_id").as("cid"), col("qv").as("cv"), col("n2").as("cn2"))
     val scored = emb.crossJoin(broadcast(cents))
       .withColumn("ccos", qcos(G.dotl(col("qv"), col("cv")), col("n2"), col("cn2")))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cid").asc)
-    scored.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "q")))
+    // same max_by hash-agg argmax as the IVF assignment: partial
+    // aggregation collapses the K candidate rows per vector map-side,
+    // no per-vector sort window in the plan
+    scored.groupBy("vec_id")
+      .agg(max_by(struct(col("cid"), col("qv")),
+        struct(col("ccos"), (-col("cid")).as("tb"))).as("best"))
+      .select(col("best.cid").as("cid"), posexplode(col("best.qv")).as(Seq("pos", "q")))
       .groupBy("cid", "pos")
       .agg(count(lit(1)).as("n_members"),
         (sum(col("q")).cast("double") / (count(lit(1)) * lit(1048576.0)))

@@ -128,6 +128,20 @@ class PipelinesSpec extends SparkSpec {
     assert(q.collect().nonEmpty)
   }
 
+  test("bloom decontamination probe is native codegen, no driver-built sketch") {
+    val df = Fingerprints.qDecontaminateBloom(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe must be Spark's BloomFilterMightContain expression fed by
+    // an in-plan bloom_filter_agg scalar subquery — not a closure UDF
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"bloom probe must not be an interpreted UDF:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"expected the native might_contain probe:\n$plan")
+    // prefilter + exact confirm ≡ the exact path
+    assertFrame(df,
+      Fingerprints.qDecontaminate(spark, sf).collect().toSeq.map(_.toSeq))
+  }
+
   test("incremental dedup covers every new doc; rejects have an old-corpus witness") {
     val out = Fingerprints.qDedupIncremental(spark, sf).cache()
     try {

@@ -28,6 +28,21 @@ class SimilaritySpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("argmax assignment is a hash aggregate: no Window in kmeans; only the rank window in IVF") {
+    // the centroid assignment must be a max_by aggregate with map-side
+    // partials, not a per-vector row_number sort window
+    val kmPlan = Similarity.qKmeansIter(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!kmPlan.contains("Window"),
+      s"kmeans assignment must not plan a Window:\n$kmPlan")
+    val ivfPlan = Similarity.qEmbedIvf(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the only Window left is the final per-query top-5 ranking
+    val windows = "\\bWindow\\b".r.findAllIn(ivfPlan).size
+    assert(windows <= 1,
+      s"IVF should have at most the final rank window, found $windows:\n$ivfPlan")
+  }
+
   test("knn_graph: contiguous ranks 1..k per vector, cosines within [-1, 1] + quantization slack") {
     val out = Similarity.qKnnGraph(spark, dir).cache()
     try {
