@@ -31,18 +31,21 @@ import org.apache.spark.sql.functions._
   *    planes (band-OR for recall): candidate generation is an equi-join
   *    on (band, bucket) — a shuffle on small integer keys, no cross
   *    join. B/r trade recall vs candidate count;
-  *  - threshold near-dup (`qDedupEmbed`) is EXACT, so LSH cannot be the
-  *    primary: measured on the testdata, qualifying pairs sit at cos
-  *    0.40–0.51 with the non-dup tail at 0.39 — zero margin, so any
-  *    sign-LSH prefilter at τ=0.4 drops true pairs. The scale-correct
-  *    exact shape is the blocked all-pairs join: vectors land in K
-  *    blocks, the K(K+1)/2 block-cells become the join key, each cell
-  *    computes its (n/K)² dots with codegen'd long arithmetic.
-  *    Parallelism is O(K²) (no 64-key dim-join ceiling), shuffle is
-  *    K+1 replicas of each (id, qvec) row — and K scales with the
-  *    cluster. At a production threshold with real margin (τ ≥ 0.8),
-  *    front this with the ANN band join and confirm exactly on
-  *    candidates only, like the text dedup pipeline.
+  *  - threshold near-dup: the PRIMARY path is `qDedupEmbedHybrid` —
+  *    sign-LSH band candidates → exact quantized-cosine confirm, no
+  *    all-pairs join anywhere in the plan; its driver oracle is brute
+  *    force, so the gate proves the candidate stage lost nothing at the
+  *    margin-bearing threshold. `qDedupEmbed` remains the exact
+  *    ground-truth baseline for zero-margin thresholds: measured on the
+  *    testdata, qualifying pairs sit at cos 0.40–0.51 with the non-dup
+  *    tail at 0.39, so at τ=0.4 any sign-LSH prefilter drops true
+  *    pairs. Its scale-correct exact shape is the blocked all-pairs
+  *    join: vectors land in K blocks, the K(K+1)/2 block-cells become
+  *    the join key, each cell computes its (n/K)² dots with codegen'd
+  *    long arithmetic. Parallelism is O(K²) (no 64-key dim-join
+  *    ceiling), shuffle is K+1 replicas of each (id, qvec) row — and K
+  *    scales with the cluster. It is O(n²/K²) per cell by nature;
+  *    reach for it only when the threshold genuinely has no margin.
   */
 object Similarity extends QueryModule {
 
@@ -96,7 +99,8 @@ object Similarity extends QueryModule {
         .withColumn("n2", G.dotl(col("qv"), col("qv"))))
 
   override def prewarm(s: SparkSession, dir: String): Unit = {
-    quantized(s, dir).count(); ()
+    quantized(s, dir).count()
+    hybridVecs(s, dir).count(); ()
   }
 
   /** Per-label centroid vectors — the embedding-space aggregation step
@@ -349,14 +353,17 @@ object Similarity extends QueryModule {
     * value-exact cross-engine. Top-5 per query by approximated
     * distance, vid tie-break.
     */
-  def qEmbedPq(s: SparkSession, dir: String): DataFrame = {
-    val emb = quantized(s, dir)
-    val subs = pqSubvectors(emb)
-    val cents = pqSubvectors(emb.filter(col("vec_id") < PqK))
-      .select(col("vec_id").as("c"), col("s"), col("sv").as("cv"))
-    val sq = G.dotl(col("sv"), col("sv")) + G.dotl(col("cv"), col("cv")) -
+  /** Exact integer squared L2 between subvector columns, codegen'd. */
+  private def pqSq: Column =
+    G.dotl(col("sv"), col("sv")) + G.dotl(col("cv"), col("cv")) -
       lit(2L) * G.dotl(col("sv"), col("cv"))
-    val dists = subs.join(broadcast(cents), Seq("s")).withColumn("d", sq)
+
+  /** The PQ encode + ADC scoring tail over any codebook `cents`
+    * (columns c, s, cv) — shared by the seed-codebook and trained
+    * variants.
+    */
+  private def pqAnnWith(subs: DataFrame, cents: DataFrame): DataFrame = {
+    val dists = subs.join(broadcast(cents), Seq("s")).withColumn("d", pqSq)
     // encode: per (vector, subspace) the nearest centroid's id —
     // argmin as min(struct(d, c)) in a HASH aggregate (lexicographic
     // struct ordering = min distance, centroid-id tie-break), not a
@@ -378,6 +385,55 @@ object Similarity extends QueryModule {
       .filter(col("rank") <= 5)
       .select("qid", "vid", "dist", "rank")
       .orderBy("qid", "rank")
+  }
+
+  def qEmbedPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(s, dir)
+    val cents = pqSubvectors(emb.filter(col("vec_id") < PqK))
+      .select(col("vec_id").as("c"), col("s"), col("sv").as("cv"))
+    pqAnnWith(pqSubvectors(emb), cents)
+  }
+
+  /** One deterministic Lloyd round per subspace: argmin assignment
+    * (same min-struct hash agg as the encode stage), then the new
+    * centroid as the FLOORED per-dim mean — sums of quantized longs
+    * stay < 2^53, so the double division and floor are exact and the
+    * codebook remains integer, bit-identical cross-engine. Shuffle per
+    * round carries (s, c, pos, partial sum) — subspaces × K × dims
+    * rows, independent of corpus size, the same bound as
+    * [[qKmeansIter]].
+    */
+  private def pqLloydRound(subs: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = subs.join(broadcast(cents), Seq("s"))
+      .withColumn("d", pqSq)
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d"), col("c"))).as("m"),
+        first(col("sv")).as("sv")) // sv is constant per (vec_id, s)
+    assigned
+      .select(col("s"), col("m.c").as("c"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("s", "c", "pos")
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv1"))
+      .groupBy("s", "c")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cv1))), x -> x.cv1)")
+        .as("cv"))
+  }
+
+  private val PqTrainRounds = 2
+
+  /** PQ over TRAINED codebooks — [[qEmbedPq]] with the seed subvectors
+    * replaced by [[PqTrainRounds]] Lloyd iterations per subspace (the
+    * production codebook source the seed variant's scaladoc promises).
+    * Every round is the same bounded plan, so training to convergence
+    * is rounds × (subspaces × K × dims) shuffle at any corpus size; the
+    * oracle replays the identical iterations.
+    */
+  def qEmbedPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(s, dir)
+    val subs = pqSubvectors(emb)
+    var cents = pqSubvectors(emb.filter(col("vec_id") < PqK))
+      .select(col("vec_id").as("c"), col("s"), col("sv").as("cv"))
+    for (_ <- 0 until PqTrainRounds) cents = pqLloydRound(subs, cents)
+    pqAnnWith(subs, cents)
   }
 
   /** Approximate near-dup via the bucket-candidate → exact-confirm
@@ -410,6 +466,101 @@ object Similarity extends QueryModule {
       .join(emb.select(col("vec_id").as("idb"), col("qv").as("qb"), col("n2").as("nb")), "idb")
       .withColumn("cos", qcos(G.dotl(col("qa"), col("qb")), col("na"), col("nb")))
       .filter(col("cos") >= 0.40)
+      .select("ida", "idb", "cos")
+      .orderBy("ida", "idb")
+  }
+
+  // ---- hybrid near-dup: the PRIMARY path at margin-bearing thresholds ----
+
+  /** Hybrid geometry: 12 bands × 8 planes (plane ids offset from the
+    * ANN family's). At the planted-pair cosine (≥ 0.98) a single plane
+    * agrees w.p. ≥ 0.94, a band w.p. ≥ 0.6, and missing all 12 bands
+    * happens w.p. < 1e-6 per pair — empirically complete on every test
+    * corpus (the oracle is brute force, so the driver gate checks exact
+    * equality, not "close").
+    */
+  private val HybBands = 12
+  private val HybRows = 8
+  private val HybPlaneOff = 1000
+  private val HybT = 0.9
+
+  /** The deterministic near-dup plant: every 5th vector re-appears
+    * (id + 1,000,000) with per-dim scale factors 1 + 0.06·((i mod 4) −
+    * 1.5) ∈ {0.91, 0.97, 1.03, 1.09} — cos(v, v′) ≥ 0.98 for any mass
+    * distribution, ≈ 0.998 on real embeddings, while unrelated pairs
+    * stay below 0.52. Pure double IEEE arithmetic with the identical
+    * expression tree on both engines, so the augmented corpus is
+    * bit-identical cross-engine.
+    */
+  private val plantScale = "(1.0D + 0.06D * (CAST(i % 4 AS DOUBLE) - 1.5D))"
+  private def augQvec(scaled: Boolean): String = {
+    val elem = s"CAST(element_at(embedding, i + 1) AS DOUBLE)" +
+      (if (scaled) s" * $plantScale" else "")
+    s"transform(sequence(0, 63), i -> CAST(round(($elem) * 1048576.0D) AS BIGINT))"
+  }
+
+  /** Quantized augmented corpus (originals ∪ planted near-dups) —
+    * memoized like [[quantized]]; the hybrid's candidate and confirm
+    * stages both read it.
+    */
+  private def hybridVecs(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, dir, "hybrid_vecs") {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), expr(augQvec(scaled = false)).as("qv"))
+      val planted = Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          expr(augQvec(scaled = true)).as("qv"))
+      base.unionAll(planted)
+        .repartition(col("vec_id"))
+        .withColumn("n2", G.dotl(col("qv"), col("qv")))
+    }
+
+  /** Sign-LSH band/bucket rows for an arbitrary quantized frame —
+    * [[banded]] generalized to the hybrid's geometry.
+    */
+  private def bandedOf(df: DataFrame, nBands: Int, nRows: Int, off: Int): DataFrame = {
+    val bucketCols = (0 until nBands).map { b =>
+      (0 until nRows).map { k =>
+        when(G.dotl(col("qv"), expr(planeLit(off + b * nRows + k))) > 0, 1 << k)
+          .otherwise(0)
+      }.reduce(_ + _).as(s"bkt$b")
+    }
+    val withBkts = df.select(Seq(col("vec_id"), col("qv"), col("n2")) ++ bucketCols: _*)
+    val stackArgs = (0 until nBands).map(b => s"$b, bkt$b").mkString(", ")
+    withBkts.selectExpr(
+      "vec_id", "qv", "n2", s"stack($nBands, $stackArgs) AS (band, bkt)")
+  }
+
+  /** PRIMARY embedding near-dup: sign-LSH band candidates → exact
+    * quantized-cosine confirm at a margin-bearing threshold (τ = 0.9
+    * over the planted corpus). The plan has NO all-pairs block join —
+    * candidate generation is an equi-join on (band, bucket) integer
+    * keys whose cost is bucket-collision-sized, then the exact confirm
+    * touches candidates only: the composition that replaces
+    * [[qDedupEmbed]]'s quadratic exact leg whenever the threshold has
+    * sign-LSH margin, mirroring the text pipeline's MinHash-candidates
+    * → exact-Jaccard-confirm chain (`Fingerprints.scala` confirmed
+    * pairs). The oracle is the same brute-force all-pairs SQL shape as
+    * q_dedup_embed, so the driver gate proves the candidates lost
+    * nothing. [[qDedupEmbed]] stays the exact ground-truth baseline for
+    * zero-margin thresholds.
+    */
+  def qDedupEmbedHybrid(s: SparkSession, dir: String): DataFrame = {
+    val vecs = hybridVecs(s, dir)
+    val bands = bandedOf(vecs, HybBands, HybRows, HybPlaneOff)
+    // candidates: ID pairs only through the band join + distinct —
+    // vectors attach after, exactly like qDedupEmbedLsh
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("ida"), col("y.vec_id").as("idb"))
+      .dropDuplicates("ida", "idb")
+    cand
+      .join(vecs.select(col("vec_id").as("ida"), col("qv").as("qa"), col("n2").as("na")), "ida")
+      .join(vecs.select(col("vec_id").as("idb"), col("qv").as("qb"), col("n2").as("nb")), "idb")
+      .withColumn("cos", qcos(G.dotl(col("qa"), col("qb")), col("na"), col("nb")))
+      .filter(col("cos") >= HybT)
       .select("ida", "idb", "cos")
       .orderBy("ida", "idb")
   }
@@ -456,10 +607,12 @@ object Similarity extends QueryModule {
     "q_embed_ivf" -> (qEmbedIvf(_, _)),
     "q_dedup_embed" -> (qDedupEmbed(_, _)),
     "q_dedup_embed_lsh" -> (qDedupEmbedLsh(_, _)),
+    "q_dedup_embed_hybrid" -> (qDedupEmbedHybrid(_, _)),
     "q_embed_centroids" -> (qEmbedCentroids(_, _)),
     "q_kmeans_iter" -> (qKmeansIter(_, _)),
     "q_knn_graph" -> (qKnnGraph(_, _)),
-    "q_embed_pq" -> (qEmbedPq(_, _)))
+    "q_embed_pq" -> (qEmbedPq(_, _)),
+    "q_embed_pq_trained" -> (qEmbedPqTrained(_, _)))
 
   // ---- DuckDB spellings of the integer-quantized vector math ----
 
@@ -566,6 +719,27 @@ object Similarity extends QueryModule {
          |WHERE a.vec_id < b.vec_id
          |  AND ${sqlQcos("a.qv", "b.qv", "a.n2", "b.n2")} >= 0.40
          |ORDER BY ida, idb""".stripMargin,
+    // BRUTE FORCE over the augmented corpus — all pairs, no LSH: the
+    // gate proves the Spark side's band candidates lost nothing.
+    "q_dedup_embed_hybrid" ->
+      s"""WITH aug AS (
+         |  SELECT vec_id, list_transform(range(0, 64), i ->
+         |      CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_transform(range(0, 64), i ->
+         |      CAST(round((CAST(embedding[i + 1] AS DOUBLE)
+         |        * (1.0 + 0.06 * (CAST(i % 4 AS DOUBLE) - 1.5))) * 1048576.0) AS BIGINT))
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |e AS (SELECT vec_id, qv,
+         |    CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS n2
+         |  FROM aug)
+         |SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |  ${sqlQcos("a.qv", "b.qv", "a.n2", "b.n2")} AS cos
+         |FROM e a, e b
+         |WHERE a.vec_id < b.vec_id
+         |  AND ${sqlQcos("a.qv", "b.qv", "a.n2", "b.n2")} >= $HybT
+         |ORDER BY ida, idb""".stripMargin,
     "q_embed_pq" ->
       s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv FROM embeddings),
          |subs AS (SELECT vec_id, CAST(t.s AS INTEGER) AS s,
@@ -595,6 +769,55 @@ object Similarity extends QueryModule {
          |  FROM scored)
          |SELECT qid, vid, dist, rank FROM r WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+    "q_embed_pq_trained" -> {
+      def sq(a: String, b: String) =
+        s"""CAST(list_sum(list_transform(range(1, ${PqDim + 1}), j ->
+           |      ($a[CAST(j AS INTEGER)] - $b[CAST(j AS INTEGER)])
+           |      * ($a[CAST(j AS INTEGER)] - $b[CAST(j AS INTEGER)]))) AS BIGINT)""".stripMargin
+      // one unrolled Lloyd round: argmin assignment, floored per-dim mean
+      def lloyd(r: Int, cIn: String): String =
+        s"""d$r AS (
+           |  SELECT sub.vec_id, sub.s, c.c, ${sq("sub.sv", "c.cv")} AS d
+           |  FROM subs sub JOIN $cIn c ON sub.s = c.s),
+           |a$r AS (SELECT vec_id, s, c FROM (
+           |    SELECT vec_id, s, c,
+           |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC) AS rn
+           |    FROM d$r) WHERE rn = 1),
+           |m$r AS (SELECT a.s, a.c, CAST(t.j AS INTEGER) AS pos,
+           |    sub.sv[CAST(t.j + 1 AS INTEGER)] AS v
+           |  FROM a$r a JOIN subs sub ON a.vec_id = sub.vec_id AND a.s = sub.s,
+           |    range(0, $PqDim) t(j)),
+           |c$r AS (SELECT s, c, list(cv1 ORDER BY pos) AS cv FROM (
+           |    SELECT s, c, pos,
+           |      CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv1
+           |    FROM m$r GROUP BY s, c, pos) GROUP BY s, c)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv FROM embeddings),
+         |subs AS (SELECT vec_id, CAST(t.s AS INTEGER) AS s,
+         |    qv[CAST(t.s * $PqDim + 1 AS INTEGER):CAST(t.s * $PqDim + $PqDim AS INTEGER)] AS sv
+         |  FROM e, range(0, $PqSubs) t(s)),
+         |c0 AS (SELECT vec_id AS c, s, sv AS cv FROM subs WHERE vec_id < $PqK),
+         |${lloyd(1, "c0")},
+         |${lloyd(2, "c1")},
+         |de AS (
+         |  SELECT sub.vec_id, sub.s, c.c, ${sq("sub.sv", "c.cv")} AS d
+         |  FROM subs sub JOIN c2 c ON sub.s = c.s),
+         |codes AS (SELECT vid, s, c FROM (
+         |    SELECT vec_id AS vid, s, c,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC) AS rn
+         |    FROM de) WHERE rn = 1),
+         |dtab AS (SELECT vec_id AS qid, s, c, d FROM de WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT dtab.qid, codes.vid, CAST(sum(dtab.d) AS BIGINT) AS dist
+         |  FROM codes JOIN dtab ON codes.s = dtab.s AND codes.c = dtab.c
+         |  WHERE dtab.qid <> codes.vid
+         |  GROUP BY dtab.qid, codes.vid),
+         |r AS (SELECT qid, vid, dist,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY dist ASC, vid ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT qid, vid, dist, rank FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin
+    },
     "q_kmeans_iter" ->
       s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2 FROM embeddings),
          |cents AS (SELECT vec_id AS cid, qv AS cv, n2 AS cn2 FROM e

@@ -106,9 +106,21 @@ class FunctionsSpec extends SparkSpec {
     val p = spark.sql("SELECT graft_prod(x) FROM VALUES (2.0), (3.0) AS t(x)")
       .head().getDouble(0)
     assert(p == 6.0)
+    // bloom build + probe: the filter comes in as a scalar subquery; a
+    // member always hits (no false negatives), and a 4096-bit filter on
+    // 2 items makes a false positive on the probe below ~impossible
+    val bl = spark.sql(
+      """SELECT
+        |  graft_might_contain((SELECT graft_bloom_agg(h, 10L, 4096L)
+        |    FROM VALUES (CAST(7 AS BIGINT)), (42) AS t(h)), 42L) AS hit,
+        |  graft_might_contain((SELECT graft_bloom_agg(h, 10L, 4096L)
+        |    FROM VALUES (CAST(7 AS BIGINT)), (42) AS t(h)), 123456789L) AS miss""".stripMargin)
+      .head()
+    assert(bl.getBoolean(0) && !bl.getBoolean(1))
     // the injected list covers every registered builder
     val names = graft.functions.GraftFunctions.builders.map(_._1).toSet
     assert(names == Set("graft_prod", "graft_erf", "graft_rollhash",
-      "graft_spanhashes", "graft_dotl", "graft_sinter"))
+      "graft_spanhashes", "graft_dotl", "graft_sinter",
+      "graft_bloom_agg", "graft_might_contain"))
   }
 }

@@ -43,6 +43,27 @@ class SimilaritySpec extends SparkSpec {
       s"IVF should have at most the final rank window, found $windows:\n$ivfPlan")
   }
 
+  test("hybrid near-dup plans a band equi-join, never an all-pairs block join") {
+    val df = Similarity.qDedupEmbedHybrid(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"hybrid must not cross-join:\n$plan")
+    // the blocked all-pairs leg explodes block-cell ids; the hybrid
+    // must not — its only explode-like op is the band stack generator
+    assert(!plan.contains("cell"),
+      s"hybrid must not use the block-cell replication:\n$plan")
+    // every planted pair is recovered: one pair per 5th original vector
+    val n = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 5 === 0).count()
+    val out = df.collect()
+    assert(out.length == n, s"expected $n planted pairs, got ${out.length}")
+    // each is (v, v + 1_000_000) at cosine ≥ the planted bound
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 1000000L)
+      assert(r.getDouble(2) >= 0.98)
+    }
+  }
+
   test("knn_graph: contiguous ranks 1..k per vector, cosines within [-1, 1] + quantization slack") {
     val out = Similarity.qKnnGraph(spark, dir).cache()
     try {
