@@ -74,6 +74,25 @@ object Caches {
       .df
   }
 
+  /** MAINTENANCE path: replace the artifact under (session, dir, kind)
+    * with `build` — the in-memory analog of appending a batch to a
+    * written table. The new frame is materialized BEFORE the old one is
+    * unpersisted (an append typically reads the standing artifact, so
+    * evicting first would force a full rebuild), then the old frame is
+    * released and per-session side caches are evicted (anything derived
+    * from the artifact — e.g. the bloom capacity memo — must re-derive).
+    */
+  def replace(s: SparkSession, dir: String, kind: String)(
+      build: => DataFrame): DataFrame = {
+    val holder = new Holder(() => build.persist(StorageLevel.MEMORY_AND_DISK))
+    val df = holder.df
+    df.count() // materialize from the still-cached predecessor
+    val old = entries.put((s, dir, kind), holder)
+    if (old != null) old.peek.foreach(_.unpersist(false))
+    sideCaches.forEach(f => f(Some(s)))
+    df
+  }
+
   /** Unpersist and drop every artifact owned by `s`. */
   def clear(s: SparkSession): Unit = {
     val it = entries.entrySet().iterator()

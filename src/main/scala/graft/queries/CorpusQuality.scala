@@ -203,6 +203,47 @@ object CorpusQuality extends QueryModule {
       .limit(BpeTopK)
   }
 
+  /** Iterated BPE merge training — [[qBpePairs]]'s inner loop actually
+    * REPEATED: each round counts adjacent symbol pairs over the distinct
+    * -word table, picks the argmax (count desc, pair asc — the
+    * tokenizer-training tie-break), rewrites every word's symbol
+    * sequence by merging that pair, and goes again. Symbol sequences
+    * live as unit-separator-joined strings, so the rewrite is a literal
+    * `replace` — leftmost non-overlapping on BOTH engines, which is
+    * exactly BPE's merge semantics — and each round is the same bounded
+    * plan over the rewritten table (the [[graft.queries.Fingerprints]]
+    * connected-components discipline: the driver loop carries only one
+    * scalar argmax per round, never data).
+    */
+  private val BpeRounds = 3
+  private val US = "\u001f"
+
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(col("wc"), array_join(split(col("word"), ""), US).as("seq"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val best = words
+        .select(col("wc"), explode(expr(
+          s"transform(sequence(1, size(split(seq, '$US')) - 1), " +
+            s"i -> concat(element_at(split(seq, '$US'), i), '$US', " +
+            s"element_at(split(seq, '$US'), i + 1)))")).as("pair"))
+        .groupBy("pair").agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).head()
+      val pair = best.getString(0)
+      val Array(a, b) = pair.split(US)
+      merges += ((r, a, b, a + b, best.getLong(1)))
+      words = words.withColumn("seq",
+        call_function("replace", col("seq"), lit(pair), lit(a + b)))
+    }
+    merges.toSeq.toDF("round", "sym_a", "sym_b", "merged", "n").orderBy("round")
+  }
+
   /** Exact substring-span dedup: 32-char spans whose Karp–Rabin hash
     * recurs in ≥ 2 distinct documents (the distributed analog of
     * suffix-array exact-substring dedup). [[graft.functions.SpanHashes]]
@@ -225,6 +266,7 @@ object CorpusQuality extends QueryModule {
     "q_mix_weights" -> (qMixWeights(_, _)),
     "q_mix_resample" -> (qMixResample(_, _)),
     "q_bpe_pairs" -> (qBpePairs(_, _)),
+    "q_bpe_merges" -> (qBpeMerges(_, _)),
     "q_dedup_spans" -> (qDedupSpans(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -324,6 +366,33 @@ object CorpusQuality extends QueryModule {
          |FROM p GROUP BY pair
          |ORDER BY n DESC, pair
          |LIMIT $BpeTopK""".stripMargin,
+    "q_bpe_merges" -> {
+      // one unrolled round: pair counts over wN-1 → argmax → rewrite
+      def round(r: Int): String =
+        s"""p$r AS (SELECT wc,
+           |    unnest(list_transform(range(1, len(sym)),
+           |      i -> sym[CAST(i AS INTEGER)] || chr(31) || sym[CAST(i + 1 AS INTEGER)])) AS pair
+           |  FROM (SELECT wc, string_split(seq, chr(31)) AS sym FROM w${r - 1})),
+           |b$r AS (SELECT $r AS round, pair, CAST(sum(wc) AS BIGINT) AS n
+           |  FROM p$r GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1),
+           |w$r AS (SELECT wc, replace(seq, (SELECT pair FROM b$r),
+           |    replace((SELECT pair FROM b$r), chr(31), '')) AS seq FROM w${r - 1})""".stripMargin
+      s"""WITH w0 AS (
+         |  SELECT array_to_string(string_split(word, ''), chr(31)) AS seq,
+         |    count(*) AS wc
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE length(word) >= 2
+         |  GROUP BY 1),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT round,
+         |  string_split(pair, chr(31))[1] AS sym_a,
+         |  string_split(pair, chr(31))[2] AS sym_b,
+         |  replace(pair, chr(31), '') AS merged, n
+         |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3)
+         |ORDER BY round""".stripMargin
+    },
     "q_dedup_spans" -> {
       val pows = graft.functions.SpanHashMath.Pow.mkString("[", ", ", "]")
       s"""WITH h AS (SELECT DISTINCT doc_id,

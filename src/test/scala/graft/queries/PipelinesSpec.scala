@@ -128,6 +128,17 @@ class PipelinesSpec extends SparkSpec {
     assert(q.collect().nonEmpty)
   }
 
+  test("posting-index append maintenance: idempotent, side caches evicted") {
+    @volatile var evictions = 0
+    graft.Caches.onClear(_ => evictions += 1)
+    val first = Fingerprints.qDedupIndexAppend(spark, sf).collect().toSeq
+    assert(evictions >= 1, "replace must fire the side-cache eviction hooks")
+    // re-running re-merges the batch into the already-merged artifact;
+    // the (doc_id, h) re-dedup makes that a no-op, like MERGE INTO
+    val second = Fingerprints.qDedupIndexAppend(spark, sf).collect().toSeq
+    assert(second == first, "append must be idempotent")
+  }
+
   test("bloom decontamination probe is native codegen, no driver-built sketch") {
     val df = Fingerprints.qDecontaminateBloom(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
