@@ -58,6 +58,13 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     Tables.prep(spark)
 
+    // Host 1-minute load average at start and end of the run: the
+    // shared-host noise signature (documented in BASELINE.md) shows up
+    // as load ≫ core count; recording it inline lets a reader separate
+    // host steal from plan regressions without a re-run.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val load0 = osBean.getSystemLoadAverage
+
     // Warm the JVM + parquet footers once so timings measure the queries,
     // not first-touch class loading.
     SparkEntry.queries.get("q1_agg").foreach(f => f(spark, sfDir).count())
@@ -91,6 +98,8 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val load1 = osBean.getSystemLoadAverage
+    val loadJson = s""","load":[${f2(load0)},${f2(load1)}],"cpus":$cpus"""
 
     // Full-precision detail for offline reading (best effort — the
     // printed line is the artifact of record).
@@ -101,7 +110,7 @@ object Bench {
         .mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(DetailFile),
-        s"""{"total":$total,"prep":$prepSec,"prep_by_module":$prepJson,"sf":"$sfDir","queries":$detail}\n"""
+        s"""{"total":$total,"prep":$prepSec,"prep_by_module":$prepJson,"load":[$load0,$load1],"sf":"$sfDir","queries":$detail}\n"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => }
 
@@ -127,7 +136,7 @@ object Bench {
         (if (restN > 0) Seq("\"_other\":" + f2(restSum), "\"_other_n\":" + restN)
          else Nil)
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","prep":${f2(prepSec)},""" +
-        s""""queries":${qs.mkString("{", ",", "}")}$failedJson,"sf":$sfJson}"""
+        s""""queries":${qs.mkString("{", ",", "}")}$failedJson$loadJson,"sf":$sfJson}"""
     }
     val full = line(entries, 0, 0.0)
     val out =

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
@@ -64,6 +64,42 @@ object StreamOps {
   def decontaminate(docs: DataFrame, blocklist: DataFrame,
       fpCol: String = "fp"): DataFrame =
     docs.join(blocklist, Seq(fpCol), "left_anti")
+
+  /** Per-document distinct shingle hashes as an IN-ROW array — the same
+    * 3-word-shingle · md5-mod-P pipeline as the batch posting index
+    * ([[graft.queries.Fingerprints]] `shingleIndexOf`; distinctness
+    * applied after hashing, matching the index's (doc_id, h) dedup), but
+    * computed without any explode so it is usable in a fully STATELESS
+    * streaming map.
+    */
+  val shingleHashes: Column = expr(
+    """array_distinct(transform(
+      |  CASE WHEN size(split(text, ' ')) >= 3
+      |    THEN transform(sequence(0, size(split(text, ' ')) - 3),
+      |      i -> concat_ws(' ', element_at(split(text, ' '), i + 1),
+      |             element_at(split(text, ' '), i + 2),
+      |             element_at(split(text, ' '), i + 3)))
+      |    ELSE array(text) END,
+      |  sg -> CAST(conv(substring(md5(sg), 1, 15), 16, 10) AS BIGINT) % 2147483647))""".stripMargin)
+
+  /** Streaming decontamination under the BATCH overlap rule (see
+    * `Fingerprints.qDecontaminate`): drop an arriving document when ≥
+    * `minHits` of its distinct shingle hashes appear in the benchmark
+    * set. The benchmark hashes ride along as a broadcast-sized literal
+    * array and the overlap is an in-row `array_intersect`, so the query
+    * has NO streaming state and no shuffle — memory is bounded by the
+    * eval set, the contract that lets the same code run on an infinite
+    * ingest stream. Batch↔stream equivalence is pinned by a spec
+    * running this on a file source with an availableNow trigger against
+    * the batch query's result.
+    */
+  def decontaminateByOverlap(docs: DataFrame, benchHashes: Seq[Long],
+      minHits: Int): DataFrame =
+    docs
+      .withColumn("__hits",
+        size(array_intersect(shingleHashes, lit(benchHashes.toArray))))
+      .filter(col("__hits") < minHits)
+      .drop("__hits")
 
   /** Watermarked stream-stream interval join — each click pairs with
     * the same user's views inside [click.ts − maxAge, click.ts]. The

@@ -128,6 +128,44 @@ class PipelinesSpec extends SparkSpec {
     assert(q.collect().nonEmpty)
   }
 
+  test("AQE splits a planted skewed join at runtime; salting matches it") {
+    // When skew is only discovered at runtime, AQE's skew-join handling
+    // is the first line of defense — Salt.saltedJoin is the STATIC
+    // fallback for skew known up front (hot default keys, stop
+    // shingles), where salting avoids even building the skewed
+    // partition. This pins down that the planted skew actually trips
+    // AQE (so docs can say when salting is and isn't needed).
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key (0) carries 20k of 21k rows with a fat payload —
+      // its shuffle partition dwarfs the median and the 64 KB threshold
+      val left = spark.range(21000).select(
+        when(col("id") < 20000L, 0L).otherwise(col("id")).as("k"),
+        lpad(col("id").cast("string"), 120, "x").as("pad"))
+      val right = spark.range(200).select(col("id").as("k"), lit(1).as("v"))
+      val joined = left.join(right, "k")
+      // execute THIS dataset's own queryExecution (count() would clone
+      // the plan and leave this one unfinalized)
+      val n = joined.collect().length.toLong
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"planted skew must trip AQE's skew-join split:\n$plan")
+      // the static salted join computes the same result
+      val salted = graft.operators.Salt.saltedJoin(left, right, "k")
+      assert(salted.count() == n)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("posting-index append maintenance: idempotent, side caches evicted") {
     @volatile var evictions = 0
     graft.Caches.onClear(_ => evictions += 1)

@@ -100,6 +100,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source ingest decontamination equals batch q_decontaminate (availableNow)") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val sf = "/root/testdata/sf0.001"
+    val docsPath = s"$sf/documents.parquet"
+    val batchDocs = spark.read.parquet(docsPath)
+    // the static eval-set hashes — tiny by contract, so collecting and
+    // shipping them as a literal mirrors the broadcast a cluster does
+    val bench = batchDocs.filter(col("doc_id") < 20)
+      .select(explode(StreamOps.shingleHashes).as("h")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    // the file source wants a directory to watch — stage the corpus
+    // file into scratch (read-only testdata stays untouched)
+    val watchDir = tmpDir("decon_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(docsPath),
+      java.nio.file.Paths.get(watchDir, "documents.parquet"))
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(watchDir)
+    // DecontamT = 5, the batch rule (Fingerprints.qDecontaminate)
+    val q = StreamOps.decontaminateByOverlap(
+        stream.filter(col("doc_id") >= 20), bench, 5)
+      .select("doc_id", "lang", "source")
+      .writeStream.format("memory").queryName("decon_equiv")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "availableNow drain timed out")
+      val got = spark.table("decon_equiv").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      val want = graft.queries.Fingerprints.qDecontaminate(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      assert(got == want, s"stream kept ${got.size} docs, batch ${want.size}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with in-window views only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[StreamOps.Event]
