@@ -258,6 +258,29 @@ object CorpusQuality extends QueryModule {
       .filter(col("n_docs") >= 2)
       .orderBy("h")
 
+  /** Exact-substring DECONTAMINATION — the span-level complement of the
+    * shingle-overlap rule ([[Fingerprints.qDecontaminate]]): a training
+    * document is removed when ANY of its 32-char spans recurs verbatim
+    * in the evaluation set (doc_id < 20). A single shared long span is
+    * already copying evidence (the standard verbatim-contamination
+    * test), so the threshold is 1 — vs the shingle rule's ≥5 fuzzy
+    * hits. Shape: the codegen'd span hashes explode map-side; the eval
+    * span set is benchmark-sized and broadcasts into a semi-join; the
+    * only shuffle is the distinct over contaminated doc ids.
+    */
+  def qDecontaminateSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val spans = docs.select(col("doc_id"), explode(spanhashes(col("text"))).as("h"))
+    val evalSpans = spans.filter(col("doc_id") < 20).select("h").distinct()
+    val contaminated = spans.filter(col("doc_id") >= 20)
+      .join(broadcast(evalSpans), Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    docs.select("doc_id", "lang", "source")
+      .filter(col("doc_id") >= 20)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_repetition" -> (qTextRepetition(_, _)),
     "q_text_boilerplate" -> (qTextBoilerplate(_, _)),
@@ -267,7 +290,8 @@ object CorpusQuality extends QueryModule {
     "q_mix_resample" -> (qMixResample(_, _)),
     "q_bpe_pairs" -> (qBpePairs(_, _)),
     "q_bpe_merges" -> (qBpeMerges(_, _)),
-    "q_dedup_spans" -> (qDedupSpans(_, _)))
+    "q_dedup_spans" -> (qDedupSpans(_, _)),
+    "q_decontaminate_spans" -> (qDecontaminateSpans(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q_text_repetition" ->
@@ -393,17 +417,35 @@ object CorpusQuality extends QueryModule {
          |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3)
          |ORDER BY round""".stripMargin
     },
-    "q_dedup_spans" -> {
-      val pows = graft.functions.SpanHashMath.Pow.mkString("[", ", ", "]")
-      s"""WITH h AS (SELECT DISTINCT doc_id,
-         |    unnest(list_transform(range(0, greatest(length(text) - 31, 0)), i ->
-         |      list_sum(list_transform(range(0, 32), j ->
-         |        CAST(ascii(substr(text, CAST(i + j + 1 AS INTEGER), 1)) AS BIGINT)
-         |          * ($pows)[CAST(j + 1 AS INTEGER)]
-         |      )) % 2147483647)) AS h
+    "q_dedup_spans" ->
+      s"""WITH h AS (SELECT DISTINCT doc_id, unnest($sqlSpanHashes) AS h
          |  FROM documents)
          |SELECT CAST(h AS BIGINT) AS h, count(*) AS n_docs
          |FROM h GROUP BY h HAVING count(*) >= 2
-         |ORDER BY h""".stripMargin
-    })
+         |ORDER BY h""".stripMargin,
+    "q_decontaminate_spans" ->
+      s"""WITH h AS (SELECT DISTINCT doc_id, unnest($sqlSpanHashes) AS h
+         |  FROM documents),
+         |bad AS (SELECT DISTINCT t.doc_id
+         |  FROM h t
+         |  JOIN (SELECT DISTINCT h FROM h WHERE doc_id < 20) e USING (h)
+         |  WHERE t.doc_id >= 20)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d LEFT JOIN bad ON d.doc_id = bad.doc_id
+         |WHERE d.doc_id >= 20 AND bad.doc_id IS NULL
+         |ORDER BY d.doc_id""".stripMargin)
+
+  /** DuckDB spelling of [[graft.functions.SpanHashMath.spanHashes]] —
+    * identical constants and op order; code-point indexed (`substr` /
+    * `ascii` / `length` are code-point semantics), matching the
+    * kernel's code-point iteration.
+    */
+  private def sqlSpanHashes: String = {
+    val pows = graft.functions.SpanHashMath.Pow.mkString("[", ", ", "]")
+    s"""list_transform(range(0, greatest(length(text) - 31, 0)), i ->
+       |      list_sum(list_transform(range(0, 32), j ->
+       |        CAST(ascii(substr(text, CAST(i + j + 1 AS INTEGER), 1)) AS BIGINT)
+       |          * ($pows)[CAST(j + 1 AS INTEGER)]
+       |      )) % 2147483647)""".stripMargin
+  }
 }

@@ -174,6 +174,34 @@ object Pipelines extends QueryModule {
       .orderBy("source", "seq")
   }
 
+  /** Packing-efficiency telemetry over the [[qSeqPack]] layout: per
+    * source, sequences used, token total, capacity, and fill fraction —
+    * the number a pipeline owner watches to decide whether the packing
+    * policy (doc order, sequence budget, greedy vs bin-packing) is
+    * wasting accelerator time on padding. Same window-cumsum plan as
+    * the packer plus one aggregate; the fill fraction is a double
+    * division of exact longs.
+    */
+  def qPackEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq",
+        floor((col("cum") - col("n_tok")) / lit(SeqTokens.toDouble)).cast("long"))
+      .groupBy("source")
+      .agg(countDistinct(col("seq")).as("n_seqs"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok_total"))
+      .select(col("source"), col("n_seqs"), col("n_docs"), col("tok_total"),
+        (col("n_seqs") * lit(SeqTokens)).as("capacity"),
+        (col("tok_total").cast("double") / (col("n_seqs") * lit(SeqTokens)))
+          .as("fill_frac"))
+      .orderBy("source")
+  }
+
   // ---- end-to-end training-data preparation (capstone) ----
 
   /** The WHOLE training-data pipeline as one declarative plan — what a
@@ -295,6 +323,7 @@ object Pipelines extends QueryModule {
     "q_bucketed_join" -> (qBucketedJoin(_, _)),
     "q_partition_prune" -> (qPartitionPrune(_, _)),
     "q_seq_pack" -> (qSeqPack(_, _)),
+    "q_pack_efficiency" -> (qPackEfficiency(_, _)),
     "q_train_prep" -> (qTrainPrep(_, _)),
     "q_text_redact" -> (qTextRedact(_, _)))
 
@@ -347,6 +376,26 @@ object Pipelines extends QueryModule {
          |FROM c
          |GROUP BY source, seq
          |ORDER BY source, seq""".stripMargin,
+    "q_pack_efficiency" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t),
+         |g AS (
+         |  SELECT source,
+         |    count(DISTINCT CAST(floor((cum - n_tok) / ${SeqTokens}.0) AS BIGINT)) AS n_seqs,
+         |    count(*) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS tok_total
+         |  FROM c GROUP BY source)
+         |SELECT source, n_seqs, n_docs, tok_total,
+         |  CAST(n_seqs * $SeqTokens AS BIGINT) AS capacity,
+         |  CAST(tok_total AS DOUBLE) / (n_seqs * $SeqTokens) AS fill_frac
+         |FROM g ORDER BY source""".stripMargin,
     "q_train_prep" ->
       s"""${Fingerprints.sqlCorpusCleanCtes},
          |cleaned AS (

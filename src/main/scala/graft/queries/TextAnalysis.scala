@@ -37,6 +37,39 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("n").desc, col("word"))
       .limit(100)
 
+  /** Vocabulary sizes at which coverage is reported — tokenizer-design
+    * telemetry (how big must the vocab be before the OOV rate is
+    * acceptable).
+    */
+  private val VocabSizes = Seq(100, 1000, 5000)
+
+  /** Vocabulary coverage / out-of-vocabulary telemetry: for each
+    * candidate vocab size V, the corpus-token share covered by the top
+    * V words (count desc, word asc — a total order, so the cut is
+    * deterministic cross-engine). Each top-V plans as
+    * TakeOrderedAndProject + a scalar sum — never a global rank window
+    * over the full vocabulary, which is the scan that would collapse to
+    * one partition at a 10^8-word vocab. Exact integer sums, one double
+    * division per row.
+    */
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab = toks.groupBy("word").agg(count(lit(1)).as("n"))
+    val total = toks.agg(count(lit(1)).as("total_tokens"))
+    val perV = VocabSizes.map { v =>
+      vocab.orderBy(col("n").desc, col("word")).limit(v)
+        .agg(sum(col("n")).as("covered"))
+        .select(lit(v).as("vocab_size"), col("covered"))
+    }.reduce(_ unionAll _)
+    perV.crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("covered"), col("total_tokens"),
+        (lit(1.0) - col("covered").cast("double") / col("total_tokens"))
+          .as("oov_rate"))
+      .orderBy("vocab_size")
+  }
+
   def qTextTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(
@@ -227,6 +260,7 @@ object TextAnalysis extends QueryModule {
     "q_text_rollhash" -> (qTextRollhash(_, _)),
     "q_text_tokens" -> (qTextTokens(_, _)),
     "q_text_vocab" -> (qTextVocab(_, _)),
+    "q_vocab_coverage" -> (qVocabCoverage(_, _)),
     "q_text_quality" -> (qTextQuality(_, _)),
     "q_text_langid" -> (qTextLangid(_, _)),
     "q_text_fingerprint" -> (qTextFingerprint(_, _)))
@@ -242,6 +276,23 @@ object TextAnalysis extends QueryModule {
         |GROUP BY word
         |ORDER BY n DESC, word
         |LIMIT 100""".stripMargin,
+    "q_vocab_coverage" -> {
+      val cuts = VocabSizes.map(v =>
+        s"""SELECT $v AS vocab_size, CAST(sum(n) AS BIGINT) AS covered
+           |  FROM (SELECT n FROM v ORDER BY n DESC, word LIMIT $v)""".stripMargin)
+        .mkString("\n  UNION ALL ")
+      s"""WITH tk AS (SELECT word FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0),
+         |v AS (SELECT word, count(*) AS n FROM tk GROUP BY word),
+         |t AS (SELECT count(*) AS total_tokens FROM tk),
+         |c AS (
+         |  $cuts)
+         |SELECT c.vocab_size, c.covered, t.total_tokens,
+         |  1.0 - CAST(c.covered AS DOUBLE) / t.total_tokens AS oov_rate
+         |FROM c, t
+         |ORDER BY vocab_size""".stripMargin
+    },
     "q_text_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |  FROM documents),
