@@ -419,14 +419,16 @@ object Fingerprints extends QueryModule {
   def qCorpusClean(s: SparkSession, dir: String): DataFrame =
     corpusCleanSurvivors(s, dir).orderBy("doc_id")
 
-  /** Stages 1–4 of the corpus clean, unsorted — shared with the
-    * end-to-end training-prep capstone ([[Pipelines.qTrainPrep]]).
-    * Returns survivors as (doc_id, lang, n_words).
+  /** The corpus-clean STAGE frames — (raw docs, quality+lang gated,
+    * exact-dedup survivors as (doc_id, lang, n_words), near-dup
+    * survivors) — shared by [[corpusCleanSurvivors]] and the funnel
+    * telemetry ([[qCleanFunnel]]).
     */
-  private[queries] def corpusCleanSurvivors(
-      s: SparkSession, dir: String): DataFrame = {
+  private[queries] def cleanStages(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val scored = Tables.documents(s, dir)
+    val docs = Tables.documents(s, dir)
+    val scored = docs
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_words", size(col("words")))
       .select(Seq(col("doc_id"), col("lang"), col("n_words"), col("text"))
@@ -443,7 +445,32 @@ object Fingerprints extends QueryModule {
       .join(exact.select(col("doc_id").as("doc_a")), "doc_a")
       .join(exact.select(col("doc_id").as("doc_b")), "doc_b")
       .select(col("doc_b").as("doc_id")).distinct()
-    exact.join(removed, Seq("doc_id"), "left_anti")
+    (docs, gated, exact, exact.join(removed, Seq("doc_id"), "left_anti"))
+  }
+
+  /** Stages 1–4 of the corpus clean, unsorted — shared with the
+    * end-to-end training-prep capstone ([[Pipelines.qTrainPrep]]).
+    * Returns survivors as (doc_id, lang, n_words).
+    */
+  private[queries] def corpusCleanSurvivors(
+      s: SparkSession, dir: String): DataFrame = cleanStages(s, dir)._4
+
+  /** Cleaning FUNNEL telemetry: one row per pipeline stage with its
+    * survivor count — the attrition report every corpus-prep run emits
+    * so an over-aggressive gate is caught before a training run is
+    * wasted. Each stage is one count aggregate over the shared stage
+    * frames; the whole funnel is four scalar aggregates unioned.
+    */
+  def qCleanFunnel(s: SparkSession, dir: String): DataFrame = {
+    val (docs, gated, exact, nearSurv) = cleanStages(s, dir)
+    def stage(i: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i).as("stage"), lit(name).as("stage_name"), col("n_docs"))
+    stage(0, "raw", docs)
+      .unionAll(stage(1, "quality_lang_gate", gated))
+      .unionAll(stage(2, "exact_dedup", exact))
+      .unionAll(stage(3, "near_dedup", nearSurv))
+      .orderBy("stage")
   }
 
   /** Contaminated training docs (doc_id ≥ 20 overlapping the eval
@@ -607,6 +634,7 @@ object Fingerprints extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_clean" -> (qCorpusClean(_, _)),
+    "q_clean_funnel" -> (qCleanFunnel(_, _)),
     "q_decontaminate" -> (qDecontaminate(_, _)),
     "q_decontaminate_bloom" -> (qDecontaminateBloom(_, _)),
     "q_dedup_pipeline" -> (qDedupPipeline(_, _)),
@@ -738,6 +766,17 @@ object Fingerprints extends QueryModule {
          |SELECT doc_id, lang, n_words FROM surv
          |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
          |ORDER BY doc_id""".stripMargin,
+    "q_clean_funnel" ->
+      s"""$sqlCorpusCleanCtes
+         |SELECT * FROM (
+         |  SELECT 0 AS stage, 'raw' AS stage_name,
+         |    (SELECT count(*) FROM documents) AS n_docs
+         |  UNION ALL SELECT 1, 'quality_lang_gate', (SELECT count(*) FROM gated)
+         |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM surv)
+         |  UNION ALL SELECT 3, 'near_dedup',
+         |    (SELECT count(*) FROM surv
+         |     WHERE doc_id NOT IN (SELECT doc_id FROM removed)))
+         |ORDER BY stage""".stripMargin,
     "q_dedup_minhash" ->
       s"""$sqlMinhashCtes
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,

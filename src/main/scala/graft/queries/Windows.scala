@@ -105,6 +105,38 @@ object Windows extends QueryModule {
         max(col("k")).as("max_k"), Q.dsum(col("k")).as("sum_k"))
       .orderBy("event_type")
 
+  /** Ordered conversion funnel over the events stream — the classic
+    * product-analytics operator: users reaching view → click strictly
+    * after their first view → purchase strictly after that click.
+    * Shape: three min-aggregates and two joins, ALL keyed on user_id —
+    * the same hash partitioning carries through every stage
+    * (co-partitioned joins, AQE broadcasts the shrinking step tables),
+    * and there is no window over the raw stream, so the plan's shuffle
+    * volume is one pass of (user, ts) pairs regardless of event count.
+    */
+  def qEventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val events = ev(s, dir)
+    val firstView = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val firstClick = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("tc"))
+      .join(firstView, "user_id")
+      .filter(col("tc") > col("t_view"))
+      .groupBy("user_id").agg(min(col("tc")).as("t_click"))
+    val firstPurchase = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("tp"))
+      .join(firstClick, "user_id")
+      .filter(col("tp") > col("t_click"))
+      .groupBy("user_id").agg(min(col("tp")).as("t_purchase"))
+    def step(i: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("step"), lit(name).as("step_name"), col("n_users"))
+    step(1, "view", firstView)
+      .unionAll(step(2, "click_after_view", firstClick))
+      .unionAll(step(3, "purchase_after_click", firstPurchase))
+      .orderBy("step")
+  }
+
   /** As-of join (see [[graft.operators.AsOfJoin]]): for every click,
     * the user's most recent view at-or-before it — trades⋈quotes shape
     * on the events table. Oracle is DuckDB's native ASOF LEFT JOIN.
@@ -297,6 +329,7 @@ object Windows extends QueryModule {
     "q_asof_strict" -> (qAsofStrict(_, _)),
     "q_asof_tolerance" -> (qAsofTolerance(_, _)),
     "q_json_extract" -> (qJsonExtract(_, _)),
+    "q_event_funnel" -> (qEventFunnel(_, _)),
     "q_window_rank" -> (qWindowRank(_, _)),
     "q_window_moving" -> (qWindowMoving(_, _)),
     "q_window_tumbling" -> (qWindowTumbling(_, _)),
@@ -451,6 +484,23 @@ object Windows extends QueryModule {
          |  max(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k,
          |  ${Q.sqlDsum("CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS sum_k
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_event_funnel" ->
+      """WITH fv AS (SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |fc AS (SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > fv.t_view
+        |  GROUP BY e.user_id),
+        |fp AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > fc.t_click
+        |  GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS step_name,
+        |    (SELECT count(*) FROM fv) AS n_users
+        |  UNION ALL SELECT 2, 'click_after_view', (SELECT count(*) FROM fc)
+        |  UNION ALL SELECT 3, 'purchase_after_click', (SELECT count(*) FROM fp))
+        |ORDER BY step""".stripMargin,
     "q_window_rank" ->
       s"""WITH e AS ($evSql)
          |SELECT user_id, event_id, ts, value,
