@@ -115,6 +115,22 @@ object GroupBys extends QueryModule {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** Per-group MODE (most frequent value, smallest-value tie-break) —
+    * two codegen'd hash aggregates: (group, value) counts, then an
+    * argmax per group via `max(struct(count, −value))`. Both stages
+    * take map-side partials; no per-group sort window anywhere, which
+    * is what keeps mode computable when a group holds 10^9 rows.
+    */
+  def qGroupMode(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("l_returnflag")
+      .agg(max(struct(col("c"), (-col("l_quantity")).as("nq"))).as("m"))
+      .select(col("l_returnflag"), (-col("m.nq")).as("mode_qty"),
+        col("m.c").as("n"))
+      .orderBy("l_returnflag")
+
   /** Grouping sets (beyond reference — SURVEY §2.5 notes the reference
     * has none): ROLLUP over (returnflag, linestatus) with grouping ids.
     * Catalyst plans one Expand + hash aggregate — one scan, all levels.
@@ -146,7 +162,8 @@ object GroupBys extends QueryModule {
     "q_group_prod" -> (qGroupProd(_, _)),
     "q_group_moments" -> (qGroupMoments(_, _)),
     "q_group_size" -> (qGroupSize(_, _)),
-    "q_group_var_2key" -> (qGroupVar2Key(_, _)))
+    "q_group_var_2key" -> (qGroupVar2Key(_, _)),
+    "q_group_mode" -> (qGroupMode(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q_rollup" ->
@@ -167,6 +184,15 @@ object GroupBys extends QueryModule {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_group_mode" ->
+      """WITH g AS (SELECT l_returnflag, l_quantity, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, l_quantity, c,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY c DESC, l_quantity ASC) AS rn
+        |  FROM g)
+        |SELECT l_returnflag, l_quantity AS mode_qty, c AS n
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     "q_group_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,

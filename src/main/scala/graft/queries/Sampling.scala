@@ -42,8 +42,32 @@ object Sampling extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Fixed-SIZE deterministic sample: the K docs per source with the
+    * smallest content-hash bucket (doc_id tie-break) — the "give me
+    * exactly 5 inspection docs per source" operator, reproducible under
+    * re-runs and corpus growth-at-the-tail. The rank window partitions
+    * by source, so parallelism is #sources and no global sort exists;
+    * at a 10^6-doc-per-source corpus the same plan holds (per-partition
+    * top-K via the window's running rank, never a full materialized
+    * sort of the corpus).
+    */
+  private val FixedK = 5
+
+  def qSampleFixed(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("bucket"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("bucket", expr(bucketExpr))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= FixedK)
+      .select("source", "doc_id", "bucket", "rn")
+      .orderBy("source", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sample_stratified" -> (qSampleStratified(_, _)))
+    "q_sample_stratified" -> (qSampleStratified(_, _)),
+    "q_sample_fixed" -> (qSampleFixed(_, _)))
 
   private val sqlBucket =
     "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
@@ -57,5 +81,15 @@ object Sampling extends QueryModule {
          |  FROM documents)
          |SELECT doc_id, lang, bucket,
          |  CASE WHEN bucket % 10 < 8 THEN 'train' ELSE 'val' END AS split
-         |FROM b WHERE bucket < rate ORDER BY doc_id""".stripMargin)
+         |FROM b WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+    "q_sample_fixed" ->
+      s"""WITH b AS (
+         |  SELECT source, doc_id, CAST($sqlBucket AS BIGINT) AS bucket
+         |  FROM documents),
+         |r AS (SELECT source, doc_id, bucket,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY bucket, doc_id) AS INTEGER) AS rn
+         |  FROM b)
+         |SELECT source, doc_id, bucket, rn FROM r
+         |WHERE rn <= $FixedK ORDER BY source, rn""".stripMargin)
 }
