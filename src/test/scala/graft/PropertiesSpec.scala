@@ -208,7 +208,13 @@ class PropertiesSpec extends SparkSpec {
       "kmeans" -> (() => queries.Similarity.qKmeansIter(spark, sf).collect().toSeq),
       "unigram" -> (() => queries.CorpusQuality.qTextUnigramScore(spark, sf).collect().toSeq),
       "boilerplate" -> (() => queries.CorpusQuality.qTextBoilerplate(spark, sf).collect().toSeq),
-      "pq" -> (() => queries.Similarity.qEmbedPq(spark, sf).collect().toSeq))
+      "pq" -> (() => queries.Similarity.qEmbedPq(spark, sf).collect().toSeq),
+      // round-5 additions: the hybrid near-dup's band join + confirm,
+      // the 2-round trained codebooks, and the BPE driver loop's
+      // per-round argmax must all be partition-count-independent
+      "hybrid" -> (() => queries.Similarity.qDedupEmbedHybrid(spark, sf).collect().toSeq),
+      "pq_trained" -> (() => queries.Similarity.qEmbedPqTrained(spark, sf).collect().toSeq),
+      "bpe_merges" -> (() => queries.CorpusQuality.qBpeMerges(spark, sf).collect().toSeq))
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val baseline = qs.map { case (n, f) => n -> f() }.toMap
     try {
