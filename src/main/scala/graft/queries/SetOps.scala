@@ -40,11 +40,29 @@ object SetOps extends QueryModule {
       .agg(Q.dsum(col("value")))
       .orderBy("user_mod")
 
+  /** Unpivot/melt — pivot's inverse (pandas `melt`): three measure
+    * columns become (measure, value) rows. Plans as ONE Expand over a
+    * single scan — map-only, 3× the rows out — where the naive
+    * UNION-ALL spelling scans the table once per measure. The output
+    * order carries `value` as the tie-break because (orderkey,
+    * linenumber) is non-unique in this corpus (planted duplicates).
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure", "value")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_union" -> (qUnion(_, _)),
     "q_intersect" -> (qIntersect(_, _)),
     "q_except" -> (qExcept(_, _)),
-    "q_pivot" -> (qPivot(_, _)))
+    "q_pivot" -> (qPivot(_, _)),
+    "q_unpivot" -> (qUnpivot(_, _)))
 
   private val hq = "SELECT l_partkey FROM lineitem WHERE l_quantity >= 50.0"
   private val bp = "SELECT l_partkey FROM lineitem WHERE l_extendedprice >= 95000.0"
@@ -60,5 +78,14 @@ object SetOps extends QueryModule {
       s"""SELECT user_id % 10 AS user_mod,
          |  $cols
          |FROM events GROUP BY user_id % 10 ORDER BY user_mod""".stripMargin
-    })
+    },
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber,
+        |    'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber,
+        |    'l_discount', l_discount FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin)
 }
