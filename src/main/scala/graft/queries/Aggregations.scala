@@ -131,11 +131,33 @@ object Aggregations extends QueryModule {
       .orderBy("bucket")
   }
 
+  /** Whole-table content checksum — the integrity handshake two
+    * pipeline stages exchange across a handoff (same rows in any order
+    * and partitioning ⇒ same checksum; any changed row flips it).
+    * Order-independent by construction: a COMMUTATIVE sum of per-row
+    * 60-bit md5 hashes, accumulated in DECIMAL(38) so no corpus size
+    * can overflow it, reduced mod 2^31−1. One scan with map-side
+    * partials, one scalar row out. Row serialization concatenates the
+    * (non-null by schema) document columns with an explicit separator,
+    * identically on both engines.
+    */
+  private val ChkP = 2147483647L
+
+  def qTableChecksum(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(expr(
+        "CAST(conv(substring(md5(concat_ws('|', CAST(doc_id AS STRING), " +
+          s"lang, source, text)), 1, 15), 16, 10) AS BIGINT) % $ChkP").as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"CAST(sum(CAST(h AS DECIMAL(38,0))) % $ChkP AS BIGINT)")
+          .as("checksum"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_row" -> (qAggRow(_, _)),
     "q_agg_matrix" -> (qAggMatrix(_, _)),
     "q_profile" -> (qProfile(_, _)),
-    "q_histogram" -> (qHistogram(_, _)))
+    "q_histogram" -> (qHistogram(_, _)),
+    "q_table_checksum" -> (qTableChecksum(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q_agg_row" ->
@@ -181,6 +203,14 @@ object Aggregations extends QueryModule {
          |SELECT bucket, flo + bucket * fw AS b_lo,
          |  flo + (bucket + 1) * fw AS b_hi, n
          |FROM g ORDER BY bucket""".stripMargin,
+    "q_table_checksum" ->
+      s"""WITH h AS (SELECT
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || lang
+         |      || '|' || source || '|' || text), 1, 15))::BIGINT % $ChkP AS h
+         |  FROM documents)
+         |SELECT count(*) AS n_rows,
+         |  CAST(sum(h) % $ChkP AS BIGINT) AS checksum
+         |FROM h""".stripMargin,
     "q_agg_matrix" ->
       s"""WITH m AS (SELECT
          |  CAST(min(l_quantity) AS DOUBLE) AS vmin,
