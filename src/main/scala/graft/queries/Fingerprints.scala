@@ -242,11 +242,15 @@ object Fingerprints extends QueryModule {
     * computes the same numbers from the full corpus FROM SCRATCH —
     * proving append ≡ rebuild, which is the whole maintenance contract.
     *
-    * Cost note: each invocation re-materializes the merged artifact
-    * (the in-memory cache cannot append in place), so the timed cost is
-    * dominated by that full copy. A production table append writes only
-    * the batch-sized increment — `sources/Io.bucketedParquet` is the
-    * written-layout face of the same contract.
+    * Cost note: a merge whose increment is EMPTY (every batch row
+    * already ingested — exactly what reruns of an idempotent append
+    * see) is detected with one batch-sized anti-join probe and skips
+    * the artifact rewrite entirely, the same no-op short-circuit a
+    * production MERGE INTO takes when the touched-file set is empty.
+    * A non-empty merge re-materializes the artifact (the in-memory
+    * cache cannot append in place); a production table append writes
+    * only the batch-sized increment — `sources/Io.bucketedParquet` is
+    * the written-layout face of the same contract.
     */
   private val AppendKind = "postings_append_demo"
 
@@ -275,12 +279,17 @@ object Fingerprints extends QueryModule {
     // phase 2: merge the batch in place. MERGE INTO semantics: the
     // batch anti-joins the standing doc set, so the append is
     // idempotent WITHOUT re-shuffling the standing index — the
-    // standing rows stream from cache untouched.
-    val merged = graft.Caches.replace(s, dir, AppendKind) {
-      val standing = standingIndex(s, dir)
-      standing.unionByName(
-        batch.join(standing.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
-    }
+    // standing rows stream from cache untouched. An EMPTY increment
+    // (idempotent rerun) short-circuits: one batch-sized anti-join
+    // probe against the cached artifact, no rewrite, no side-cache
+    // eviction — the no-op commit path of a production MERGE.
+    def increment = batch.join(
+      standingIndex(s, dir).select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    val merged =
+      if (increment.isEmpty) standingIndex(s, dir)
+      else graft.Caches.replace(s, dir, AppendKind) {
+        standingIndex(s, dir).unionByName(increment)
+      }
     // re-probe the updated index: df lookup per posting, doc-level stats
     val dfreq = merged.groupBy("h").agg(count(lit(1)).as("df"))
     merged.join(dfreq, "h")
