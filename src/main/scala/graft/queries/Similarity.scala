@@ -570,6 +570,57 @@ object Similarity extends QueryModule {
       .orderBy("ida", "idb")
   }
 
+  /** Semantic-dedup near-dup threshold within a cluster. */
+  private val SemT = 0.40
+
+  /** SemDeDup-style semantic dedup (cluster-then-dedup): partition the
+    * corpus into K semantic clusters (argmax-cos assignment against the
+    * broadcast coarse centroids — the same `max_by` hash-agg plan as the
+    * IVF list assignment, no sort window), then confine the pairwise
+    * near-dup search WITHIN clusters: the pair join is an equi-join on
+    * the cluster id, so pairwise cost is Σ|cell|² instead of n² and K
+    * grows with the corpus while cells stay bounded — the property that
+    * makes embedding dedup tractable at corpus scale when no LSH margin
+    * exists. Keep rule: within a near-duplicate pair the member FARTHER
+    * from its centroid survives (it carries more information for the
+    * cluster; centroid-cos ascending, id tie-break), so the verdict
+    * column marks exactly the members a pruning pass would delete.
+    * Output: every vector's cluster id, centroid cosine, and drop
+    * verdict — the full assignment table a production pass writes.
+    */
+  def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(s, dir)
+    val cents = emb.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("n2").as("cn2"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", qcos(G.dotl(col("qv"), col("cv")), col("n2"), col("cn2")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cid"), col("ccos"), col("qv"), col("n2")),
+        struct(col("ccos"), (-col("cid")).as("tb"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        col("best.ccos").as("ccos"), col("best.qv").as("qv"), col("best.n2").as("n2"))
+    // within-cluster near-dup pairs, both orientations: for each member
+    // the set of same-cluster neighbors above the threshold
+    val x = assigned.select(col("cid"), col("vec_id").as("ida"),
+      col("qv").as("qa"), col("n2").as("na"), col("ccos").as("ca"))
+    val y = assigned.select(col("cid"), col("vec_id").as("idb"),
+      col("qv").as("qb"), col("n2").as("nb"), col("ccos").as("cb"))
+    val dropped = x.join(y, Seq("cid"))
+      .filter(col("ida") =!= col("idb"))
+      .filter(qcos(G.dotl(col("qa"), col("qb")), col("na"), col("nb")) >= SemT)
+      // the neighbor closer to the centroid (or equal, lower id) wins;
+      // this row's member is the one pruned
+      .filter(col("cb") < col("ca") ||
+        (col("cb") === col("ca") && col("idb") < col("ida")))
+      .select(col("ida").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    assigned.select("vec_id", "cid", "ccos")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("ccos"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+      .orderBy("vec_id")
+  }
+
   /** Block-grid size for exact all-pairs: K(K+1)/2 join cells. */
   private val K = 16
 
@@ -613,6 +664,7 @@ object Similarity extends QueryModule {
     "q_dedup_embed" -> (qDedupEmbed(_, _)),
     "q_dedup_embed_lsh" -> (qDedupEmbedLsh(_, _)),
     "q_dedup_embed_hybrid" -> (qDedupEmbedHybrid(_, _)),
+    "q_dedup_semantic" -> (qDedupSemantic(_, _)),
     "q_embed_centroids" -> (qEmbedCentroids(_, _)),
     "q_kmeans_iter" -> (qKmeansIter(_, _)),
     "q_knn_graph" -> (qKnnGraph(_, _)),
@@ -823,6 +875,29 @@ object Similarity extends QueryModule {
          |SELECT qid, vid, dist, rank FROM r WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin
     },
+    "q_dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2 FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, qv AS cv, n2 AS cn2 FROM e
+         |  WHERE vec_id < $IvfK),
+         |scored AS (
+         |  SELECT e.vec_id, e.qv, e.n2, c.cid,
+         |    ${sqlQcos("e.qv", "c.cv", "e.n2", "c.cn2")} AS ccos
+         |  FROM e, cents c),
+         |ranked AS (SELECT vec_id, qv, n2, cid, ccos,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid ASC) AS rn
+         |  FROM scored),
+         |assigned AS (SELECT vec_id, cid, ccos, qv, n2 FROM ranked WHERE rn = 1),
+         |drp AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cid = b.cid AND a.vec_id <> b.vec_id
+         |  WHERE ${sqlQcos("a.qv", "b.qv", "a.n2", "b.n2")} >= $SemT
+         |    AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id)))
+         |SELECT a.vec_id, a.cid, a.ccos,
+         |  (d.vec_id IS NOT NULL) AS dropped
+         |FROM assigned a LEFT JOIN drp d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
     "q_kmeans_iter" ->
       s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2 FROM embeddings),
          |cents AS (SELECT vec_id AS cid, qv AS cv, n2 AS cn2 FROM e

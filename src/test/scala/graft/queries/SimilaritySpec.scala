@@ -85,6 +85,53 @@ class SimilaritySpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("semantic dedup: verdicts match a brute-force SemDeDup replay") {
+    val out = Similarity.qDedupSemantic(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        (r.getAs[Long]("cid"), r.getAs[Double]("ccos"), r.getAs[Boolean]("dropped"))))
+      .toMap
+    // brute-force replay on the driver from raw embeddings: argmax-cos
+    // assignment to the 16 seed centroids, within-cluster pairwise
+    // cosine, drop = some same-cluster neighbor ≥ τ sits ahead in
+    // (centroid-cos, id) order
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding")
+          // Spark's round() is half-AWAY-FROM-ZERO; math.round is half-up
+          // (toward +∞) — they differ on negative components
+          .map { x =>
+            val y = x.toDouble * 1048576.0
+            (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
+          }.toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Long], b: Array[Long]): Double =
+      a.indices.map(i => a(i) * b(i)).sum.toDouble
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val cents = vecs.filter(_._1 < 16)
+    val assigned = vecs.map { case (id, v) =>
+      val (cid, ccos) = cents.map { case (c, cv) => (c, cos(v, cv)) }
+        .maxBy { case (c, cc) => (cc, -c) }
+      (id, v, cid, ccos)
+    }
+    val byCluster = assigned.groupBy(_._3)
+    assigned.foreach { case (id, v, cid, ccos) =>
+      val dropped = byCluster(cid).exists { case (oid, ov, _, occos) =>
+        oid != id && cos(v, ov) >= 0.40 &&
+          (occos < ccos || (occos == ccos && oid < id))
+      }
+      assert(out(id) == ((cid, ccos, dropped)), s"vec $id mismatch")
+    }
+    // the pair join must be cluster-keyed (equi-join on cid), never a
+    // corpus×corpus cartesian; the only nested-loop join allowed is the
+    // 16-row broadcast centroid assignment
+    val plan = Similarity.qDedupSemantic(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"semantic dedup must not plan a cartesian pair join:\n$plan")
+  }
+
   test("PQ ANN: 5 ranked hits per query, non-negative non-decreasing distances") {
     val rows = Similarity.qEmbedPq(spark, dir).collect()
     val byQid = rows.groupBy(_.getAs[Long]("qid"))
