@@ -244,6 +244,44 @@ object CorpusQuality extends QueryModule {
     merges.toSeq.toDF("round", "sym_a", "sym_b", "merged", "n").orderBy("round")
   }
 
+  /** Quality-percentile gate — the corpus-relative filter real cleaning
+    * pipelines run after absolute-threshold rules: drop the bottom
+    * decile by lexical diversity (distinct-word fraction) and the
+    * bottom quartile by length, with thresholds measured from THIS
+    * corpus rather than hard-coded. The thresholds are exact order
+    * statistics: Spark's `percentile_disc` picks element ⌈p·n⌉ and
+    * DuckDB's `quantile_disc` picks ⌊p·(n−1)⌋+1 — provably the same
+    * element whenever p = 1/b for integer b (both reduce to ⌈n/b⌉), so
+    * p ∈ {0.10, 0.25} is cross-engine safe with NO float comparison
+    * slack; the scores themselves are single divisions of exact
+    * integer counts. Shape: one per-doc map + hash-agg for scores, one
+    * tiny sort-based aggregate for the two thresholds (swap to
+    * `percentile_approx`'s mergeable sketch at the 10^9-doc scale where
+    * buffering the column matters), broadcast back into a map-only
+    * verdict — no shuffle touches document text.
+    */
+  def qQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("words")).as("n_words"),
+        (size(array_distinct(col("words"))).cast("double") / size(col("words")))
+          .as("diversity"))
+    val thr = scored.agg(
+      expr("percentile_disc(0.10) WITHIN GROUP (ORDER BY diversity)").as("d_thr"),
+      // percentile_disc yields an ACTUAL element (no interpolation), so
+      // casting the always-integral length threshold back to int is
+      // exact — and matches the oracle's int-typed quantile_disc.
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_words)")
+        .cast("int").as("w_thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_words"), col("diversity"),
+        col("d_thr"), col("w_thr"),
+        (col("diversity") >= col("d_thr") && col("n_words") >= col("w_thr"))
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Exact substring-span dedup: 32-char spans whose Karp–Rabin hash
     * recurs in ≥ 2 distinct documents (the distributed analog of
     * suffix-array exact-substring dedup). [[graft.functions.SpanHashes]]
@@ -290,6 +328,7 @@ object CorpusQuality extends QueryModule {
     "q_mix_resample" -> (qMixResample(_, _)),
     "q_bpe_pairs" -> (qBpePairs(_, _)),
     "q_bpe_merges" -> (qBpeMerges(_, _)),
+    "q_quality_gate" -> (qQualityGate(_, _)),
     "q_dedup_spans" -> (qDedupSpans(_, _)),
     "q_decontaminate_spans" -> (qDecontaminateSpans(_, _)))
 
@@ -417,6 +456,18 @@ object CorpusQuality extends QueryModule {
          |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3)
          |ORDER BY round""".stripMargin
     },
+    "q_quality_gate" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS diversity
+        |  FROM documents),
+        |t AS (SELECT quantile_disc(diversity, 0.10) AS d_thr,
+        |    quantile_disc(n_words, 0.25) AS w_thr FROM s)
+        |SELECT s.doc_id, s.n_words, s.diversity, t.d_thr, t.w_thr,
+        |  (s.diversity >= t.d_thr AND s.n_words >= t.w_thr) AS keep
+        |FROM s, t
+        |ORDER BY s.doc_id""".stripMargin,
     "q_dedup_spans" ->
       s"""WITH h AS (SELECT DISTINCT doc_id, unnest($sqlSpanHashes) AS h
          |  FROM documents)

@@ -112,4 +112,29 @@ class CorpusQualitySpec extends SparkSpec {
     assert(math.abs(w2("big") / w2("small") - 2.0) < 1e-5,
       s"4:1 counts must give ~2:1 weights, got ${w2("big") / w2("small")}")
   }
+
+  test("quality gate thresholds are observed order statistics at the decile") {
+    val out = QCache.qualityGate
+    val n = out.length
+    val dThr = out.head.getAs[Double]("d_thr")
+    val wThr = out.head.getAs[Int]("w_thr")
+    // percentile_disc picks an ACTUAL element, never an interpolation
+    assert(out.exists(_.getAs[Double]("diversity") == dThr))
+    assert(out.exists(_.getAs[Int]("n_words") == wThr))
+    // ⌈0.1n⌉ rows sit at or below the decile threshold, so strictly
+    // fewer than that are below it — the defining order-statistic bound
+    assert(out.count(_.getAs[Double]("diversity") < dThr) < math.ceil(0.1 * n))
+    assert(out.count(_.getAs[Int]("n_words") < wThr) < math.ceil(0.25 * n))
+    // verdict column is consistent with its inputs row by row
+    out.foreach { r =>
+      val expect = r.getAs[Double]("diversity") >= dThr &&
+        r.getAs[Int]("n_words") >= wThr
+      assert(r.getAs[Boolean]("keep") == expect)
+    }
+  }
+
+  private object QCache {
+    lazy val qualityGate =
+      CorpusQuality.qQualityGate(spark, "/root/testdata/sf0.001").collect()
+  }
 }
