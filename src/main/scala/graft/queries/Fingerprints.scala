@@ -527,6 +527,34 @@ object Fingerprints extends QueryModule {
   def qDedupCluster(s: SparkSession, dir: String): DataFrame =
     components(confirmedPairs(s, dir)).orderBy("doc_id")
 
+  /** Cross-source duplicate matrix — provenance telemetry over the
+    * confirmed near-dup artifact: confirmed pairs counted per
+    * (source, source) cell, canonicalized with least/greatest so the
+    * matrix is upper-triangular, plus each cell's share of all
+    * confirmed pairs. A hot OFF-diagonal cell is the mirror/scraper
+    * signature (one source re-hosting another's content) and tells the
+    * pipeline which source to drop wholesale instead of deduping
+    * doc-by-doc. Cost: two joins that decorate the pair artifact with
+    * sources — the pair set is tiny relative to the corpus, so AQE
+    * broadcasts it against the doc→source projection and nothing
+    * corpus-sized shuffles; the output is sources² rows at most.
+    */
+  def qDupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select("doc_id", "source")
+    val pairs = confirmedPairs(s, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+    val tot = pairs.agg(count(lit(1)).as("tot"))
+    pairs.groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        (col("n_pairs").cast("double") / col("tot")).as("share"),
+        (col("source_a") =!= col("source_b")).as("cross_source"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Min-label propagation over an undirected edge list (doc_a, doc_b)
     * → (doc_id, cluster) for every endpoint, cluster = min reachable id.
     * Exposed for PipelinesSpec's synthetic-graph tests.
@@ -658,6 +686,7 @@ object Fingerprints extends QueryModule {
     "q_dedup_pipeline" -> (qDedupPipeline(_, _)),
     "q_dedup_pipeline_cc" -> (qDedupPipelineCc(_, _)),
     "q_dedup_cluster" -> (qDedupCluster(_, _)),
+    "q_dup_source_matrix" -> (qDupSourceMatrix(_, _)),
     "q_dedup_minhash" -> (qDedupMinhash(_, _)),
     "q_dedup_incremental" -> (qDedupIncremental(_, _)),
     "q_dedup_index_append" -> (qDedupIndexAppend(_, _)),
@@ -876,6 +905,29 @@ object Fingerprints extends QueryModule {
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
          |ORDER BY d.doc_id""".stripMargin,
+    "q_dup_source_matrix" ->
+      s"""$sqlMinhashCtes,
+         |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),
+         |confirmed AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM pairs p
+         |  JOIN dhs a ON a.doc_id = p.doc_a
+         |  JOIN dhs b ON b.doc_id = p.doc_b
+         |  WHERE len(list_intersect(a.dh, b.dh))
+         |    / (a.n + b.n - len(list_intersect(a.dh, b.dh))) >= 0.5),
+         |ps AS (
+         |  SELECT least(a.source, b.source) AS source_a,
+         |    greatest(a.source, b.source) AS source_b
+         |  FROM confirmed c
+         |  JOIN documents a ON a.doc_id = c.doc_a
+         |  JOIN documents b ON b.doc_id = c.doc_b),
+         |t AS (SELECT count(*) AS tot FROM ps)
+         |SELECT ps.source_a, ps.source_b, count(*) AS n_pairs,
+         |  CAST(count(*) AS DOUBLE) / any_value(t.tot) AS share,
+         |  (ps.source_a <> ps.source_b) AS cross_source
+         |FROM ps, t
+         |GROUP BY ps.source_a, ps.source_b
+         |ORDER BY source_a, source_b""".stripMargin,
     "q_dedup_pipeline" ->
       s"""$sqlMinhashCtes,
          |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),
