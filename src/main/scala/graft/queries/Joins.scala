@@ -139,6 +139,42 @@ object Joins extends QueryModule {
       .limit(10)
   }
 
+  /** TPC-H-Q5-shaped 6-table star join — the deepest relational plan in
+    * the suite: region gates nation (broadcast), the gated nation list
+    * broadcasts into customer AND supplier, orders arrives
+    * date-pruned (PushedFilters), and the only big shuffles are
+    * lineitem⋈orders on orderkey and the result⋈customer on custkey.
+    * The local-supplier predicate (c_nationkey = s_nationkey) rides the
+    * supplier broadcast join, so no extra exchange. This is the
+    * canonical 100 TB shape: every dimension broadcast, exactly two
+    * fact shuffles, partial aggregation before the 5-row result.
+    */
+  def q5LocalRevenue(s: SparkSession, dir: String): DataFrame = {
+    val nr = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01")
+        && col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
   /** Cross join (beyond reference — SURVEY §2.8 "not present"): the
     * 125-row nation×region grid with a computed pairing label. Spark
     * makes cross products explicit (`crossJoin`) — the right default
@@ -154,6 +190,7 @@ object Joins extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_shipping" -> (q3Shipping(_, _)),
+    "q5_local_revenue" -> (q5LocalRevenue(_, _)),
     "q_join_cross" -> (qJoinCross(_, _)),
     "q_join_inner" -> (qJoinInner(_, _)),
     "q_join_left" -> (qJoinLeft(_, _)),
@@ -182,6 +219,19 @@ object Joins extends QueryModule {
          |GROUP BY o_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC, o_orderkey ASC
          |LIMIT 10""".stripMargin,
+    "q5_local_revenue" ->
+      s"""SELECT n_name, ${Q.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
     "q_join_inner" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -253,7 +253,37 @@ object TextAnalysis extends QueryModule {
         graft.functions.GraftFunctions.rollhash(col("text")).as("rh"))
       .orderBy("doc_id")
 
+  /** Character-class mix per document — the script/charset profile a
+    * cleaning pipeline uses to catch binary junk, code masquerading as
+    * prose, and wrong-script contamination before language ID runs.
+    * Four disjoint classes (letters, digits, whitespace, punctuation)
+    * plus the remainder; each count is `n − length(class stripped)`,
+    * computed by codegen'd regexp_replace with identical regex classes
+    * on both engines, and every fraction is a single division of exact
+    * integer counts. Map-only over the text scan — no shuffle, no
+    * explode; the per-doc work is four linear regex passes.
+    */
+  def qTextCharclass(s: SparkSession, dir: String): DataFrame = {
+    def cnt(cls: String) =
+      (length(col("text")) - length(regexp_replace(col("text"), cls, "")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        cnt("[A-Za-z]").as("n_alpha"), cnt("[0-9]").as("n_digit"),
+        cnt("\\s").as("n_space"), cnt("[.,!?;:'\"()-]").as("n_punct"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_alpha") - col("n_digit")
+          - col("n_space") - col("n_punct"))
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_alpha").cast("double") / col("n_chars")).as("alpha_frac"),
+        (col("n_digit").cast("double") / col("n_chars")).as("digit_frac"),
+        (col("n_space").cast("double") / col("n_chars")).as("space_frac"),
+        (col("n_punct").cast("double") / col("n_chars")).as("punct_frac"),
+        (col("n_other").cast("double") / col("n_chars")).as("other_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_charclass" -> (qTextCharclass(_, _)),
     "q_text_tfidf" -> (qTextTfidf(_, _)),
     "q_text_chunks" -> (qTextChunks(_, _)),
     "q_text_langid_ngram" -> (qTextLangidNgram(_, _)),
@@ -268,6 +298,22 @@ object TextAnalysis extends QueryModule {
   private val stopSql = inList(stopwords)
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_charclass" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(length(text) AS INTEGER) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS n_digit,
+        |    CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS INTEGER) AS n_space,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()-]', '', 'g')) AS INTEGER) AS n_punct
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(n_alpha AS DOUBLE) / n_chars AS alpha_frac,
+        |  CAST(n_digit AS DOUBLE) / n_chars AS digit_frac,
+        |  CAST(n_space AS DOUBLE) / n_chars AS space_frac,
+        |  CAST(n_punct AS DOUBLE) / n_chars AS punct_frac,
+        |  CAST(n_chars - n_alpha - n_digit - n_space - n_punct AS DOUBLE) / n_chars AS other_frac
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
     "q_text_vocab" ->
       """SELECT word, count(*) AS n
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
