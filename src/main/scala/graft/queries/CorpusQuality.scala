@@ -220,11 +220,18 @@ object CorpusQuality extends QueryModule {
 
   def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Each round's symbol table is localCheckpointed (the CC-loop
+    // discipline): without the cut, round r's argmax re-runs the corpus
+    // explode + word-frequency aggregate AND rounds 1..r−1's rewrites
+    // from scratch — lineage cost quadratic in rounds, fatal at the
+    // thousands of merges a real tokenizer trains. With it, each round
+    // reads the previous round's (vocab-sized) table once.
     var words = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("wc"))
       .select(col("wc"), array_join(split(col("word"), ""), US).as("seq"))
+      .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     for (r <- 1 to BpeRounds) {
       val best = words
@@ -240,6 +247,7 @@ object CorpusQuality extends QueryModule {
       merges += ((r, a, b, a + b, best.getLong(1)))
       words = words.withColumn("seq",
         call_function("replace", col("seq"), lit(pair), lit(a + b)))
+      if (r < BpeRounds) words = words.localCheckpoint(true)
     }
     merges.toSeq.toDF("round", "sym_a", "sym_b", "merged", "n").orderBy("round")
   }
