@@ -304,6 +304,34 @@ object CorpusQuality extends QueryModule {
       .filter(col("n_docs") >= 2)
       .orderBy("h")
 
+  /** Intra-document self-repetition — the span-level complement of the
+    * word-level dup fraction ([[qTextRepetition]]): fraction of a
+    * document's 32-char windows whose Karp–Rabin hash repeats WITHIN
+    * the document (copy-pasted paragraphs, templated boilerplate,
+    * generation loops). [[graft.functions.SpanHashes]] already returns
+    * per-doc DISTINCT hashes, so the signal is one subtraction:
+    * 1 − distinct/windows — map-only in the codegen'd scan, no explode,
+    * no shuffle. Both engines hash identically, so collision behavior
+    * (negligible at 2^31−7) cancels exactly.
+    */
+  def qTextSelfrep(s: SparkSession, dir: String): DataFrame =
+    selfrep(Tables.documents(s, dir))
+
+  /** The metric over any (doc_id, text) frame — split out so specs can
+    * plant repeated-span fixtures (the synthetic corpus happens to
+    * contain no intra-doc 32-char repeats, so the driver check pins the
+    * zero baseline and the spec pins the positive signal).
+    */
+  private[queries] def selfrep(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) >= 32)
+      .select(col("doc_id"),
+        (length(col("text")) - 31).as("n_windows"),
+        size(spanhashes(col("text"))).as("n_distinct_spans"))
+      .withColumn("selfrep_frac",
+        lit(1.0) - col("n_distinct_spans").cast("double") / col("n_windows"))
+      .orderBy("doc_id")
+
   /** Exact-substring DECONTAMINATION — the span-level complement of the
     * shingle-overlap rule ([[Fingerprints.qDecontaminate]]): a training
     * document is removed when ANY of its 32-char spans recurs verbatim
@@ -338,6 +366,7 @@ object CorpusQuality extends QueryModule {
     "q_bpe_merges" -> (qBpeMerges(_, _)),
     "q_quality_gate" -> (qQualityGate(_, _)),
     "q_dedup_spans" -> (qDedupSpans(_, _)),
+    "q_text_selfrep" -> (qTextSelfrep(_, _)),
     "q_decontaminate_spans" -> (qDecontaminateSpans(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -482,6 +511,15 @@ object CorpusQuality extends QueryModule {
          |SELECT CAST(h AS BIGINT) AS h, count(*) AS n_docs
          |FROM h GROUP BY h HAVING count(*) >= 2
          |ORDER BY h""".stripMargin,
+    "q_text_selfrep" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) - 31 AS INTEGER) AS n_windows,
+         |  CAST(len(list_distinct($sqlSpanHashes)) AS INTEGER) AS n_distinct_spans,
+         |  1.0 - CAST(len(list_distinct($sqlSpanHashes)) AS DOUBLE)
+         |    / (length(text) - 31) AS selfrep_frac
+         |FROM documents
+         |WHERE length(text) >= 32
+         |ORDER BY doc_id""".stripMargin,
     "q_decontaminate_spans" ->
       s"""WITH h AS (SELECT DISTINCT doc_id, unnest($sqlSpanHashes) AS h
          |  FROM documents),

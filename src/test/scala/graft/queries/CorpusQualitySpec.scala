@@ -133,6 +133,24 @@ class CorpusQualitySpec extends SparkSpec {
     }
   }
 
+  test("self-repetition: repeated span flagged, unique text scores zero") {
+    import spark.implicits._
+    val para = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, para + " " + para + " " + para), // the same 60-char span 3×
+      (2L, ('a' to 'z').mkString + ('A' to 'Z').mkString), // all unique
+      (3L, "short")) // < 32 chars → filtered out
+      .toDF("doc_id", "text")
+    val out = CorpusQuality.selfrep(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val byId = out.map(r => r.getLong(0) -> r.getAs[Double]("selfrep_frac")).toMap
+    assert(byId(1L) > 0.5, s"3x repeated paragraph must score high, got ${byId(1L)}")
+    assert(byId(2L) == 0.0, "unique text must score zero")
+    // windows accounting: n_windows = len - 31 exactly
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[Int]("n_windows") == (para.length * 3 + 2) - 31)
+  }
+
   private object QCache {
     lazy val qualityGate =
       CorpusQuality.qQualityGate(spark, "/root/testdata/sf0.001").collect()
