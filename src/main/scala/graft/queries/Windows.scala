@@ -137,6 +137,28 @@ object Windows extends QueryModule {
       .orderBy("step")
   }
 
+  /** Per-type z-score anomaly flagging — the monitoring twin of the
+    * funnel telemetry: events whose value sits more than 3 sample
+    * standard deviations from their type's mean. The per-type moments
+    * come from ONE pass of exact decimal sums ([[Q.davg]]/[[Q.dstd]] —
+    * order-independent, so bit-identical on any engine), the 5-row
+    * stats table broadcasts back, and the flag itself is a map-only
+    * double comparison evaluated identically on both engines. At scale
+    * this is the streaming-scoring shape: moments maintained by the
+    * aggregation pipeline, the scoring join stateless per batch.
+    */
+  def qEventAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val events = ev(s, dir).select("event_id", "event_type", "value")
+    val stats = events.groupBy("event_type").agg(
+      Q.davg(col("value")).as("mu"),
+      Q.dstd(col("value")).as("sigma"))
+    events.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > 3.0)
+      .select("event_id", "event_type", "value", "mu", "sigma", "z")
+      .orderBy("event_id")
+  }
+
   /** As-of join (see [[graft.operators.AsOfJoin]]): for every click,
     * the user's most recent view at-or-before it — trades⋈quotes shape
     * on the events table. Oracle is DuckDB's native ASOF LEFT JOIN.
@@ -330,6 +352,7 @@ object Windows extends QueryModule {
     "q_asof_tolerance" -> (qAsofTolerance(_, _)),
     "q_json_extract" -> (qJsonExtract(_, _)),
     "q_event_funnel" -> (qEventFunnel(_, _)),
+    "q_event_anomaly" -> (qEventAnomaly(_, _)),
     "q_window_rank" -> (qWindowRank(_, _)),
     "q_window_moving" -> (qWindowMoving(_, _)),
     "q_window_tumbling" -> (qWindowTumbling(_, _)),
@@ -342,6 +365,16 @@ object Windows extends QueryModule {
       |  CAST(ts AS TIMESTAMP) AS ts FROM events""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_event_anomaly" ->
+      s"""WITH st AS (SELECT event_type,
+         |    ${Q.sqlDavg("value")} AS mu,
+         |    ${Q.sqlDstd("value")} AS sigma
+         |  FROM events GROUP BY event_type)
+         |SELECT e.event_id, e.event_type, e.value, st.mu, st.sigma,
+         |  (e.value - st.mu) / st.sigma AS z
+         |FROM events e JOIN st USING (event_type)
+         |WHERE abs((e.value - st.mu) / st.sigma) > 3.0
+         |ORDER BY e.event_id""".stripMargin,
     "q_sessionize" ->
       s"""WITH e AS ($evSql),
          |g AS (SELECT user_id, event_id, ts, value,
