@@ -214,7 +214,12 @@ class PropertiesSpec extends SparkSpec {
       // per-round argmax must all be partition-count-independent
       "hybrid" -> (() => queries.Similarity.qDedupEmbedHybrid(spark, sf).collect().toSeq),
       "pq_trained" -> (() => queries.Similarity.qEmbedPqTrained(spark, sf).collect().toSeq),
-      "bpe_merges" -> (() => queries.CorpusQuality.qBpeMerges(spark, sf).collect().toSeq))
+      "bpe_merges" -> (() => queries.CorpusQuality.qBpeMerges(spark, sf).collect().toSeq),
+      // late round-5: percentile-disc thresholds, decimal-moment
+      // z-scores, and the Q5 star join's decimal revenue sums
+      "quality_gate" -> (() => queries.CorpusQuality.qQualityGate(spark, sf).collect().toSeq),
+      "event_anomaly" -> (() => queries.Windows.qEventAnomaly(spark, sf).collect().toSeq),
+      "q5" -> (() => queries.Joins.q5LocalRevenue(spark, sf).collect().toSeq))
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val baseline = qs.map { case (n, f) => n -> f() }.toMap
     try {
