@@ -83,15 +83,20 @@ object Bench {
     val prepT0 = System.nanoTime()
     val prepThreads = SparkEntry.modules.map { m =>
       val name = m.getClass.getSimpleName.stripSuffix("$")
-      val out = new java.util.concurrent.atomic.AtomicReference[(String, Double)]()
+      val out = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, (String, Double)]]()
       val t = new Thread(() => {
         val t0 = System.nanoTime()
-        m.prewarm(spark, sfDir)
-        out.set(name -> (System.nanoTime() - t0) / 1e9)
+        try {
+          m.prewarm(spark, sfDir)
+          out.set(Right(name -> (System.nanoTime() - t0) / 1e9))
+        } catch { case e: Throwable => out.set(Left(e)) }
       }, s"prewarm-$name")
       t.start(); (t, out)
     }
-    val prepDetail = prepThreads.map { case (t, out) => t.join(); out.get() }
+    // A failed prewarm must fail the bench with ITS exception (as the
+    // sequential loop did), not a downstream null from the dead thread.
+    val prepDetail = prepThreads
+      .map { case (t, out) => t.join(); out.get().fold(throw _, identity) }
       .filter(_._2 >= 0.005)
     val prepSec = (System.nanoTime() - prepT0) / 1e9
 
