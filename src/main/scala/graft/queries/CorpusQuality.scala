@@ -218,20 +218,24 @@ object CorpusQuality extends QueryModule {
   private val BpeRounds = 3
   private val US = "\u001f"
 
-  def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // Each round's symbol table is localCheckpointed (the CC-loop
-    // discipline): without the cut, round r's argmax re-runs the corpus
-    // explode + word-frequency aggregate AND rounds 1..r−1's rewrites
-    // from scratch — lineage cost quadratic in rounds, fatal at the
-    // thousands of merges a real tokenizer trains. With it, each round
-    // reads the previous round's (vocab-sized) table once.
+  /** The shared merge-training loop: the word table after every round
+    * (0 = raw characters) plus the per-round argmax records. Each
+    * round's symbol table is localCheckpointed (the CC-loop
+    * discipline): without the cut, round r's argmax re-runs the corpus
+    * explode + word-frequency aggregate AND rounds 1..r−1's rewrites
+    * from scratch — lineage cost quadratic in rounds, fatal at the
+    * thousands of merges a real tokenizer trains. With it, each round
+    * reads the previous round's (vocab-sized) table once.
+    */
+  private def bpeTrain(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, String, Long)], Seq[DataFrame]) = {
     var words = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("wc"))
       .select(col("wc"), array_join(split(col("word"), ""), US).as("seq"))
       .localCheckpoint(true)
+    val rounds = scala.collection.mutable.ArrayBuffer(words)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     for (r <- 1 to BpeRounds) {
       val best = words
@@ -247,9 +251,39 @@ object CorpusQuality extends QueryModule {
       merges += ((r, a, b, a + b, best.getLong(1)))
       words = words.withColumn("seq",
         call_function("replace", col("seq"), lit(pair), lit(a + b)))
-      if (r < BpeRounds) words = words.localCheckpoint(true)
+        .localCheckpoint(true)
+      rounds += words
     }
-    merges.toSeq.toDF("round", "sym_a", "sym_b", "merged", "n").orderBy("round")
+    (merges.toSeq, rounds.toSeq)
+  }
+
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeTrain(s, dir)._1.toDF("round", "sym_a", "sym_b", "merged", "n")
+      .orderBy("round")
+  }
+
+  /** BPE compression trajectory — the number the merge loop is actually
+    * optimizing: corpus-weighted symbol count after each round, and
+    * symbols-per-word-occurrence. Round 0 is the raw character
+    * baseline; each merge must strictly shrink the total by its pair
+    * count. One vocab-sized aggregate per round over the tables the
+    * training loop already checkpointed; counts are exact integers,
+    * the ratio one double division.
+    */
+  def qBpeCompression(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, rounds) = bpeTrain(s, dir)
+    val stats = rounds.zipWithIndex.map { case (w, r) =>
+      val row = w.agg(
+        sum(col("wc") * size(split(col("seq"), US))).as("n_symbols"),
+        sum(col("wc")).as("n_occ")).head()
+      (r, row.getLong(0), row.getLong(1))
+    }
+    stats.toDF("round", "n_symbols", "n_occ")
+      .select(col("round"), col("n_symbols"), col("n_occ"),
+        (col("n_symbols").cast("double") / col("n_occ")).as("symbols_per_word"))
+      .orderBy("round")
   }
 
   /** Quality-percentile gate — the corpus-relative filter real cleaning
@@ -364,6 +398,7 @@ object CorpusQuality extends QueryModule {
     "q_mix_resample" -> (qMixResample(_, _)),
     "q_bpe_pairs" -> (qBpePairs(_, _)),
     "q_bpe_merges" -> (qBpeMerges(_, _)),
+    "q_bpe_compression" -> (qBpeCompression(_, _)),
     "q_quality_gate" -> (qQualityGate(_, _)),
     "q_dedup_spans" -> (qDedupSpans(_, _)),
     "q_text_selfrep" -> (qTextSelfrep(_, _)),
@@ -491,6 +526,34 @@ object CorpusQuality extends QueryModule {
          |  string_split(pair, chr(31))[2] AS sym_b,
          |  replace(pair, chr(31), '') AS merged, n
          |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3)
+         |ORDER BY round""".stripMargin
+    },
+    "q_bpe_compression" -> {
+      def round(r: Int): String =
+        s"""p$r AS (SELECT wc,
+           |    unnest(list_transform(range(1, len(sym)),
+           |      i -> sym[CAST(i AS INTEGER)] || chr(31) || sym[CAST(i + 1 AS INTEGER)])) AS pair
+           |  FROM (SELECT wc, string_split(seq, chr(31)) AS sym FROM w${r - 1})),
+           |b$r AS (SELECT $r AS round, pair, CAST(sum(wc) AS BIGINT) AS n
+           |  FROM p$r GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1),
+           |w$r AS (SELECT wc, replace(seq, (SELECT pair FROM b$r),
+           |    replace((SELECT pair FROM b$r), chr(31), '')) AS seq FROM w${r - 1})""".stripMargin
+      def agg(r: Int): String =
+        s"""SELECT $r AS round,
+           |  CAST(sum(wc * len(string_split(seq, chr(31)))) AS BIGINT) AS n_symbols,
+           |  CAST(sum(wc) AS BIGINT) AS n_occ FROM w$r""".stripMargin
+      s"""WITH w0 AS (
+         |  SELECT array_to_string(string_split(word, ''), chr(31)) AS seq,
+         |    count(*) AS wc
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE length(word) >= 2
+         |  GROUP BY 1),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT round, n_symbols, n_occ,
+         |  CAST(n_symbols AS DOUBLE) / n_occ AS symbols_per_word
+         |FROM (${agg(0)} UNION ALL ${agg(1)} UNION ALL ${agg(2)} UNION ALL ${agg(3)})
          |ORDER BY round""".stripMargin
     },
     "q_quality_gate" ->

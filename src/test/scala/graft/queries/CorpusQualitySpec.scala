@@ -151,6 +151,31 @@ class CorpusQualitySpec extends SparkSpec {
     assert(r1.getAs[Int]("n_windows") == (para.length * 3 + 2) - 31)
   }
 
+  test("BPE compression drops by exactly each merge's pair count") {
+    val sf = "/root/testdata/sf0.001"
+    val merges = CorpusQuality.qBpeMerges(spark, sf).collect()
+      .map(r => r.getAs[Int]("round") ->
+        ((r.getAs[String]("sym_a"), r.getAs[String]("sym_b"), r.getAs[Long]("n"))))
+      .toMap
+    val traj = CorpusQuality.qBpeCompression(spark, sf).collect()
+      .sortBy(_.getAs[Int]("round"))
+    // occurrences never change; a merge of a NON-self-overlapping pair
+    // (a ≠ b) with count n removes exactly n symbols under leftmost
+    // non-overlapping replace; a self-overlapping pair (a == b, counted
+    // with overlaps) removes between ⌈n/2⌉ and n
+    assert(traj.map(_.getAs[Long]("n_occ")).distinct.length == 1)
+    traj.sliding(2).foreach { case Array(prev, cur) =>
+      val r = cur.getAs[Int]("round")
+      val (a, b, n) = merges(r)
+      val drop = prev.getAs[Long]("n_symbols") - cur.getAs[Long]("n_symbols")
+      if (a != b)
+        assert(drop == n, s"round $r: symbol drop $drop != merge pair count $n")
+      else
+        assert(drop <= n && drop >= (n + 1) / 2,
+          s"round $r: self-overlapping pair drop $drop outside [⌈$n/2⌉, $n]")
+    }
+  }
+
   private object QCache {
     lazy val qualityGate =
       CorpusQuality.qQualityGate(spark, "/root/testdata/sf0.001").collect()
