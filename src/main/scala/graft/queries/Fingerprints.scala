@@ -531,6 +531,22 @@ object Fingerprints extends QueryModule {
   def qDedupCluster(s: SparkSession, dir: String): DataFrame =
     components(confirmedPairs(s, dir)).orderBy("doc_id")
 
+  /** Near-dup cluster-size distribution — the dedup health metric read
+    * before committing a removal pass: how many components of each size
+    * the confirmed-pair graph contains (a sudden heavy tail means a
+    * mirror exploded or a template flooded the crawl, and doc-by-doc
+    * dedup is the wrong response). Two hash aggregates over the
+    * component labels (size per cluster, then count per size) — the
+    * labels come from the same BSP propagation [[qDedupCluster]] runs,
+    * and singletons (docs in no confirmed pair) by construction never
+    * enter the edge list, so sizes start at 2.
+    */
+  def qDedupClusterSizes(s: SparkSession, dir: String): DataFrame =
+    components(confirmedPairs(s, dir))
+      .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   /** Cross-source duplicate matrix — provenance telemetry over the
     * confirmed near-dup artifact: confirmed pairs counted per
     * (source, source) cell, canonicalized with least/greatest so the
@@ -691,6 +707,7 @@ object Fingerprints extends QueryModule {
     "q_dedup_pipeline_cc" -> (qDedupPipelineCc(_, _)),
     "q_dedup_cluster" -> (qDedupCluster(_, _)),
     "q_dup_source_matrix" -> (qDupSourceMatrix(_, _)),
+    "q_dedup_cluster_sizes" -> (qDedupClusterSizes(_, _)),
     "q_dedup_minhash" -> (qDedupMinhash(_, _)),
     "q_dedup_incremental" -> (qDedupIncremental(_, _)),
     "q_dedup_index_append" -> (qDedupIndexAppend(_, _)),
@@ -887,6 +904,29 @@ object Fingerprints extends QueryModule {
          |  SELECT e.src, r.m FROM edges e JOIN reach r ON r.doc = e.dst)
          |SELECT doc AS doc_id, CAST(min(m) AS BIGINT) AS cluster
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "q_dedup_cluster_sizes" ->
+      s"""${sqlMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),
+         |confirmed AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM pairs p
+         |  JOIN dhs a ON a.doc_id = p.doc_a
+         |  JOIN dhs b ON b.doc_id = p.doc_b
+         |  WHERE len(list_intersect(a.dh, b.dh))
+         |    / (a.n + b.n - len(list_intersect(a.dh, b.dh))) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM confirmed
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM confirmed),
+         |reach(doc, m) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.m FROM edges e JOIN reach r ON r.doc = e.dst),
+         |labels AS (SELECT doc, min(m) AS cluster FROM reach GROUP BY doc),
+         |sizes AS (SELECT cluster, count(*) AS cluster_size
+         |  FROM labels GROUP BY cluster)
+         |SELECT cluster_size, count(*) AS n_clusters
+         |FROM sizes GROUP BY cluster_size
+         |ORDER BY cluster_size""".stripMargin,
     "q_dedup_pipeline_cc" ->
       s"""${sqlMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),
