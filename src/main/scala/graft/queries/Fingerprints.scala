@@ -110,13 +110,16 @@ object Fingerprints extends QueryModule {
     * sort-merge-joins by doc id at corpus scale. Carries the docs'
     * distinct-string totals (na/nb) so callers compute J directly.
     */
-  private def interCounts(candidates: DataFrame, idx: DataFrame): DataFrame = {
+  private def interCounts(s: SparkSession, dir: String,
+      candidates: DataFrame): DataFrame = {
     // SORTED arrays so the confirm is a codegen'd two-pointer merge
     // (graft_sinter) — `array_intersect` here falls off Spark's
     // specialized hash-set path and boxes every element (measured 60–155 s
     // CPU + 45 s GC for 409k confirms; graft_sinter: < 1 s).
-    val arrays = idx.groupBy("doc_id")
-      .agg(first(col("n")).as("n"), sort_array(collect_list(col("h"))).as("hs"))
+    // The per-doc array frame is ITSELF a memoized corpus artifact:
+    // both confirm paths (prep's LSH confirm, the PPJoin confirm) read
+    // the same groupBy-and-sort of the posting index, so it builds once.
+    val arrays = docArrays(s, dir)
     candidates
       .join(arrays.select(col("doc_id").as("doc_a"),
         col("n").as("na"), col("hs").as("ha")), "doc_a")
@@ -125,6 +128,14 @@ object Fingerprints extends QueryModule {
       .withColumn("inter", graft.functions.GraftFunctions.sinter(col("ha"), col("hb")))
       .select("doc_a", "doc_b", "inter", "na", "nb")
   }
+
+  /** (doc_id, n, sorted hash array) — one row per document, built once
+    * per corpus from the posting index.
+    */
+  private def docArrays(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, dir, "doc_hash_arrays")(
+      postings(s, dir).groupBy("doc_id")
+        .agg(first(col("n")).as("n"), sort_array(collect_list(col("h"))).as("hs")))
 
   /** MinHash sigs + LSH banding over the (doc_id, h) index → candidate
     * pairs, NO trailing sort (embeddable). Signatures are ONE codegen'd
@@ -174,7 +185,7 @@ object Fingerprints extends QueryModule {
 
   private def confirmedPairs(s: SparkSession, dir: String): DataFrame =
     graft.Caches.memo(s, dir, "confirmed_pairs")(
-      interCounts(candidatePairs(s, dir), postings(s, dir))
+      interCounts(s, dir, candidatePairs(s, dir))
         .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
         .filter(col("j") >= JaccardT)
         .select("doc_a", "doc_b"))
@@ -396,7 +407,7 @@ object Fingerprints extends QueryModule {
              >= greatest(col("x.n"), col("y.n")) * JaccardT)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    interCounts(pairs, idxD)
+    interCounts(s, dir, pairs)
       .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("j") >= JaccardT)
       .select("doc_a", "doc_b", "j")
