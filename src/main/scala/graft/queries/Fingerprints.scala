@@ -558,6 +558,40 @@ object Fingerprints extends QueryModule {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** Per-source curation scorecard — the one-page report a curator
+    * reads before deciding per-source treatment: document count, total
+    * words, pooled lexical diversity (Σ distinct-words / Σ words — a
+    * ratio of exact integer sums, deliberately NOT a mean of per-doc
+    * doubles, whose float summation order would diverge across
+    * engines), and the near-dup exposure (documents appearing in any
+    * confirmed pair, as a fraction). One scan for the word stats, one
+    * decoration of the tiny pair artifact, a sources-sized output.
+    */
+  def qSourceScorecard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        size(col("words")).cast("long").as("nw"),
+        size(array_distinct(col("words"))).cast("long").as("nd"))
+    val base = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nw")).as("total_words"),
+      sum(col("nd")).as("total_distinct"))
+    val cp = confirmedPairs(s, dir)
+    val dupDocs = cp.select(col("doc_a").as("doc_id"))
+      .union(cp.select(col("doc_b").as("doc_id"))).distinct()
+      .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_dup_docs"))
+    base.join(dupDocs, Seq("source"), "left")
+      .na.fill(0L, Seq("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("total_words"),
+        (col("total_distinct").cast("double") / col("total_words"))
+          .as("pooled_diversity"),
+        col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs")).as("dup_frac"))
+      .orderBy("source")
+  }
+
   /** Cross-source duplicate matrix — provenance telemetry over the
     * confirmed near-dup artifact: confirmed pairs counted per
     * (source, source) cell, canonicalized with least/greatest so the
@@ -719,6 +753,7 @@ object Fingerprints extends QueryModule {
     "q_dedup_cluster" -> (qDedupCluster(_, _)),
     "q_dup_source_matrix" -> (qDupSourceMatrix(_, _)),
     "q_dedup_cluster_sizes" -> (qDedupClusterSizes(_, _)),
+    "q_source_scorecard" -> (qSourceScorecard(_, _)),
     "q_dedup_minhash" -> (qDedupMinhash(_, _)),
     "q_dedup_incremental" -> (qDedupIncremental(_, _)),
     "q_dedup_index_append" -> (qDedupIndexAppend(_, _)),
@@ -960,6 +995,35 @@ object Fingerprints extends QueryModule {
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
          |ORDER BY d.doc_id""".stripMargin,
+    "q_source_scorecard" ->
+      s"""$sqlMinhashCtes,
+         |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),
+         |confirmed AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM pairs p
+         |  JOIN dhs a ON a.doc_id = p.doc_a
+         |  JOIN dhs b ON b.doc_id = p.doc_b
+         |  WHERE len(list_intersect(a.dh, b.dh))
+         |    / (a.n + b.n - len(list_intersect(a.dh, b.dh))) >= 0.5),
+         |w AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+         |  FROM documents),
+         |base AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(nw) AS BIGINT) AS total_words,
+         |    CAST(sum(nd) AS BIGINT) AS total_distinct
+         |  FROM w GROUP BY source),
+         |dup AS (SELECT w.source, count(*) AS n_dup_docs FROM (
+         |    SELECT doc_a AS doc_id FROM confirmed
+         |    UNION SELECT doc_b AS doc_id FROM confirmed) d
+         |  JOIN w ON w.doc_id = d.doc_id
+         |  GROUP BY w.source)
+         |SELECT base.source, base.n_docs, base.total_words,
+         |  CAST(base.total_distinct AS DOUBLE) / base.total_words AS pooled_diversity,
+         |  CAST(COALESCE(dup.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+         |  CAST(COALESCE(dup.n_dup_docs, 0) AS DOUBLE) / base.n_docs AS dup_frac
+         |FROM base LEFT JOIN dup ON base.source = dup.source
+         |ORDER BY base.source""".stripMargin,
     "q_dup_source_matrix" ->
       s"""$sqlMinhashCtes,
          |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),
