@@ -81,13 +81,63 @@ object Dedup extends QueryModule {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 
+  /** Words per segment in the paragraph-dedup proxy segmentation. The
+    * synthetic corpus has no newlines, so "paragraphs" are fixed
+    * 10-word windows; on real data the splitter is `split(text, '\n')`
+    * and everything downstream is unchanged.
+    */
+  private val ParaWords = 10
+
+  /** Paragraph-level exact dedup WITH document reassembly — the
+    * MassiveText/RefinedWeb cleaning step the span queries
+    * ([[CorpusQuality.qDedupSpans]]) only *flag*: every verbatim
+    * re-occurrence of a segment anywhere in the corpus is excised
+    * (corpus-wide first occurrence wins — min (doc_id, seg_idx)), and
+    * each document's text is rebuilt from its surviving segments in
+    * original order.
+    *
+    * Plan shape at 100 TB: segment explode is map-only; the keeper
+    * election groups on the 16-byte md5 of the segment (one shuffle of
+    * digests + an encoded 8-byte occurrence key, map-side partial min);
+    * the keep decision joins segments to keepers on the digest (the one
+    * shuffle that carries segment text, unavoidable — the survivors are
+    * the output); reassembly is one shuffle on doc_id with
+    * `collect_list` + in-plan sort of the per-doc handful of segments.
+    * No windows, no driver-side state. The occurrence key encodes
+    * (doc_id, seg_idx) as doc_id·100000 + seg_idx — valid while
+    * documents stay under 10⁵ segments (10⁶ words); beyond that widen
+    * the factor.
+    */
+  def qDedupParagraph(s: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, greatest(cast(ceil(size(words) / $ParaWords.0) as int), 1) - 1), " +
+            s"i -> array_join(slice(words, i * $ParaWords + 1, $ParaWords), ' '))")))
+      .toDF("doc_id", "seg_idx", "seg")
+    val occ = segs
+      .withColumn("h", md5(col("seg")))
+      .withColumn("occ_key", col("doc_id") * lit(100000L) + col("seg_idx"))
+    val keeper = occ.groupBy("h").agg(min(col("occ_key")).as("keep_key"))
+    val kept = occ.join(keeper, Seq("h")).filter(col("occ_key") === col("keep_key"))
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        collect_list(struct(col("seg_idx"), col("seg"))).as("ps"))
+      .select(col("doc_id"), col("n_kept"),
+        md5(expr("array_join(transform(array_sort(ps), x -> x.seg), ' ')")).as("clean_hash"),
+        expr("length(array_join(transform(array_sort(ps), x -> x.seg), ' '))").as("n_chars_clean"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unique" -> (qUnique(_, _)),
     "q_drop_dup_min" -> (qDropDupMin(_, _)),
     "q_drop_dup_sum" -> (qDropDupSum(_, _)),
     "q_drop_dup_prod" -> (qDropDupProd(_, _)),
     "q_drop_dup_first" -> (qDropDupFirst(_, _)),
-    "q_dedup_exact" -> (qDedupExact(_, _)))
+    "q_dedup_exact" -> (qDedupExact(_, _)),
+    "q_dedup_paragraph" -> (qDedupParagraph(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q_unique" ->
@@ -120,5 +170,21 @@ object Dedup extends QueryModule {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q_dedup_paragraph" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |seg AS (
+         |  SELECT doc_id, i AS seg_idx,
+         |    array_to_string(words[(i * $ParaWords + 1):(i * $ParaWords + $ParaWords)], ' ') AS seg
+         |  FROM w, LATERAL unnest(generate_series(0,
+         |    greatest(CAST(ceil(len(words) / $ParaWords.0) AS INT), 1) - 1)) AS t(i)),
+         |occ AS (SELECT doc_id, seg_idx, seg, md5(seg) AS h,
+         |    doc_id * 100000 + seg_idx AS occ_key FROM seg),
+         |keeper AS (SELECT h, min(occ_key) AS keep_key FROM occ GROUP BY h),
+         |kept AS (SELECT o.doc_id, o.seg_idx, o.seg
+         |  FROM occ o JOIN keeper k ON o.h = k.h AND o.occ_key = k.keep_key)
+         |SELECT doc_id, count(*) AS n_kept,
+         |  md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS clean_hash,
+         |  CAST(length(string_agg(seg, ' ' ORDER BY seg_idx)) AS INTEGER) AS n_chars_clean
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -175,6 +175,35 @@ object Joins extends QueryModule {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** TPC-H-Q18-shaped large-volume-customer query — the
+    * agg-driven-semi-join plan Q3/Q5 don't exercise: the qualifying
+    * order set comes from an AGGREGATE over the fact table itself
+    * (sum(l_quantity) > 200 per order), which then semi-join-gates a
+    * 3-table join re-reading the same fact. At 100 TB both lineitem
+    * passes shuffle on l_orderkey, so AQE reuses one exchange layout;
+    * the qualifying-order list (≈1% of orders) broadcasts into the
+    * gate, and customer arrives on the already-shuffled o_custkey. The
+    * final top-100 is TakeOrderedAndProject.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+    val hot = li.groupBy("l_orderkey")
+      .agg(Q.dsum(col("l_quantity")).as("__sq"))
+      .filter(col("__sq") > 200.0)
+      .select("l_orderkey")
+    li.join(broadcast(hot), "l_orderkey")
+      .join(Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .agg(Q.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+        col("o_orderkey").asc)
+      .limit(100)
+  }
+
   /** Cross join (beyond reference — SURVEY §2.8 "not present"): the
     * 125-row nation×region grid with a computed pairing label. Spark
     * makes cross products explicit (`crossJoin`) — the right default
@@ -191,6 +220,7 @@ object Joins extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_shipping" -> (q3Shipping(_, _)),
     "q5_local_revenue" -> (q5LocalRevenue(_, _)),
+    "q18_large_orders" -> (q18LargeOrders(_, _)),
     "q_join_cross" -> (qJoinCross(_, _)),
     "q_join_inner" -> (qJoinInner(_, _)),
     "q_join_left" -> (qJoinLeft(_, _)),
@@ -202,6 +232,18 @@ object Joins extends QueryModule {
     "q_join_anti" -> (qJoinAnti(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q18_large_orders" ->
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |  ${Q.sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_orderkey IN (
+         |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${Q.sqlDsum("l_quantity")} > 200.0)
+         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         |ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+         |LIMIT 100""".stripMargin,
     "q_join_cross" ->
       """SELECT n_nationkey, n_name, r_regionkey, r_name,
         |  n_name || '-' || r_name AS pair

@@ -102,6 +102,33 @@ object Positional extends QueryModule {
       .orderBy("ord")
   }
 
+  /** GLOBAL rank / dense_rank / percent_rank over the whole corpus —
+    * pandas `Series.rank` at corpus scale. A naive
+    * `row_number() OVER (ORDER BY …)` collapses to ONE partition (the
+    * classic 100 TB cliff); here the row rank is the range-partitioned
+    * [[graft.operators.Ordinal]] (sample bounds → per-partition local
+    * window + broadcast offsets), dense rank is the same trick applied
+    * to the (much smaller) DISTINCT value set and joined back on the
+    * value — both shuffles are hash/range on the value, never a single
+    * reducer. percent_rank is (rank−1)/(n−1) with n a broadcast scalar.
+    * Ranks documents by length, the curation-pipeline use case.
+    */
+  def qRankGlobal(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+    val ranked = Ordinal
+      .withOrdinal(docs, Seq(col("n_chars").desc, col("doc_id").asc))
+      .withColumn("rnk", col("ord") + 1L).drop("ord")
+    val dense = Ordinal
+      .withOrdinal(docs.select("n_chars").distinct(), Seq(col("n_chars").desc))
+      .withColumn("dense_rnk", col("ord") + 1L).drop("ord")
+    val n = docs.agg(count(lit(1)).as("__n"))
+    ranked.join(dense, "n_chars")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_chars"), col("rnk"), col("dense_rnk"),
+        ((col("rnk") - 1L).cast("double") / (col("__n") - 1L)).as("prank"))
+      .orderBy("rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_head" -> (qHead(_, _)),
     "q_tail" -> (qTail(_, _)),
@@ -109,7 +136,8 @@ object Positional extends QueryModule {
     "q_slice_step" -> (qSliceStep(_, _)),
     "q_iloc" -> (qIloc(_, _)),
     "q_iloc_gather" -> (qIlocGather(_, _)),
-    "q_gather_missing" -> (qGatherMissing(_, _)))
+    "q_gather_missing" -> (qGatherMissing(_, _)),
+    "q_rank_global" -> (qRankGlobal(_, _)))
 
   private val cols = "l_orderkey, l_linenumber, l_quantity, l_extendedprice"
   private val ord = "l_orderkey, l_linenumber, l_quantity, l_extendedprice"
@@ -165,5 +193,11 @@ object Positional extends QueryModule {
          |  SELECT $cols,
          |    row_number() OVER (ORDER BY $ord) - 1 AS ord
          |  FROM lineitem) t ON t.ord = p.ord
-         |ORDER BY p.ord""".stripMargin)
+         |ORDER BY p.ord""".stripMargin,
+    "q_rank_global" ->
+      """SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk,
+        |  dense_rank() OVER (ORDER BY n_chars DESC) AS dense_rnk,
+        |  percent_rank() OVER (ORDER BY n_chars DESC, doc_id) AS prank
+        |FROM documents ORDER BY rnk""".stripMargin)
 }

@@ -282,7 +282,38 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Hashing-trick linear quality classifier — the fasttext-style
+    * model-scored filter every modern corpus pipeline runs (quality
+    * classifiers in the GPT-3/LLaMA data recipes): each token hashes
+    * into a weight bucket (the hashing trick replaces an explicit
+    * vocabulary→weight table), the document score is the mean bucket
+    * weight, and the label thresholds the score. Weights here are
+    * DERIVED from the hash itself (a deterministic stand-in for trained
+    * parameters — the plumbing, not the training, is the operator);
+    * swapping in trained weights is a broadcast lookup join on the same
+    * bucket id.
+    *
+    * All arithmetic is integer until the final division: bucket =
+    * md5-derived BIGINT (the same cross-engine hash family as the
+    * minhash oracle), weight = bucket % 2001 − 1000 ∈ [−1000, 1000]
+    * milli-units, summed per document INSIDE a higher-order `aggregate`
+    * over the token array — map-only, no explode, no shuffle, exact on
+    * both engines. At 100 TB this streams at parquet-scan speed.
+    */
+  def qQualityClassifier(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), size(col("words")).as("n_tokens"),
+        expr("aggregate(transform(words, w -> " +
+          "cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint) % 1000003 % 2001 - 1000), " +
+          "cast(0 as bigint), (a, x) -> a + x)").as("w_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("w_sum"),
+        (col("w_sum").cast("double") / (col("n_tokens") * lit(1000.0))).as("score"))
+      .withColumn("keep", col("score") > 0.0)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_classifier" -> (qQualityClassifier(_, _)),
     "q_text_charclass" -> (qTextCharclass(_, _)),
     "q_text_tfidf" -> (qTextTfidf(_, _)),
     "q_text_chunks" -> (qTextChunks(_, _)),
@@ -298,6 +329,17 @@ object TextAnalysis extends QueryModule {
   private val stopSql = inList(stopwords)
 
   val oracleSql: Map[String, String] = Map(
+    "q_quality_classifier" ->
+      """WITH s AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |      w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 1000003 % 2001 - 1000))
+        |      AS BIGINT) AS w_sum
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, w_sum,
+        |  CAST(w_sum AS DOUBLE) / (n_tokens * 1000.0) AS score,
+        |  CAST(w_sum AS DOUBLE) / (n_tokens * 1000.0) > 0.0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_text_charclass" ->
       """WITH c AS (SELECT doc_id,
         |    CAST(length(text) AS INTEGER) AS n_chars,

@@ -91,6 +91,37 @@ object Windows extends QueryModule {
       .select(col("window.start").as("bucket"), col("n"), col("sum_value"))
       .orderBy("bucket")
 
+  /** Time-series RESAMPLE with gap-fill + forward-fill — pandas
+    * `df.resample('1h').mean().ffill()` per user, an op the reference
+    * (and plain SQL groupBy) lacks: hourly means leave HOLES where a
+    * user had no events, and downstream feature pipelines need a dense
+    * regular grid. Three stages, all partitioned by user:
+    * (1) bucket+aggregate — one shuffle, map-side partial, exact
+    * decimal mean; (2) densify — per-user `sequence(min_h, max_h, 1h)`
+    * exploded into the full grid (generated, never shuffled: the span
+    * agg reuses the hourly shuffle's partitioning) left-joined to the
+    * observations; (3) forward-fill — `last(value, ignoreNulls)` over a
+    * per-user ordered window, running state one scalar per user. No
+    * global windows, so 10⁹ users scale linearly; a user's grid length
+    * is bounded by their own activity span.
+    */
+  def qEventsResample(s: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(s, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg((sum(col("value").cast(dec)).cast(DoubleType) / count(col("value")))
+        .as("avg_value"))
+    val grid = hourly
+      .groupBy("user_id").agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val wFill = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"), col("avg_value"),
+        last(col("avg_value"), ignoreNulls = true).over(wFill).as("value_ffill"))
+      .orderBy("user_id", "h")
+  }
+
   /** Semi-structured extraction from events.props (JSON string) — the
     * `get_json_object` path a training-data pipeline uses for metadata
     * columns; row-level and codegen'd, plus a grouped rollup on the
@@ -356,7 +387,8 @@ object Windows extends QueryModule {
     "q_window_rank" -> (qWindowRank(_, _)),
     "q_window_moving" -> (qWindowMoving(_, _)),
     "q_window_tumbling" -> (qWindowTumbling(_, _)),
-    "q_window_sliding" -> (qWindowSliding(_, _)))
+    "q_window_sliding" -> (qWindowSliding(_, _)),
+    "q_events_resample" -> (qEventsResample(_, _)))
 
   // DuckDB reads ts as TIMESTAMP_NS; CAST to TIMESTAMP truncates to the
   // same micros Spark's events loader derives (ts_ns DIV 1000).
@@ -570,5 +602,20 @@ object Windows extends QueryModule {
          |  UNION ALL
          |  SELECT time_bucket(INTERVAL '1 hour', ts,
          |    INTERVAL '30 minutes') AS bucket, value FROM e)
-         |GROUP BY bucket ORDER BY bucket""".stripMargin)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_events_resample" ->
+      s"""WITH e AS ($evSql),
+         |hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
+         |    CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / count(value) AS avg_value
+         |  FROM e GROUP BY 1, 2),
+         |spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+         |grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         |  FROM spans),
+         |f AS (SELECT g.user_id, g.h, hy.avg_value,
+         |    last_value(hy.avg_value IGNORE NULLS) OVER (
+         |      PARTITION BY g.user_id ORDER BY g.h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+         |  FROM grid g LEFT JOIN hourly hy ON g.user_id = hy.user_id AND g.h = hy.h)
+         |SELECT user_id, h, avg_value, value_ffill FROM f
+         |ORDER BY user_id, h""".stripMargin)
 }

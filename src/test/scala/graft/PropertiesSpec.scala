@@ -219,7 +219,14 @@ class PropertiesSpec extends SparkSpec {
       // z-scores, and the Q5 star join's decimal revenue sums
       "quality_gate" -> (() => queries.CorpusQuality.qQualityGate(spark, sf).collect().toSeq),
       "event_anomaly" -> (() => queries.Windows.qEventAnomaly(spark, sf).collect().toSeq),
-      "q5" -> (() => queries.Joins.q5LocalRevenue(spark, sf).collect().toSeq))
+      "q5" -> (() => queries.Joins.q5LocalRevenue(spark, sf).collect().toSeq),
+      // resample/rank/paragraph-dedup/Q18 additions: decimal means over
+      // a generated grid, range-partitioned global ranks, md5 keeper
+      // election, and the agg-gated double fact pass
+      "resample" -> (() => queries.Windows.qEventsResample(spark, sf).collect().toSeq),
+      "rank_global" -> (() => queries.Positional.qRankGlobal(spark, sf).collect().toSeq),
+      "para_dedup" -> (() => queries.Dedup.qDedupParagraph(spark, sf).collect().toSeq),
+      "q18" -> (() => queries.Joins.q18LargeOrders(spark, sf).collect().toSeq))
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val baseline = qs.map { case (n, f) => n -> f() }.toMap
     try {
