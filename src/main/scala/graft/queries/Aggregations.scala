@@ -152,14 +152,103 @@ object Aggregations extends QueryModule {
         expr(s"CAST(sum(CAST(h AS DECIMAL(38,0))) % $ChkP AS BIGINT)")
           .as("checksum"))
 
+  /** Pairwise Pearson correlation matrix of the four numeric lineitem
+    * measures — pandas `df.corr()` (a DataFrame-surface op the reference
+    * never got to). ONE pass, ONE aggregate row: all 4 first-moment and
+    * 10 second-moment sums accumulate in exact DECIMAL with map-side
+    * partials (shuffle = one 15-value row per partition), then the 6
+    * correlations are pure driver-free double arithmetic on that row —
+    * the textbook corr = (n·Σxy − Σx·Σy)/(√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²))
+    * spelled identically in the oracle so the doubles match bitwise
+    * (same discipline as the grouped-moments queries). At 100 TB this
+    * is a single scan; nothing grows with n but the partial count.
+    */
+  private val CorrCols = Seq(
+    "l_discount" -> "d", "l_extendedprice" -> "p",
+    "l_quantity" -> "q", "l_tax" -> "t")
+
+  def qCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 4)
+    val pairs = for {
+      (i, (_, a)) <- CorrCols.zipWithIndex.map(_.swap)
+      (_, b) <- CorrCols.drop(i)
+    } yield (a, b)
+    val sums =
+      count(lit(1)).as("n") +:
+        CorrCols.map { case (c, a) => sum(col(c).cast(dec18)).as(s"s_$a") } ++:
+        pairs.map { case (a, b) =>
+          sum((col(CorrCols.find(_._2 == a).get._1).cast(dec18) *
+            col(CorrCols.find(_._2 == b).get._1).cast(dec18))).as(s"s_$a$b")
+        }
+    def D(name: String) = col(name).cast("double")
+    val aggd = Tables.lineitem(s, dir).agg(sums.head, sums.tail: _*)
+      .select(D("n").as("nd") +:
+        CorrCols.map { case (_, a) => D(s"s_$a").as(s"d_$a") } ++:
+        pairs.map { case (a, b) => D(s"s_$a$b").as(s"d_$a$b") }: _*)
+    def varTerm(a: String) =
+      sqrt(col("nd") * col(s"d_$a$a") - col(s"d_$a") * col(s"d_$a"))
+    val offDiag = pairs.filter { case (a, b) => a != b }
+    val corrs = aggd.select(offDiag.map { case (a, b) =>
+      ((col("nd") * col(s"d_$a$b") - col(s"d_$a") * col(s"d_$b")) /
+        (varTerm(a) * varTerm(b))).as(s"c_$a$b")
+    }: _*)
+    val stackArgs = offDiag.map { case (a, b) =>
+      val (na, nb) = (CorrCols.find(_._2 == a).get._1, CorrCols.find(_._2 == b).get._1)
+      s"'$na', '$nb', c_$a$b"
+    }.mkString(", ")
+    corrs.select(expr(
+      s"stack(${offDiag.size}, $stackArgs) AS (col_x, col_y, corr)"))
+      .orderBy("col_x", "col_y")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr_matrix" -> (qCorrMatrix(_, _)),
     "q_agg_row" -> (qAggRow(_, _)),
     "q_agg_matrix" -> (qAggMatrix(_, _)),
     "q_profile" -> (qProfile(_, _)),
     "q_histogram" -> (qHistogram(_, _)),
     "q_table_checksum" -> (qTableChecksum(_, _)))
 
+  /** q_corr_matrix oracle — generated from the same [[CorrCols]]/pair
+    * list as the Spark plan so the double formulas stay token-identical.
+    */
+  private val corrOracle: String = {
+    val pairs = for {
+      (i, (_, a)) <- CorrCols.zipWithIndex.map(_.swap)
+      (_, b) <- CorrCols.drop(i)
+    } yield (a, b)
+    def src(a: String) = CorrCols.find(_._2 == a).get._1
+    // DECIMAL(19,4) (vs Spark's (18,4)) forces DuckDB's int128 multiply
+    // path — both engines' decimal intermediates are EXACT either way,
+    // so the final double casts still match bitwise.
+    val momentSums = (
+      CorrCols.map { case (c, a) =>
+        s"sum(CAST($c AS DECIMAL(19,4))) AS s_$a" } ++
+      pairs.map { case (a, b) =>
+        s"sum(CAST(${src(a)} AS DECIMAL(19,4)) * CAST(${src(b)} AS DECIMAL(19,4))) AS s_$a$b" })
+      .mkString(",\n|    ")
+    val dCols = (
+      CorrCols.map { case (_, a) => s"CAST(s_$a AS DOUBLE) AS d_$a" } ++
+      pairs.map { case (a, b) => s"CAST(s_$a$b AS DOUBLE) AS d_$a$b" })
+      .mkString(",\n|    ")
+    def varT(a: String) = s"sqrt(nd * d_$a$a - d_$a * d_$a)"
+    val rows = pairs.filter { case (a, b) => a != b }.map { case (a, b) =>
+      s"SELECT '${src(a)}' AS col_x, '${src(b)}' AS col_y,\n" +
+        s"|    (nd * d_$a$b - d_$a * d_$b) / (${varT(a)} * ${varT(b)}) AS corr FROM d"
+    }.mkString("\n|  UNION ALL\n|  ")
+    s"""WITH s AS (SELECT count(*) AS n,
+       |    $momentSums
+       |  FROM lineitem),
+       |d AS (SELECT CAST(n AS DOUBLE) AS nd,
+       |    $dCols
+       |  FROM s)
+       |SELECT col_x, col_y, corr FROM (
+       |  $rows)
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_corr_matrix" -> corrOracle,
     "q_agg_row" ->
       s"""SELECT
          |  min(l_quantity) AS min_qty,

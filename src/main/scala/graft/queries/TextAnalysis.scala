@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** LLM-pipeline text analysis over `documents` (beyond-reference suite;
   * builder brief + SURVEY.md §7.4): token counting, quality scoring,
@@ -312,7 +313,69 @@ object TextAnalysis extends QueryModule {
       .withColumn("keep", col("score") > 0.0)
       .orderBy("doc_id")
 
+  /** Heavy-hitter support φ: a bigram is "heavy" iff cnt·1000 > total
+    * bigram occurrences (φ = 0.1%). Integer arithmetic on both engines —
+    * no float threshold to diverge on.
+    */
+  private val HhDenom = 1000L
+
+  /** Bigram expression shared by both phases: n−1 bigrams for n words,
+    * 0-based SQL array indexing. The CASE guard matters: Spark's
+    * `sequence(0, -1)` DESCENDS ([0, -1]) rather than being empty, so a
+    * 1-word doc must short-circuit to an empty array explicitly.
+    */
+  private val bigramsExpr =
+    "CASE WHEN size(words) < 2 THEN array() ELSE " +
+      "transform(sequence(0, size(words) - 2), " +
+      "i -> concat(words[i], ' ', words[i + 1])) END"
+
+  /** Corpus-wide heavy hitters (frequent bigram collocations) via the
+    * TWO-PHASE pigeonhole pattern — the way to find every term above a
+    * support threshold at 100 TB WITHOUT shuffling the long tail:
+    *
+    *  - Phase 1 (map-only, zero shuffle): each partition counts its own
+    *    bigrams in a local hash map and emits only those with
+    *    local·P·1000 > total — by pigeonhole, any bigram with global
+    *    cnt·1000 > total must exceed total/(1000·P) in at least one of
+    *    the P partitions, so the candidate set is a provable superset
+    *    of the true heavy hitters. Candidate volume is bounded by
+    *    P·1000/1 regardless of corpus size; the tail (here 916 distinct,
+    *    at 100 TB billions) never leaves its partition.
+    *  - Phase 2 (exact): explode → broadcast-semi-join against the tiny
+    *    candidate set BEFORE the aggregate, so the one shuffle carries
+    *    only candidate occurrences; exact counts then apply the same
+    *    integer threshold. False candidates die here — the result is
+    *    exact for any partitioning (spec-asserted).
+    *
+    * The naive single groupBy is correct but shuffles one row per
+    * distinct term per partition — at web scale that is the vocabulary
+    * itself, dwarfing the answer. This is the Misra–Gries/space-saving
+    * shape with an exact confirm pass.
+    */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bgs = Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("words"))
+      .select(expr(bigramsExpr).as("bgs"))
+    val total = bgs.agg(sum(size(col("bgs")))).first().getLong(0)
+    val rdd = bgs.as[Seq[String]].rdd
+    val p = rdd.getNumPartitions.toLong
+    val cand = rdd.mapPartitions { it =>
+      val m = new java.util.HashMap[String, Long]()
+      it.foreach(_.foreach(bg => m.merge(bg, 1L, _ + _)))
+      m.entrySet().iterator().asScala.collect {
+        case e if e.getValue * p * HhDenom > total => e.getKey
+      }
+    }.toDF("bg").distinct()
+    bgs.select(explode(col("bgs")).as("bg"))
+      .join(broadcast(cand), "bg")
+      .groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * HhDenom > total)
+      .orderBy(col("cnt").desc, col("bg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> (qHeavyHitters(_, _)),
     "q_quality_classifier" -> (qQualityClassifier(_, _)),
     "q_text_charclass" -> (qTextCharclass(_, _)),
     "q_text_tfidf" -> (qTextTfidf(_, _)),
@@ -329,6 +392,14 @@ object TextAnalysis extends QueryModule {
   private val stopSql = inList(stopwords)
 
   val oracleSql: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT ws[i + 1] || ' ' || ws[i + 2] AS bg
+        |  FROM d, LATERAL unnest(generate_series(0, len(ws) - 2)) AS t(i)),
+        |c AS (SELECT bg, count(*) AS cnt FROM b GROUP BY bg)
+        |SELECT bg, cnt FROM c
+        |WHERE cnt * 1000 > (SELECT count(*) FROM b)
+        |ORDER BY cnt DESC, bg""".stripMargin,
     "q_quality_classifier" ->
       """WITH s AS (SELECT doc_id,
         |    len(string_split(text, ' ')) AS n_tokens,

@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic contracts for the two-phase heavy hitters and the one-pass
+  * correlation matrix that the driver's oracle compare can't state:
+  * pigeonhole completeness (≡ naive groupBy under any partitioning) and
+  * agreement with Spark's own `corr` estimator.
+  */
+class HeavyHittersCorrSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("two-phase heavy hitters ≡ naive full groupBy, under any partitioning") {
+    val naive = {
+      val bgs = graft.Tables.documents(spark, sf)
+        .select(split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(words) - 2), " +
+            "i -> concat(words[i], ' ', words[i + 1]))")).as("bg"))
+      val total = bgs.count()
+      bgs.groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 1000 > total)
+        .orderBy(col("cnt").desc, col("bg"))
+        .collect().toSeq
+    }
+    assert(naive.nonEmpty, "fixture must produce heavy hitters")
+    val twoPhase = TextAnalysis.qHeavyHitters(spark, sf).collect().toSeq
+    assert(twoPhase == naive)
+    // the phase-1 candidate threshold depends on the partition count;
+    // the exact confirm must erase that dependence
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      Seq("1", "7").foreach { p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        assert(TextAnalysis.qHeavyHitters(spark, sf).collect().toSeq == naive,
+          s"heavy hitters changed at shuffle.partitions=$p")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("every reported heavy hitter exceeds the support threshold; none missed") {
+    val bgsTotal = graft.Tables.documents(spark, sf)
+      .select(greatest(size(split(col("text"), " ")) - 1, lit(0)).as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    val r = TextAnalysis.qHeavyHitters(spark, sf).collect()
+    assert(r.forall(_.getLong(1) * 1000 > bgsTotal))
+    // counts are in (desc, bg asc) total order
+    val pairs = r.map(x => (-x.getLong(1), x.getString(0))).toSeq
+    assert(pairs == pairs.sorted)
+  }
+
+  test("one-pass exact-decimal corr matrix agrees with Spark's corr estimator") {
+    val got = Aggregations.qCorrMatrix(spark, sf).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    assert(got.size == 6)
+    val li = graft.Tables.lineitem(spark, sf)
+    got.keys.foreach { case (a, b) =>
+      val want = li.agg(corr(col(a), col(b))).collect()(0).getDouble(0)
+      assert(math.abs(got((a, b)) - want) < 1e-9,
+        s"corr($a,$b): ${got((a, b))} vs Spark's $want")
+    }
+    // correlation is bounded; the synthetic generator draws the four
+    // measures independently, so no pair should look strongly coupled
+    assert(got.values.forall(v => v >= -1.0 && v <= 1.0))
+    assert(got.values.forall(v => math.abs(v) < 0.5))
+  }
+}
