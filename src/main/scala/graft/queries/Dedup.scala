@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -130,6 +130,61 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Edit-distance τ for the fuzzy join; blocking is provably complete
+    * for this τ (see [[delNbhd]]).
+    */
+  private val FuzzyTau = 2
+
+  /** The ≤[[FuzzyTau]]-deletion neighborhood of a string: every string
+    * obtainable by deleting at most τ characters, distinct. FastSS /
+    * SymSpell blocking key set: if `lev(a,b) ≤ τ` then deleting the
+    * edited positions from each side yields a COMMON member of both
+    * neighborhoods, so an equi-join on these keys is a complete
+    * candidate generator — no false negatives, and false positives are
+    * removed by the exact confirm. |keys| = O(len²) per string for τ=2.
+    */
+  private def delNbhd(c: String): Column = {
+    val del = (s: String, i: String) =>
+      s"concat(substring($s, 1, $i - 1), substring($s, $i + 1, 2147483647))"
+    expr(
+      s"""array_distinct(flatten(transform(
+         |  concat(array($c), transform(sequence(1, length($c)),
+         |    i -> ${del(c, "i")})),
+         |  t -> concat(array(t), transform(sequence(1, length(t)),
+         |    j -> ${del("t", "j")})))))""".stripMargin)
+  }
+
+  /** Record linkage / fuzzy self-join: pairs of DISTINCT part names
+    * within edit distance ≤ [[FuzzyTau]], with per-name row counts —
+    * the "same entity, dirty spelling" primitive of entity resolution.
+    *
+    * Scale shape (the whole point — the naive form is an O(n²) string
+    * cross join): (1) collapse the corpus to distinct names + counts
+    * (one hash agg; 2000→64 rows at sf0.01, and the ratio only improves
+    * with scale); (2) explode each name's deletion neighborhood
+    * ([[delNbhd]], O(len²) keys/name) and EQUI-join on the key — the
+    * candidate pairs are only strings that agree on some key; (3)
+    * distinct the candidate pairs, then confirm with one codegen'd
+    * `levenshtein` per candidate. Work is O(n·len²) keys + candidates,
+    * never n² — the FastSS/SymSpell pattern. The DuckDB oracle computes
+    * the naive quadratic semantics; blocking completeness makes them
+    * provably equal.
+    */
+  def qFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir)
+      .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n"))
+    val keyed = names
+      .select(col("name"), col("n"), explode(delNbhd("name")).as("k"))
+    keyed.as("a").join(keyed.as("b"), Seq("k"))
+      .filter(col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("a.n").as("n_a"),
+        col("b.name").as("name_b"), col("b.n").as("n_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= FuzzyTau)
+      .orderBy("name_a", "name_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unique" -> (qUnique(_, _)),
     "q_drop_dup_min" -> (qDropDupMin(_, _)),
@@ -137,7 +192,8 @@ object Dedup extends QueryModule {
     "q_drop_dup_prod" -> (qDropDupProd(_, _)),
     "q_drop_dup_first" -> (qDropDupFirst(_, _)),
     "q_dedup_exact" -> (qDedupExact(_, _)),
-    "q_dedup_paragraph" -> (qDedupParagraph(_, _)))
+    "q_dedup_paragraph" -> (qDedupParagraph(_, _)),
+    "q_fuzzy_join" -> (qFuzzyJoin(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q_unique" ->
@@ -186,5 +242,12 @@ object Dedup extends QueryModule {
          |SELECT doc_id, count(*) AS n_kept,
          |  md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS clean_hash,
          |  CAST(length(string_agg(seg, ' ' ORDER BY seg_idx)) AS INTEGER) AS n_chars_clean
-         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_fuzzy_join" ->
+      s"""WITH n AS (SELECT p_name AS name, count(*) AS n FROM part GROUP BY 1)
+         |SELECT a.name AS name_a, a.n AS n_a, b.name AS name_b, b.n AS n_b,
+         |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+         |FROM n a JOIN n b ON a.name < b.name
+         |WHERE levenshtein(a.name, b.name) <= $FuzzyTau
+         |ORDER BY name_a, name_b""".stripMargin)
 }

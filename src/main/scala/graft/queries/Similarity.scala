@@ -320,6 +320,48 @@ object Similarity extends QueryModule {
       .orderBy("qid", "rank")
   }
 
+  /** Synchronized label-propagation rounds over the kNN graph. */
+  private val PropRounds = 3
+
+  /** Semi-supervised label propagation over the [[qKnnGraph]] LSH
+    * neighbor graph: 20% of vectors (vec_id % 5 == 0) keep their true
+    * label as seeds; every other vector repeatedly adopts the majority
+    * label of its top-[[GraphK]] neighbors (ties → smallest label),
+    * keeping its previous label when no neighbor is labeled yet.
+    * [[PropRounds]] synchronized rounds — the classic BSP shape: per
+    * round ONE edge⋈label hash join (shuffle on vid), one (qid, label)
+    * count aggregate and one `max_by` argmax aggregate, all with
+    * map-side partials; no windows, no driver-side state beyond the
+    * loop counter. The edge list is computed once and localCheckpoint'd
+    * so the rounds re-read it instead of re-deriving the LSH graph.
+    * At 10⁹ nodes each round shuffles k·n (qid, label) pairs — linear
+    * in the corpus, skew-bounded by k.
+    */
+  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val edges = qKnnGraph(s, dir).select("qid", "vid").localCheckpoint()
+    val nodes = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), (col("vec_id") % 5 === 0).as("seed"))
+    var lbl = nodes.withColumn("lbl", when(col("seed"), col("label")))
+    for (_ <- 1 to PropRounds) {
+      val votes = edges
+        .join(lbl.select(col("vec_id").as("vid"), col("lbl").as("nl")), "vid")
+        .filter(col("nl").isNotNull)
+        .groupBy(col("qid"), col("nl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("qid"))
+        // argmax as a hash aggregate, not a per-qid sort window:
+        // max count first, then smallest label on ties
+        .agg(max_by(col("nl"), struct(col("cnt"), -col("nl"))).as("vote"))
+        .withColumnRenamed("qid", "vec_id")
+      lbl = lbl.join(votes, Seq("vec_id"), "left")
+        .withColumn("lbl",
+          when(col("seed"), col("label")).otherwise(coalesce(col("vote"), col("lbl"))))
+        .drop("vote")
+    }
+    lbl.select(col("vec_id"), col("seed"), col("label").as("true_label"),
+      col("lbl").as("label"))
+      .orderBy("vec_id")
+  }
+
   /** PQ geometry: [[PqSubs]] subspaces of [[PqDim]] dims, [[PqK]]
     * centroids per subspace (codebook = the seed vectors' subvectors,
     * deterministic like the IVF coarse centroids, so the oracle replays
@@ -668,6 +710,7 @@ object Similarity extends QueryModule {
     "q_embed_centroids" -> (qEmbedCentroids(_, _)),
     "q_kmeans_iter" -> (qKmeansIter(_, _)),
     "q_knn_graph" -> (qKnnGraph(_, _)),
+    "q_label_prop" -> (qLabelProp(_, _)),
     "q_embed_pq" -> (qEmbedPq(_, _)),
     "q_embed_pq_trained" -> (qEmbedPqTrained(_, _)))
 
@@ -691,6 +734,33 @@ object Similarity extends QueryModule {
          |  i -> qv[i + 1] * (${planeSqlLit(b * AnnRows + k)})[i + 1])) > 0
          |  THEN ${1 << k} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
+
+  /** Shared oracle CTE chain `e, eb, bands, c, r`: quantized vectors →
+    * per-band sign buckets → distinct bucket-collision candidates →
+    * cosine-ranked neighbors. The DuckDB spelling of
+    * [[banded]] + the ranking window; reused by every query that
+    * consumes the kNN graph.
+    */
+  private lazy val sqlKnnCtes: String = {
+    val bandSelects = (0 until AnnBands)
+      .map(b => s"SELECT vec_id, qv, n2, $b AS band, bkt$b AS bkt FROM eb")
+      .mkString("\n  UNION ALL ")
+    val bktSelects = (0 until AnnBands).map(b => s"${sqlBucket(b)} AS bkt$b").mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2 FROM embeddings),
+       |eb AS (SELECT vec_id, qv, n2,
+       |  $bktSelects
+       |FROM e),
+       |bands AS (
+       |  $bandSelects),
+       |c AS (
+       |  SELECT DISTINCT q.vec_id AS qid, v.vec_id AS vid,
+       |    ${sqlQcos("q.qv", "v.qv", "q.n2", "v.n2")} AS cos
+       |  FROM bands q JOIN bands v ON q.band = v.band AND q.bkt = v.bkt
+       |  WHERE q.vec_id <> v.vec_id),
+       |r AS (SELECT qid, vid, cos,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INTEGER) AS rank
+       |  FROM c)""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_embed_centroids" ->
@@ -917,27 +987,31 @@ object Similarity extends QueryModule {
          |  CAST(sum(q) AS DOUBLE) / (count(*) * 1048576.0) AS centroid
          |FROM x GROUP BY cid, pos
          |ORDER BY cid, pos""".stripMargin,
-    "q_knn_graph" -> {
-      val bandSelects = (0 until AnnBands)
-        .map(b => s"SELECT vec_id, qv, n2, $b AS band, bkt$b AS bkt FROM eb")
-        .mkString("\n  UNION ALL ")
-      val bktSelects = (0 until AnnBands).map(b => s"${sqlBucket(b)} AS bkt$b").mkString(",\n  ")
-      s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2 FROM embeddings),
-         |eb AS (SELECT vec_id, qv, n2,
-         |  $bktSelects
-         |FROM e),
-         |bands AS (
-         |  $bandSelects),
-         |c AS (
-         |  SELECT DISTINCT q.vec_id AS qid, v.vec_id AS vid,
-         |    ${sqlQcos("q.qv", "v.qv", "q.n2", "v.n2")} AS cos
-         |  FROM bands q JOIN bands v ON q.band = v.band AND q.bkt = v.bkt
-         |  WHERE q.vec_id <> v.vec_id),
-         |r AS (SELECT qid, vid, cos,
-         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INTEGER) AS rank
-         |  FROM c)
+    "q_knn_graph" ->
+      s"""$sqlKnnCtes
          |SELECT qid, vid, cos, rank FROM r WHERE rank <= $GraphK
-         |ORDER BY qid, rank""".stripMargin
+         |ORDER BY qid, rank""".stripMargin,
+    "q_label_prop" -> {
+      val rounds = (1 to PropRounds).map { r =>
+        s"""v$r AS (SELECT qid, nl FROM (
+           |    SELECT g.qid, l.lbl AS nl,
+           |      row_number() OVER (PARTITION BY g.qid
+           |        ORDER BY count(*) DESC, l.lbl ASC) AS rn
+           |    FROM g JOIN l${r - 1} l ON g.vid = l.vec_id
+           |    WHERE l.lbl IS NOT NULL
+           |    GROUP BY g.qid, l.lbl) WHERE rn = 1),
+           |l$r AS (SELECT l.vec_id, l.label, l.seed,
+           |    CASE WHEN l.seed THEN l.label ELSE coalesce(v.nl, l.lbl) END AS lbl
+           |  FROM l${r - 1} l LEFT JOIN v$r v ON v.qid = l.vec_id)""".stripMargin
+      }.mkString(",\n")
+      s"""$sqlKnnCtes,
+         |g AS (SELECT qid, vid FROM r WHERE rank <= $GraphK),
+         |n AS (SELECT vec_id, label, (vec_id % 5 = 0) AS seed FROM embeddings),
+         |l0 AS (SELECT vec_id, label, seed,
+         |  CASE WHEN seed THEN label END AS lbl FROM n),
+         |$rounds
+         |SELECT vec_id, seed, label AS true_label, lbl AS label
+         |FROM l$PropRounds ORDER BY vec_id""".stripMargin
     },
     "q_dedup_embed_lsh" -> {
       val bandSelects = (0 until AnnBands)
