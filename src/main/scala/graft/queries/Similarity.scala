@@ -352,10 +352,14 @@ object Similarity extends QueryModule {
         // max count first, then smallest label on ties
         .agg(max_by(col("nl"), struct(col("cnt"), -col("nl"))).as("vote"))
         .withColumnRenamed("qid", "vec_id")
+      // cut the round's lineage so round r+1 (and the final projection)
+      // read the materialized state instead of re-deriving every prior
+      // round's joins — same per-round truncation as the CC loop
       lbl = lbl.join(votes, Seq("vec_id"), "left")
         .withColumn("lbl",
           when(col("seed"), col("label")).otherwise(coalesce(col("vote"), col("lbl"))))
         .drop("vote")
+        .localCheckpoint()
     }
     lbl.select(col("vec_id"), col("seed"), col("label").as("true_label"),
       col("lbl").as("label"))
