@@ -301,7 +301,11 @@ object Similarity extends QueryModule {
     */
   private val GraphK = 3
 
-  def qKnnGraph(s: SparkSession, dir: String): DataFrame = {
+  /** The ranked top-[[GraphK]] edge set (qid, vid, cos, rank) — shared
+    * by [[qKnnGraph]] (presentation), [[qLabelProp]]-style consumers,
+    * [[qHardNegatives]] and [[qGraphTriangles]].
+    */
+  private def knnEdges(s: SparkSession, dir: String): DataFrame = {
     val bands = banded(s, dir)
     val cand = bands
       .select(col("vec_id").as("qid"), col("qv").as("qe"),
@@ -316,8 +320,88 @@ object Similarity extends QueryModule {
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= GraphK)
+  }
+
+  def qKnnGraph(s: SparkSession, dir: String): DataFrame =
+    knnEdges(s, dir)
       .select("qid", "vid", "cos", "rank")
       .orderBy("qid", "rank")
+
+  /** Contrastive hard-example mining over the [[knnEdges]] neighbor
+    * graph — for every vector, its most similar DIFFERENT-label
+    * neighbor (the hard negative a contrastive/embedding-training batch
+    * builder wants) and its most similar same-label neighbor (the easy
+    * positive), plus the cosine margin between them. A small (or
+    * negative) margin flags label noise / boundary examples — the rows
+    * an active-learning loop sends for re-annotation.
+    *
+    * Shape: the graph edges join the (vec_id, label) table twice — both
+    * joins shuffle on vec_id, the same co-partitioning the graph build
+    * already produced — then ONE `max_by` hash aggregate per side
+    * (map-side partials, no per-vector sort window). Shuffle carries
+    * (qid, vid, cos, label) quads, never vectors; at 10⁹ vectors the
+    * label table is a column of the embedding store, not a broadcast.
+    */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val lbl = Tables.embeddings(s, dir).select("vec_id", "label")
+    val g = knnEdges(s, dir)
+      .join(lbl.select(col("vec_id").as("qid"), col("label").as("ql")), "qid")
+      .join(lbl.select(col("vec_id").as("vid"), col("label").as("vl")), "vid")
+    def top(pred: Column, out: String): DataFrame =
+      g.filter(pred).groupBy("qid")
+        .agg(max_by(struct(col("vid"), col("cos")),
+          struct(col("cos"), (-col("vid")).as("tb"))).as(out))
+    val neg = top(col("ql") =!= col("vl"), "hn")
+    val pos = top(col("ql") === col("vl"), "hp")
+    lbl.join(neg, col("vec_id") === neg("qid"), "left").drop("qid")
+      .join(pos, col("vec_id") === pos("qid"), "left").drop("qid")
+      .select(col("vec_id"), col("label"),
+        col("hn.vid").as("hn_vid"), col("hn.cos").as("hn_cos"),
+        col("hp.vid").as("hp_vid"), col("hp.cos").as("hp_cos"),
+        (col("hp.cos") - col("hn.cos")).as("margin"))
+      .orderBy("vec_id")
+  }
+
+  /** Per-vertex triangle count + local clustering coefficient over the
+    * UNDIRECTED [[knnEdges]] graph — the graph-health metric read
+    * before trusting a kNN graph for label propagation or semantic
+    * dedup (a near-zero coefficient means the LSH candidates are noise;
+    * a high one means real neighborhoods). Triangles are counted with
+    * the standard distributed oriented-edge join: orient every edge
+    * a < b, join ab⋈bc on the middle vertex, then confirm ac exists —
+    * each triangle is produced exactly once as a < b < c, so the
+    * shuffle is two equi-joins on vertex ids (worst case Σdeg², the
+    * published bound for this plan) and NEVER an all-pairs product.
+    * Degrees and per-vertex counts are hash aggregates with map-side
+    * partials; the coefficient is one double division of exact ints.
+    */
+  def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val e = knnEdges(s, dir)
+      .select(least(col("qid"), col("vid")).as("a"),
+        greatest(col("qid"), col("vid")).as("b"))
+      .distinct()
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.b") === col("bc.a"))
+      .join(e.as("ac"),
+        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .select(col("ab.a").as("x"), col("ab.b").as("y"), col("bc.b").as("z"))
+    val nt = tri.select(explode(array(col("x"), col("y"), col("z"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("nt"))
+    val deg = e.select(col("a").as("vec_id"))
+      .unionAll(e.select(col("b").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("d"))
+    Tables.embeddings(s, dir).select("vec_id")
+      .join(deg, Seq("vec_id"), "left")
+      .join(nt, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("d"), lit(0L)).as("degree"),
+        coalesce(col("nt"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_coeff",
+        when(col("degree") >= 2,
+          (col("n_triangles") * 2).cast("double")
+            / (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)))
+      .orderBy("vec_id")
   }
 
   /** Synchronized label-propagation rounds over the kNN graph. */
@@ -714,6 +798,8 @@ object Similarity extends QueryModule {
     "q_embed_centroids" -> (qEmbedCentroids(_, _)),
     "q_kmeans_iter" -> (qKmeansIter(_, _)),
     "q_knn_graph" -> (qKnnGraph(_, _)),
+    "q_hard_negatives" -> (qHardNegatives(_, _)),
+    "q_graph_triangles" -> (qGraphTriangles(_, _)),
     "q_label_prop" -> (qLabelProp(_, _)),
     "q_embed_pq" -> (qEmbedPq(_, _)),
     "q_embed_pq_trained" -> (qEmbedPqTrained(_, _)))
@@ -995,6 +1081,50 @@ object Similarity extends QueryModule {
       s"""$sqlKnnCtes
          |SELECT qid, vid, cos, rank FROM r WHERE rank <= $GraphK
          |ORDER BY qid, rank""".stripMargin,
+    "q_hard_negatives" ->
+      s"""$sqlKnnCtes,
+         |g AS (SELECT qid, vid, cos FROM r WHERE rank <= $GraphK),
+         |n AS (SELECT vec_id, label FROM embeddings),
+         |j AS (SELECT g.qid, g.vid, g.cos, a.label AS ql, b.label AS vl
+         |  FROM g JOIN n a ON a.vec_id = g.qid JOIN n b ON b.vec_id = g.vid),
+         |neg AS (SELECT qid, vid, cos FROM (
+         |    SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vid ASC) AS rn
+         |    FROM j WHERE ql <> vl) WHERE rn = 1),
+         |pos AS (SELECT qid, vid, cos FROM (
+         |    SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vid ASC) AS rn
+         |    FROM j WHERE ql = vl) WHERE rn = 1)
+         |SELECT n.vec_id, n.label,
+         |  neg.vid AS hn_vid, neg.cos AS hn_cos,
+         |  pos.vid AS hp_vid, pos.cos AS hp_cos,
+         |  pos.cos - neg.cos AS margin
+         |FROM n LEFT JOIN neg ON neg.qid = n.vec_id
+         |LEFT JOIN pos ON pos.qid = n.vec_id
+         |ORDER BY n.vec_id""".stripMargin,
+    "q_graph_triangles" ->
+      s"""$sqlKnnCtes,
+         |g AS (SELECT qid, vid FROM r WHERE rank <= $GraphK),
+         |ue AS (SELECT DISTINCT least(qid, vid) AS a, greatest(qid, vid) AS b
+         |  FROM g),
+         |t AS (SELECT ab.a AS x, ab.b AS y, bc.b AS z
+         |  FROM ue ab JOIN ue bc ON ab.b = bc.a
+         |  JOIN ue ac ON ac.a = ab.a AND ac.b = bc.b),
+         |tv AS (SELECT v, count(*) AS nt FROM (
+         |    SELECT x AS v FROM t UNION ALL SELECT y FROM t
+         |    UNION ALL SELECT z FROM t) GROUP BY v),
+         |dv AS (SELECT v, count(*) AS d FROM (
+         |    SELECT a AS v FROM ue UNION ALL SELECT b FROM ue) GROUP BY v)
+         |SELECT em.vec_id,
+         |  CAST(COALESCE(dv.d, 0) AS BIGINT) AS degree,
+         |  CAST(COALESCE(tv.nt, 0) AS BIGINT) AS n_triangles,
+         |  CASE WHEN COALESCE(dv.d, 0) >= 2
+         |    THEN CAST(COALESCE(tv.nt, 0) * 2 AS DOUBLE) / (dv.d * (dv.d - 1))
+         |    ELSE 0.0 END AS clustering_coeff
+         |FROM embeddings em
+         |LEFT JOIN dv ON dv.v = em.vec_id
+         |LEFT JOIN tv ON tv.v = em.vec_id
+         |ORDER BY em.vec_id""".stripMargin,
     "q_label_prop" -> {
       val rounds = (1 to PropRounds).map { r =>
         s"""v$r AS (SELECT qid, nl FROM (

@@ -132,6 +132,71 @@ class SimilaritySpec extends SparkSpec {
       s"semantic dedup must not plan a cartesian pair join:\n$plan")
   }
 
+  test("hard negatives: picks come from the graph, labels disagree/agree, margin is hp−hn") {
+    val g = Similarity.qKnnGraph(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid")) -> r.getAs[Double]("cos"))
+      .toMap
+    val labels = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Number]("label").longValue).toMap
+    val rows = Similarity.qHardNegatives(spark, dir).collect()
+    assert(rows.length == labels.size)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("vec_id")
+      val neighbors = g.keys.filter(_._1 == q).map(_._2).toSet
+      if (!r.isNullAt(r.fieldIndex("hn_vid"))) {
+        val hn = r.getAs[Long]("hn_vid")
+        assert(neighbors.contains(hn), s"hn of $q not a graph neighbor")
+        assert(labels(hn) != labels(q), s"hn of $q shares its label")
+        // it is the BEST different-label neighbor: none ranks above it
+        val better = neighbors.filter(v => labels(v) != labels(q)).exists { v =>
+          val c = g((q, v)); val hc = g((q, hn))
+          c > hc || (c == hc && v < hn)
+        }
+        assert(!better, s"hn of $q is not the top different-label neighbor")
+      } else assert(!neighbors.exists(v => labels(v) != labels(q)))
+      if (!r.isNullAt(r.fieldIndex("hp_vid"))) {
+        val hp = r.getAs[Long]("hp_vid")
+        assert(labels(hp) == labels(q), s"hp of $q has a different label")
+      }
+      if (!r.isNullAt(r.fieldIndex("margin"))) {
+        val m = r.getAs[Double]("margin")
+        assert(m == g((q, r.getAs[Long]("hp_vid"))) - g((q, r.getAs[Long]("hn_vid"))))
+      }
+    }
+  }
+
+  test("graph triangles: counts match a driver replay; no cartesian in the plan") {
+    // undirected edge set from the graph output
+    val edges = Similarity.qKnnGraph(spark, dir).collect()
+      .map { r =>
+        val (a, b) = (r.getAs[Long]("qid"), r.getAs[Long]("vid"))
+        (math.min(a, b), math.max(a, b))
+      }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).toSet }
+    def triOf(v: Long): Long = {
+      val ns = adj.getOrElse(v, Set.empty).toSeq
+      ns.combinations(2).count { case Seq(x, y) =>
+        edges.contains((math.min(x, y), math.max(x, y)))
+      }.toLong
+    }
+    val rows = Similarity.qGraphTriangles(spark, dir).collect()
+    rows.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      val deg = adj.getOrElse(v, Set.empty).size.toLong
+      assert(r.getAs[Long]("degree") == deg, s"degree of $v")
+      assert(r.getAs[Long]("n_triangles") == triOf(v), s"triangles of $v")
+      val cc = r.getAs[Double]("clustering_coeff")
+      if (deg >= 2) assert(cc == triOf(v) * 2.0 / (deg * (deg - 1)))
+      else assert(cc == 0.0)
+    }
+    val plan = Similarity.qGraphTriangles(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"triangle count must join on vertex ids, not cross:\n$plan")
+  }
+
   test("PQ ANN: 5 ranked hits per query, non-negative non-decreasing distances") {
     val rows = Similarity.qEmbedPq(spark, dir).collect()
     val byQid = rows.groupBy(_.getAs[Long]("qid"))
