@@ -127,6 +127,46 @@ object CorpusQuality extends QueryModule {
       .orderBy("source")
   }
 
+  /** Token-budget EPOCH SCHEDULE — the data-mixing planner's output:
+    * given a total training-token budget (here 2× the corpus, forcing
+    * repetition) and √-temperature source weights, how many epochs of
+    * each source the run consumes and how many tokens its final partial
+    * epoch takes. This is the repeat-factor table a mixture-aware
+    * loader is configured with (cf. the data-repetition schedules in
+    * mixture-optimization work — up-weighted small sources repeat, big
+    * sources run fractional epochs).
+    *
+    * Numerics: per-source token counts are exact integers; √-weights
+    * are quantized to integer micro-units like [[mixWeights]]; targets
+    * and epoch counts are pure integer `div` arithmetic — the only
+    * double is the display weight (one division of two exact longs).
+    * The 1e6 quantization grain is a knob: at web-corpus scale drop it
+    * so `budget·sq` stays inside 63 bits (the production spelling is a
+    * DECIMAL(38,0) product; the grain keeps the toy plan codegen-only).
+    * Shape: one hash agg to the ~|sources| table, broadcast scalar
+    * totals, map-only arithmetic after — dimension-sized at any scale.
+    */
+  def qEpochSchedule(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("avail_tokens"))
+      .withColumn("sq", floor(sqrt(col("avail_tokens")) * 1e6).cast("long"))
+    val tot = per.agg(sum(col("sq")).as("tot"),
+      (sum(col("avail_tokens")) * 2).as("budget"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("avail_tokens"),
+        (col("sq").cast("double") / col("tot")).as("weight"),
+        expr("(budget * sq) div tot").as("target_tokens"))
+      .withColumn("epochs",
+        expr("(target_tokens + avail_tokens - 1) div avail_tokens"))
+      .withColumn("last_epoch_tokens",
+        when(col("epochs") > 0,
+          col("target_tokens") - (col("epochs") - 1) * col("avail_tokens"))
+          .otherwise(lit(0L)))
+      .orderBy("source")
+  }
+
   /** Shannon character entropy per document — the randomness quality
     * signal (machine-generated or encrypted junk sits at the extremes).
     * Computed as ln(n) − (Σ cᵢ·ln cᵢ)/n over per-character counts:
@@ -397,6 +437,7 @@ object CorpusQuality extends QueryModule {
     "q_mix_weights" -> (qMixWeights(_, _)),
     "q_mix_resample" -> (qMixResample(_, _)),
     "q_bpe_pairs" -> (qBpePairs(_, _)),
+    "q_epoch_schedule" -> (qEpochSchedule(_, _)),
     "q_bpe_merges" -> (qBpeMerges(_, _)),
     "q_bpe_compression" -> (qBpeCompression(_, _)),
     "q_quality_gate" -> (qQualityGate(_, _)),
@@ -449,6 +490,27 @@ object CorpusQuality extends QueryModule {
         |FROM toks JOIN vocab ON toks.w = vocab.w, tot
         |GROUP BY toks.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q_epoch_schedule" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY source),
+        |q AS (SELECT source, n_docs, avail_tokens,
+        |    CAST(floor(sqrt(avail_tokens) * 1e6) AS BIGINT) AS sq FROM per),
+        |t AS (SELECT CAST(sum(sq) AS BIGINT) AS tot,
+        |    CAST(2 * sum(avail_tokens) AS BIGINT) AS budget FROM q),
+        |j AS (SELECT source, n_docs, avail_tokens,
+        |    CAST(sq AS DOUBLE) / tot AS weight,
+        |    CAST((budget * sq) // tot AS BIGINT) AS target_tokens
+        |  FROM q, t),
+        |e AS (SELECT *,
+        |    CAST((target_tokens + avail_tokens - 1) // avail_tokens AS BIGINT)
+        |      AS epochs
+        |  FROM j)
+        |SELECT source, n_docs, avail_tokens, weight, target_tokens, epochs,
+        |  CASE WHEN epochs > 0
+        |    THEN target_tokens - (epochs - 1) * avail_tokens
+        |    ELSE 0 END AS last_epoch_tokens
+        |FROM e ORDER BY source""".stripMargin,
     "q_mix_weights" ->
       s"""WITH c AS (SELECT source, count(*) AS n_docs,
          |    CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS sq

@@ -664,6 +664,66 @@ object Fingerprints extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Corpus-level overlap estimation by SKETCH: a per-source MinHash
+    * signature (the min of each of the [[NumHashes]] hash functions
+    * over the source's whole shingle-hash set) and, per source pair,
+    * the matching-coordinate fraction — the unbiased estimator of the
+    * Jaccard similarity of the two sources' shingle SETS. This answers
+    * "how much does crawl A overlap crawl B" with O(|sources|·16)
+    * state instead of the doc-pair machinery ([[qDupSourceMatrix]] is
+    * the exact per-pair complement): at 10⁵ shards the signature table
+    * is 10⁵ rows no matter how many petabytes the shards hold, and
+    * signatures of DISJOINT batches merge by coordinate-wise min — the
+    * sketch is mergeable, so incremental ingest just min-folds the new
+    * batch in.
+    *
+    * Shape: one hash aggregate (16 min's, map-side partials) over the
+    * posting index joined to the doc→source map, then a
+    * dimension-sized broadcast self-join for the pair grid. The min is
+    * duplicate-insensitive, so running on the deduped index ≡ raw.
+    */
+  def qSourceSketchSim(s: SparkSession, dir: String): DataFrame = {
+    val srcOf = Tables.documents(s, dir).select("doc_id", "source")
+    val sigAggs = (0 until NumHashes).map(j =>
+      min(expr(s"(${A(j)} * h + ${B(j)}) % $P")).as(s"sig$j"))
+    val sigs = postings(s, dir).join(srcOf, "doc_id")
+      .groupBy("source").agg(sigAggs.head, sigAggs.tail: _*)
+    val matches = (0 until NumHashes).map(j =>
+      when(col(s"a.sig$j") === col(s"b.sig$j"), 1).otherwise(0))
+      .reduce(_ + _).cast("int")
+    sigs.as("a").join(broadcast(sigs.as("b")),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        matches.as("n_match"))
+      .withColumn("est_jaccard", col("n_match").cast("double") / NumHashes)
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Leakage-free train/val split: split assignment is keyed by each
+    * document's near-dup COMPONENT representative, not the document
+    * itself — every member of a near-dup cluster lands in the same
+    * split by construction, so a validation doc can never have a
+    * near-duplicate in train (the split-leakage failure mode plain
+    * per-doc hashing has; deduped-then-split pipelines reintroduce it
+    * the moment dedup thresholds and split hashing disagree).
+    *
+    * Shape: the component labels come from the same BSP propagation
+    * [[qDedupCluster]] materializes; singletons (docs in no confirmed
+    * pair) never enter the edge list and represent themselves. The
+    * split is the [[Sampling]] family's content-stable md5 bucket over
+    * the REPRESENTATIVE id — map-only after one left join against the
+    * (tiny) component label table, deterministic on any engine.
+    */
+  def qClusterSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id")
+      .join(components(confirmedPairs(s, dir)), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(CAST(rep AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split", when(col("bucket") < 80, "train").otherwise("val"))
+      .select("doc_id", "rep", "bucket", "split")
+      .orderBy("doc_id")
+
   /** Contamination overlap threshold: ≥ this many distinct shared
     * shingle hashes with the benchmark set ⇒ the doc is removed.
     */
@@ -751,6 +811,8 @@ object Fingerprints extends QueryModule {
     "q_dedup_pipeline" -> (qDedupPipeline(_, _)),
     "q_dedup_pipeline_cc" -> (qDedupPipelineCc(_, _)),
     "q_dedup_cluster" -> (qDedupCluster(_, _)),
+    "q_cluster_split" -> (qClusterSplit(_, _)),
+    "q_source_sketch_sim" -> (qSourceSketchSim(_, _)),
     "q_dup_source_matrix" -> (qDupSourceMatrix(_, _)),
     "q_dedup_cluster_sizes" -> (qDedupClusterSizes(_, _)),
     "q_source_scorecard" -> (qSourceScorecard(_, _)),
@@ -950,6 +1012,50 @@ object Fingerprints extends QueryModule {
          |  SELECT e.src, r.m FROM edges e JOIN reach r ON r.doc = e.dst)
          |SELECT doc AS doc_id, CAST(min(m) AS BIGINT) AS cluster
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "q_source_sketch_sim" -> {
+      val sigSelects = (0 until NumHashes).map(j =>
+        s"min((${A(j)} * h + ${B(j)}) % $P) AS sig$j").mkString(",\n  ")
+      val matchSum = (0 until NumHashes).map(j =>
+        s"(CASE WHEN a.sig$j = b.sig$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH shingled AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
+         |p AS (SELECT DISTINCT doc_id, unnest($sqlHs) AS h FROM shingled),
+         |js AS (SELECT d.source, p.h FROM p JOIN documents d USING (doc_id)),
+         |sigs AS (SELECT source,
+         |  $sigSelects
+         |FROM js GROUP BY source)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST($matchSum AS INTEGER) AS n_match,
+         |  CAST($matchSum AS DOUBLE) / $NumHashes AS est_jaccard
+         |FROM sigs a JOIN sigs b ON a.source < b.source
+         |ORDER BY source_a, source_b""".stripMargin
+    },
+    "q_cluster_split" ->
+      s"""${sqlMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),
+         |confirmed AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM pairs p
+         |  JOIN dhs a ON a.doc_id = p.doc_a
+         |  JOIN dhs b ON b.doc_id = p.doc_b
+         |  WHERE len(list_intersect(a.dh, b.dh))
+         |    / (a.n + b.n - len(list_intersect(a.dh, b.dh))) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM confirmed
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM confirmed),
+         |reach(doc, m) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.m FROM edges e JOIN reach r ON r.doc = e.dst),
+         |cl AS (SELECT doc AS doc_id, CAST(min(m) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY doc),
+         |rp AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+         |bk AS (SELECT doc_id, rep,
+         |  ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+         |FROM rp)
+         |SELECT doc_id, rep, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train' ELSE 'val' END AS split
+         |FROM bk ORDER BY doc_id""".stripMargin,
     "q_dedup_cluster_sizes" ->
       s"""${sqlMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),

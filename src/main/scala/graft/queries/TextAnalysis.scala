@@ -98,6 +98,48 @@ object TextAnalysis extends QueryModule {
           / size(col("words"))).as("mean_word_len"))
       .orderBy("doc_id")
 
+  /** Gopher-style quality RULE BATTERY — the published heuristic-filter
+    * shape (Rae et al. 2021 Gopher §A.1.1; reused by Dolma/FineWeb):
+    * each rule is an independent boolean column, the verdict their
+    * conjunction, so a curation run can report per-rule attrition (which
+    * rule kills how many docs) instead of one opaque gate. Rules here
+    * are the subset expressible over single-line synthetic text — word
+    * count bounds, mean word length bounds, stopword floor, repeated
+    * -word ceiling, alphabetic-word floor — each spelled in EXACT
+    * integer arithmetic (`3·n ≤ Σlen` instead of a float mean) so the
+    * verdict is bit-deterministic on any engine.
+    *
+    * Shape: explode → (doc, word) count agg → per-doc agg — the same
+    * two hash aggregates as the TF pipeline; shuffle carries
+    * (doc, word, count) triples, map-side combined. The max-word
+    * -frequency rule is why the word-level agg exists at all: a
+    * higher-order fold cannot group-count inside a row.
+    */
+  def qGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val perWord = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    perWord.groupBy("doc_id").agg(
+        sum(col("c")).as("n_words"),
+        max(col("c")).as("max_wf"),
+        sum(col("c") * length(col("w"))).as("sum_len"),
+        sum(when(col("w").isin(stopwords: _*), col("c")).otherwise(lit(0L)))
+          .as("n_stop"),
+        sum(when(col("w").rlike("^[a-zA-Z]+$"), col("c")).otherwise(lit(0L)))
+          .as("n_alpha"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") >= 30 && col("n_words") <= 100000).as("r_word_count"),
+        (col("sum_len") >= col("n_words") * 3
+          && col("sum_len") <= col("n_words") * 10).as("r_mean_word_len"),
+        (col("n_stop") >= 2).as("r_stopwords"),
+        (col("max_wf") * 5 <= col("n_words")).as("r_dup_word"),
+        (col("n_alpha") * 10 >= col("n_words") * 9).as("r_alpha"))
+      .withColumn("verdict",
+        col("r_word_count") && col("r_mean_word_len") && col("r_stopwords")
+          && col("r_dup_word") && col("r_alpha"))
+      .orderBy("doc_id")
+  }
+
   /** Marker word lists per language — shared by langid and the corpus
     * clean pipeline.
     */
@@ -386,12 +428,38 @@ object TextAnalysis extends QueryModule {
     "q_text_vocab" -> (qTextVocab(_, _)),
     "q_vocab_coverage" -> (qVocabCoverage(_, _)),
     "q_text_quality" -> (qTextQuality(_, _)),
+    "q_gopher_rules" -> (qGopherRules(_, _)),
     "q_text_langid" -> (qTextLangid(_, _)),
     "q_text_fingerprint" -> (qTextFingerprint(_, _)))
 
   private val stopSql = inList(stopwords)
 
   val oracleSql: Map[String, String] = Map(
+    "q_gopher_rules" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |pw AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+         |a AS (SELECT doc_id,
+         |    CAST(sum(c) AS BIGINT) AS n_words,
+         |    CAST(max(c) AS BIGINT) AS max_wf,
+         |    CAST(sum(c * length(w)) AS BIGINT) AS sum_len,
+         |    CAST(sum(CASE WHEN w IN $stopSql THEN c ELSE 0 END) AS BIGINT)
+         |      AS n_stop,
+         |    CAST(sum(CASE WHEN regexp_matches(w, '^[a-zA-Z]+$$')
+         |      THEN c ELSE 0 END) AS BIGINT) AS n_alpha
+         |  FROM pw GROUP BY doc_id)
+         |SELECT doc_id, n_words,
+         |  n_words >= 30 AND n_words <= 100000 AS r_word_count,
+         |  sum_len >= n_words * 3 AND sum_len <= n_words * 10
+         |    AS r_mean_word_len,
+         |  n_stop >= 2 AS r_stopwords,
+         |  max_wf * 5 <= n_words AS r_dup_word,
+         |  n_alpha * 10 >= n_words * 9 AS r_alpha,
+         |  (n_words >= 30 AND n_words <= 100000)
+         |    AND (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+         |    AND n_stop >= 2 AND max_wf * 5 <= n_words
+         |    AND n_alpha * 10 >= n_words * 9 AS verdict
+         |FROM a ORDER BY doc_id""".stripMargin,
     "q_heavy_hitters" ->
       """WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
         |b AS (SELECT ws[i + 1] || ' ' || ws[i + 2] AS bg
