@@ -39,15 +39,27 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** events.ts is TIMESTAMP(NANOS) in the parquet footer — surfaced here
-    * as both the raw nanos (`ts_ns: long`) and a truncated-to-micros real
-    * timestamp (`ts`), matching DuckDB's `CAST(ts AS TIMESTAMP)`.
+  /** events.ts has shipped in two physical shapes across testdata
+    * generations — TIMESTAMP(NANOS) (surfaced by Spark as a raw long via
+    * `nanosAsLong`) and TIMESTAMP(MICROS) `isAdjustedToUTC=false`
+    * (surfaced as TIMESTAMP_NTZ). Either way the frame exposed here is
+    * identical: a session-zone (UTC) micros `ts` — matching what DuckDB's
+    * `CAST(ts AS TIMESTAMP)` reads on the same file — plus the raw nanos
+    * as `ts_ns: long` for ordinal arithmetic.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(spark, sfDir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    import org.apache.spark.sql.types.LongType
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      case _ =>
+        // NTZ→TIMESTAMP under the UTC session zone preserves the micros
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
