@@ -34,10 +34,16 @@ object CorpusQuality extends QueryModule {
       .filter(col("n_words") >= 2)
     val base = docs.select(col("doc_id"), col("n_words"),
       size(array_distinct(col("words"))).as("n_distinct"))
+    // Explode positions, build the bigram post-explode (codegen'd) —
+    // see TextAnalysis.bigramIdxExpr for why exploding a transform-built
+    // string array is 15× slower. n_words ≥ 2 here, so the sequence
+    // ascends.
     val top = docs
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, n_words - 1), i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"))
-        .as("bg"))
+      .select(col("doc_id"), col("words"),
+        explode(expr("sequence(1, n_words - 1)")).as("i"))
+      .select(col("doc_id"),
+        concat(expr("element_at(words, i)"), lit(" "),
+          expr("element_at(words, i + 1)")).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("top_bigram_n"))
     base.join(top, Seq("doc_id"))
@@ -234,10 +240,11 @@ object CorpusQuality extends QueryModule {
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("wc"))
+    // word length ≥ 2 ⇒ sequence ascends; pair built post-explode.
     wordFreq
-      .select(col("wc"), explode(expr(
-        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
-        .as("pair"))
+      .select(col("wc"), col("word"),
+        explode(expr("sequence(1, length(word) - 1)")).as("i"))
+      .select(col("wc"), expr("substring(word, i, 2)").as("pair"))
       .groupBy("pair").agg(sum(col("wc")).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(BpeTopK)
@@ -278,11 +285,18 @@ object CorpusQuality extends QueryModule {
     val rounds = scala.collection.mutable.ArrayBuffer(words)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     for (r <- 1 to BpeRounds) {
+      // Split once into a column, explode positions, build the pair
+      // post-explode — the lambda form re-ran split() three times per
+      // element, interpreted. The CASE guard covers a fully-merged word
+      // (single symbol ⇒ sequence(1, 0) would DESCEND in Spark).
       val best = words
-        .select(col("wc"), explode(expr(
-          s"transform(sequence(1, size(split(seq, '$US')) - 1), " +
-            s"i -> concat(element_at(split(seq, '$US'), i), '$US', " +
-            s"element_at(split(seq, '$US'), i + 1)))")).as("pair"))
+        .select(col("wc"), split(col("seq"), US).as("syms"))
+        .select(col("wc"), col("syms"), explode(expr(
+          "CASE WHEN size(syms) < 2 THEN array() ELSE sequence(1, size(syms) - 1) END"))
+          .as("i"))
+        .select(col("wc"),
+          concat(expr("element_at(syms, i)"), lit(US),
+            expr("element_at(syms, i + 1)")).as("pair"))
         .groupBy("pair").agg(sum(col("wc")).as("n"))
         .orderBy(col("n").desc, col("pair").asc)
         .limit(1).head()

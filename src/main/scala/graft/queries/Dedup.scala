@@ -109,13 +109,18 @@ object Dedup extends QueryModule {
     * the factor.
     */
   def qDedupParagraph(s: SparkSession, dir: String): DataFrame = {
+    // Explode the segment-index sequence and build each segment string
+    // post-explode with codegen'd slice+array_join (a posexplode fed by
+    // a transform-built string array runs the lambda interpreted and
+    // copies the array — see TextAnalysis.bigramIdxExpr). The sequence
+    // starts at 0 step 1, so the index IS the position.
     val segs = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, greatest(cast(ceil(size(words) / $ParaWords.0) as int), 1) - 1), " +
-            s"i -> array_join(slice(words, i * $ParaWords + 1, $ParaWords), ' '))")))
-      .toDF("doc_id", "seg_idx", "seg")
+      .select(col("doc_id"), col("words"), explode(expr(
+        s"sequence(0, greatest(cast(ceil(size(words) / $ParaWords.0) as int), 1) - 1)"))
+        .as("seg_idx"))
+      .select(col("doc_id"), col("seg_idx"), expr(
+        s"array_join(slice(words, seg_idx * $ParaWords + 1, $ParaWords), ' ')").as("seg"))
     val occ = segs
       .withColumn("h", md5(col("seg")))
       .withColumn("occ_key", col("doc_id") * lit(100000L) + col("seg_idx"))

@@ -37,21 +37,28 @@ object Fingerprints extends QueryModule {
   private val NumHashes = 16
   private val NumBands = 8 // bands of 2 hashes
 
-  /** The inverted-index primitive: one (doc_id, n, h) row per DISTINCT
-    * shingle string of each document, h = 60-bit md5 hash mod P, n = the
-    * doc's distinct-SHINGLE count (native `array_distinct` in the array
-    * domain — no lambda, no aggregation). The operator is MAP-ONLY: the
-    * only interpreted lambda is the cheap shingle-string construction;
-    * the md5 runs as a codegen'd per-row expression over the exploded
-    * rows (round-1 lesson, re-confirmed this round: md5 inside a
-    * `transform` lambda evaluates interpreted and recomputes per
-    * consumer — 82 s vs 17 s on the 5k-doc corpus).
-    *
-    * Raw (not deduped by hash) — consumers go through [[postings]],
-    * which dedups (doc_id, h) once and materializes the result for the
-    * whole dedup suite. Set sizes are distinct STRINGS while intersections
+  /** The inverted-index primitive: one (doc_id, n, h) row per shingle
+    * OCCURRENCE of each document, h = 60-bit md5 hash mod P, n = the
+    * doc's distinct-SHINGLE-STRING count (native `array_distinct` over
+    * the built array — computed once per doc). Every consumer reads
+    * through [[postings]], which dedups (doc_id, h) once and
+    * materializes the result for the whole dedup suite, so per-
+    * occurrence vs per-distinct raw rows are indistinguishable
+    * downstream. Set sizes are distinct STRINGS while intersections
     * count distinct HASHES — the oracle computes the same two numbers,
     * so J is bit-identical cross-engine with no collision caveat.
+    *
+    * Codegen shape (round-1 lesson plus this round's measurement): the
+    * md5 runs as a codegen'd per-row expression over the exploded rows
+    * (md5 inside a `transform` lambda evaluates interpreted and
+    * recomputes per consumer — 82 s vs 17 s on the 5k-doc corpus), and
+    * the EXPLODE is over a tiny int `sequence` with the shingle string
+    * built after it by plain codegen'd `concat_ws` — a generator fed by
+    * a higher-order-function result evaluates the lambda interpreted
+    * and copies the built array outside whole-stage codegen, measured
+    * 15× slower at sf0.1 (see TextAnalysis.bigramIdxExpr). The one
+    * per-doc lambda left is the array build feeding `n`'s distinct
+    * count, which never explodes.
     */
   private[queries] def shingleIndexForProf(s: SparkSession, dir: String): DataFrame = shingleIndex(s, dir)
 
@@ -70,15 +77,20 @@ object Fingerprints extends QueryModule {
       // the doc-size skew guard at cluster scale.
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .withColumn("words", split(col("text"), " "))
-      .withColumn("shingles", expr(
+      .withColumn("n", size(array_distinct(expr(
         """CASE WHEN size(words) >= 3
           |  THEN transform(sequence(0, size(words) - 3),
           |    i -> concat_ws(' ', element_at(words, i + 1),
           |           element_at(words, i + 2), element_at(words, i + 3)))
-          |  ELSE array(text) END""".stripMargin))
-      .withColumn("dsh", array_distinct(col("shingles")))
-      .select(col("doc_id"), size(col("dsh")).cast("long").as("n"),
-        explode(col("dsh")).as("sg"))
+          |  ELSE array(text) END""".stripMargin))).cast("long"))
+      .select(col("doc_id"), col("n"), col("words"), col("text"),
+        explode(expr(
+          "CASE WHEN size(words) >= 3 THEN sequence(0, size(words) - 3) ELSE array(0) END"))
+          .as("i"))
+      .select(col("doc_id"), col("n"),
+        when(size(col("words")) >= 3,
+          expr("concat_ws(' ', element_at(words, i + 1), element_at(words, i + 2), element_at(words, i + 3))"))
+          .otherwise(col("text")).as("sg"))
       .select(col("doc_id"), col("n"),
         expr(s"CAST(conv(substring(md5(sg), 1, 15), 16, 10) AS BIGINT) % $P").as("h"))
 
@@ -195,6 +207,7 @@ object Fingerprints extends QueryModule {
     */
   override def prewarm(s: SparkSession, dir: String): Unit = {
     confirmedPairs(s, dir).count()
+    componentLabels(s, dir).count()
     standingIndex(s, dir).count()
     val docs = Tables.documents(s, dir)
     val b = math.floor(docs.count() * 0.8).toLong
@@ -540,7 +553,21 @@ object Fingerprints extends QueryModule {
     * decrease, so the label SUM strictly decreases until fixpoint.
     */
   def qDedupCluster(s: SparkSession, dir: String): DataFrame =
-    components(confirmedPairs(s, dir)).orderBy("doc_id")
+    componentLabels(s, dir).orderBy("doc_id")
+
+  /** The component-label table (doc_id → min reachable doc_id) over the
+    * confirmed-pair graph — MATERIALIZED once per (session, corpus) like
+    * the posting index, because four consumers (cluster listing, size
+    * distribution, cluster-aware dedup, leakage-free split) all need the
+    * same labels and the BSP propagation is the one iterative (multi-job,
+    * driver-synchronized) computation in the suite: re-running it per
+    * query multiplies its cost by the consumer count for no information.
+    * A production pipeline writes the labels next to the pair artifact;
+    * this is the in-session analog.
+    */
+  private def componentLabels(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, dir, "component_labels")(
+      components(confirmedPairs(s, dir)))
 
   /** Near-dup cluster-size distribution — the dedup health metric read
     * before committing a removal pass: how many components of each size
@@ -553,7 +580,7 @@ object Fingerprints extends QueryModule {
     * enter the edge list, so sizes start at 2.
     */
   def qDedupClusterSizes(s: SparkSession, dir: String): DataFrame =
-    components(confirmedPairs(s, dir))
+    componentLabels(s, dir)
       .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
@@ -657,7 +684,7 @@ object Fingerprints extends QueryModule {
     * independent of which particular pairs witnessed the component.
     */
   def qDedupPipelineCc(s: SparkSession, dir: String): DataFrame = {
-    val removed = components(confirmedPairs(s, dir))
+    val removed = componentLabels(s, dir)
       .filter(col("doc_id") =!= col("cluster")).select("doc_id")
     Tables.documents(s, dir).select("doc_id", "lang", "source")
       .join(removed, Seq("doc_id"), "left_anti")
@@ -716,7 +743,7 @@ object Fingerprints extends QueryModule {
     */
   def qClusterSplit(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select("doc_id")
-      .join(components(confirmedPairs(s, dir)), Seq("doc_id"), "left")
+      .join(componentLabels(s, dir), Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("cluster"), col("doc_id")))
       .withColumn("bucket", expr(
         "CAST(conv(substring(md5(CAST(rep AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))

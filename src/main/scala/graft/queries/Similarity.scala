@@ -113,7 +113,12 @@ object Similarity extends QueryModule {
     */
   def qEmbedCentroids(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
-      .select(col("label"), posexplode(expr(qvecExpr)).as(Seq("pos", "q")))
+      // posexplode the RAW embedding and quantize post-explode — keeps
+      // the generator input a plain column (codegen'd) instead of a
+      // transform-built array (interpreted; see TextAnalysis.bigramIdxExpr).
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)").as("q"))
       .groupBy("label", "pos")
       .agg((sum(col("q")).cast("double") / (count(lit(1)) * lit(1048576.0)))
         .as("centroid"))
@@ -464,10 +469,10 @@ object Similarity extends QueryModule {
     * shared explode for PQ encode and query ADC tables.
     */
   private def pqSubvectors(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), explode(expr(
-      s"transform(sequence(0, ${PqSubs - 1}), s -> struct(s AS s, slice(qv, s * $PqDim + 1, $PqDim) AS sv))"))
-      .as("e"))
-      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+    emb.select(col("vec_id"), col("qv"),
+      explode(expr(s"sequence(0, ${PqSubs - 1})")).as("s"))
+      .select(col("vec_id"), col("s"),
+        expr(s"slice(qv, s * $PqDim + 1, $PqDim)").as("sv"))
 
   /** Product-quantization ANN — the memory-bound scale path of the ANN
     * family (vs sign-LSH's recall path and IVF's partition path): every
@@ -765,13 +770,13 @@ object Similarity extends QueryModule {
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
     val emb = quantized(s, dir).withColumn("blk", pmod(col("vec_id"), lit(K)))
     val a = emb
-      .withColumn("cell", explode(expr(s"transform(sequence(blk, ${K - 1}), j -> blk * $K + j)")))
-      .select(col("cell"), col("blk").as("blka"), col("vec_id").as("ia"),
-        col("qv").as("qa"), col("n2").as("na"))
+      .withColumn("j", explode(expr(s"sequence(blk, ${K - 1})")))
+      .select((col("blk") * K + col("j")).as("cell"), col("blk").as("blka"),
+        col("vec_id").as("ia"), col("qv").as("qa"), col("n2").as("na"))
     val b = emb
-      .withColumn("cell", explode(expr(s"transform(sequence(0, blk), i -> i * $K + blk)")))
-      .select(col("cell"), col("blk").as("blkb"), col("vec_id").as("ib"),
-        col("qv").as("qb"), col("n2").as("nb"))
+      .withColumn("i", explode(expr("sequence(0, blk)")))
+      .select((col("i") * K + col("blk")).as("cell"), col("blk").as("blkb"),
+        col("vec_id").as("ib"), col("qv").as("qb"), col("n2").as("nb"))
     // Diagonal cells hold both orientations of a same-block pair — keep
     // ia < ib there; off-diagonal cells see each pair exactly once (in
     // arbitrary orientation), normalized by least/greatest below.
