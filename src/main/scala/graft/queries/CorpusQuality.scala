@@ -443,7 +443,40 @@ object CorpusQuality extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Per-source EXACT length percentiles (p50/p90/p99 of word count) —
+    * the corpus-shape telemetry read before setting chunking and packing
+    * parameters. Computed the way exact percentiles survive 100 TB: NOT
+    * by sorting rows (a per-group sort pins each source's documents to
+    * one task — skew-fatal) but over the VALUE HISTOGRAM: one hash
+    * aggregate to (source, n_words, count) — map-side partials, output
+    * bounded by distinct lengths × sources regardless of corpus size —
+    * then a cumulative sum over the tiny histogram and the first value
+    * whose running count reaches the rank. The rank test multiplies
+    * through (`cum ≥ ceil(p·n/100)` ⇔ `100·cum ≥ p·n` over integers),
+    * so both engines select the identical element; no float percentile
+    * interpolation to diverge on.
+    */
+  def qLengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).as("nw"))
+      .groupBy("source", "nw").agg(count(lit(1)).as("cnt"))
+    val tot = hist.groupBy("source").agg(sum(col("cnt")).as("n"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("source").orderBy("nw")))
+      .join(tot, "source")
+    cum.groupBy("source")
+      .agg(
+        min(when(col("cum") * 100 >= col("n") * 50, col("nw"))).as("p50"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("nw"))).as("p90"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("nw"))).as("p99"),
+        max(col("n")).as("n_docs"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_length_quantiles" -> (qLengthQuantiles(_, _)),
     "q_text_repetition" -> (qTextRepetition(_, _)),
     "q_text_boilerplate" -> (qTextBoilerplate(_, _)),
     "q_text_unigram_score" -> (qTextUnigramScore(_, _)),
@@ -460,6 +493,20 @@ object CorpusQuality extends QueryModule {
     "q_decontaminate_spans" -> (qDecontaminateSpans(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_length_quantiles" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS nw FROM documents),
+        |h AS (SELECT source, nw, count(*) AS cnt FROM d GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+        |c AS (SELECT h.source, nw,
+        |    CAST(sum(cnt) OVER (PARTITION BY h.source ORDER BY nw) AS BIGINT) AS cum,
+        |    t.n FROM h JOIN t USING (source))
+        |SELECT source,
+        |  min(CASE WHEN cum * 100 >= n * 50 THEN nw END) AS p50,
+        |  min(CASE WHEN cum * 100 >= n * 90 THEN nw END) AS p90,
+        |  min(CASE WHEN cum * 100 >= n * 99 THEN nw END) AS p99,
+        |  max(n) AS n_docs
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "q_text_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),

@@ -791,7 +791,46 @@ object Similarity extends QueryModule {
       .orderBy("ida", "idb")
   }
 
+  /** Cosine threshold for embedding-space decontamination: the max
+    * eval↔train cosine in this corpus is ≈0.49, so 0.35 yields a
+    * non-trivial removal set while staying far from any float boundary.
+    */
+  private val EmbDecontamT = 0.35
+
+  /** Embedding-space benchmark decontamination — the SEMANTIC analog of
+    * the text leg ([[Fingerprints]] `q_decontaminate`): remove training
+    * vectors whose cosine to ANY eval vector (deterministic stand-in:
+    * vec_id < 20) reaches [[EmbDecontamT]]. This is the layer that
+    * catches paraphrased or translated eval leakage, which shingle
+    * overlap is blind to — a production pipeline runs BOTH: text
+    * decontamination for verbatim overlap, embedding decontamination
+    * for semantic overlap.
+    *
+    * Shape: the eval set is benchmark-sized, so it BROADCASTS and the
+    * corpus side is map-only — one codegen'd long-dot
+    * ([[graft.functions.LongDot]]) per (train, eval) pair inside the
+    * scan, no corpus-side shuffle; at 10⁹ training vectors the cost is
+    * one pass at scan speed, exactly the text leg's contract. The
+    * max-aggregate keyed by vec_id is corpus-partitioned with map-side
+    * partials (each train row's verdict is independent).
+    */
+  def qDecontaminateEmbed(s: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(s, dir)
+    val ev = emb.filter(col("vec_id") < 20)
+      .select(col("qv").as("eqv"), col("n2").as("en2"))
+    val contaminated = emb.filter(col("vec_id") >= 20)
+      .crossJoin(broadcast(ev))
+      .filter(qcos(G.dotl(col("qv"), col("eqv")), col("n2"), col("en2"))
+        >= EmbDecontamT)
+      .select("vec_id").distinct()
+    Tables.embeddings(s, dir).select("vec_id", "label")
+      .filter(col("vec_id") >= 20)
+      .join(contaminated, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate_embed" -> (qDecontaminateEmbed(_, _)),
     "q_embed_norms" -> (qEmbedNorms(_, _)),
     "q_embed_knn" -> (qEmbedKnn(_, _)),
     "q_embed_ann" -> (qEmbedAnn(_, _)),
@@ -933,6 +972,14 @@ object Similarity extends QueryModule {
          |  FROM c)
          |SELECT qid, vid, cos, rank FROM r WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+    "q_decontaminate_embed" ->
+      s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2 FROM embeddings),
+         |c AS (SELECT DISTINCT t.vec_id
+         |  FROM e t, e v WHERE t.vec_id >= 20 AND v.vec_id < 20
+         |    AND ${sqlQcos("t.qv", "v.qv", "t.n2", "v.n2")} >= 0.35)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id >= 20 AND vec_id NOT IN (SELECT vec_id FROM c)
+         |ORDER BY vec_id""".stripMargin,
     "q_dedup_embed" ->
       s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2 FROM embeddings)
          |SELECT a.vec_id AS ida, b.vec_id AS idb,

@@ -209,4 +209,33 @@ class SimilaritySpec extends SparkSpec {
       assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
     }
   }
+
+  test("decontaminate_embed: survivors ≡ brute-force eval-cosine threshold; eval side broadcast") {
+    val df = Similarity.qDecontaminateEmbed(spark, dir)
+    val out = df.collect().map(_.getAs[Long]("vec_id")).toSet
+    // Brute-force replay with the SAME quantization (HALF_UP round, as
+    // Spark's `round` and DuckDB's `round` both do).
+    def quant(x: Float): Long =
+      BigDecimal(x.toDouble * 1048576.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(quant).toArray)
+    def n2(v: Array[Long]): Long = v.map(x => x * x).sum
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(n2(a).toDouble) * math.sqrt(n2(b).toDouble))
+    val evals = emb.filter(_._1 < 20)
+    val expect = emb.filter(_._1 >= 20).collect {
+      case (id, v) if !evals.exists { case (_, e) => cos(v, e) >= 0.35 } => id
+    }.toSet
+    assert(out == expect, s"survivor sets differ: ${out.diff(expect)} / ${expect.diff(out)}")
+    // Scale shape: the eval set broadcasts; no non-broadcast cartesian.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"eval side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus side must not shuffle into a cartesian:\n$plan")
+  }
 }
