@@ -461,11 +461,13 @@ object CorpusQuality extends QueryModule {
     val hist = Tables.documents(s, dir)
       .select(col("source"), size(split(col("text"), " ")).as("nw"))
       .groupBy("source", "nw").agg(count(lit(1)).as("cnt"))
-    val tot = hist.groupBy("source").agg(sum(col("cnt")).as("n"))
+    // Both the running count and the per-source total are windows over
+    // the SAME (source) partitioning — one exchange, one sort, no second
+    // corpus scan and no join for the totals.
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy("source").orderBy("nw")))
-      .join(tot, "source")
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("source")))
     cum.groupBy("source")
       .agg(
         min(when(col("cum") * 100 >= col("n") * 50, col("nw"))).as("p50"),
@@ -497,10 +499,9 @@ object CorpusQuality extends QueryModule {
       """WITH d AS (SELECT source,
         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS nw FROM documents),
         |h AS (SELECT source, nw, count(*) AS cnt FROM d GROUP BY 1, 2),
-        |t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
-        |c AS (SELECT h.source, nw,
-        |    CAST(sum(cnt) OVER (PARTITION BY h.source ORDER BY nw) AS BIGINT) AS cum,
-        |    t.n FROM h JOIN t USING (source))
+        |c AS (SELECT source, nw,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY nw) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n FROM h)
         |SELECT source,
         |  min(CASE WHEN cum * 100 >= n * 50 THEN nw END) AS p50,
         |  min(CASE WHEN cum * 100 >= n * 90 THEN nw END) AS p90,
