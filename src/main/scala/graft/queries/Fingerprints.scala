@@ -329,25 +329,26 @@ object Fingerprints extends QueryModule {
   /** 48-bit SimHash fingerprint per document (majority vote per bit over
     * word hashes).
     */
-  /** SimHash via explode + two codegen'd hash aggregates (not nested
-    * higher-order folds, which Spark evaluates interpreted — 10×+
-    * slower): word-hash rows × 48 bit positions → per-(doc, bit) vote
-    * sums → per-doc fingerprint. Every operator whole-stage-codegens and
-    * partial-aggregates map-side; the same plan shape carries to any
-    * corpus size.
+  /** SimHash as ONE wide hash aggregate (not nested higher-order folds,
+    * which Spark evaluates interpreted — 10×+ slower; and not a 48×
+    * bit-position explode, which multiplies the shuffle rows for no
+    * information): 48 codegen'd per-bit vote sums over the word-hash
+    * rows — map-side partials of 48 longs per doc — then the
+    * fingerprint assembled in a plain projection. The same plan shape
+    * carries to any corpus size; shuffle volume is docs × one 48-column
+    * row.
     */
   private def withSimhash(s: SparkSession, dir: String): DataFrame = {
     val wordHashes = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(w), 1, 12), 16, 10) AS BIGINT)").as("h"))
-    val votes = wordHashes
-      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 47)")).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(sum(when(expr("(shiftright(h, b) & 1) = 1"), 1L).otherwise(-1L)).as("v"))
-    votes.groupBy("doc_id")
-      .agg(sum(when(col("v") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+    val voteCols = (0 until 48).map(b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L).otherwise(-1L)).as(s"v$b"))
+    val fp = (0 until 48).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    wordHashes.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
   }
 
   def qFingerprintSimhash(s: SparkSession, dir: String): DataFrame =
