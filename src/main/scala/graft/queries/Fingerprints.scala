@@ -31,11 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object Fingerprints extends QueryModule {
 
-  private val P = 2147483647L // 2^31 − 1
-  private def A(j: Int): Long = (2654435761L * (j + 1)) % P
-  private def B(j: Int): Long = (1013904223L * (j + 1)) % P
-  private val NumHashes = 16
-  private val NumBands = 8 // bands of 2 hashes
+  // Shared with the streaming ingest gate (StreamOps.minhashBands):
+  // the stream side MUST produce bit-identical band values or the
+  // stream-static join against the standing index silently misses.
+  private[graft] val P = 2147483647L // 2^31 − 1
+  private[graft] def A(j: Int): Long = (2654435761L * (j + 1)) % P
+  private[graft] def B(j: Int): Long = (1013904223L * (j + 1)) % P
+  private[graft] val NumHashes = 16
+  private[graft] val NumBands = 8 // bands of 2 hashes
 
   /** The inverted-index primitive: one (doc_id, n, h) row per shingle
     * OCCURRENCE of each document, h = 60-bit md5 hash mod P, n = the

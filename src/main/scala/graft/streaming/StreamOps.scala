@@ -101,6 +101,44 @@ object StreamOps {
       .filter(col("__hits") < minHits)
       .drop("__hits")
 
+  /** Per-document MinHash LSH band values as (doc_id, band, v) rows —
+    * the SAME 16-hash / 8-band construction as the batch pipeline
+    * (constants shared from [[graft.queries.Fingerprints]]; the min is
+    * duplicate-insensitive, so the in-row `array_distinct` hash set
+    * yields bit-identical signatures to the batch aggregation over the
+    * deduped posting index). Everything before the final posexplode is
+    * an in-row expression — usable in a fully stateless streaming map.
+    */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    import graft.queries.{Fingerprints => F}
+    val sigExprs = (0 until F.NumHashes).map(j =>
+      s"array_min(transform(__sh, h -> (${F.A(j)} * h + ${F.B(j)}) % ${F.P}))")
+    val bandArray = (0 until F.NumBands)
+      .map(b => s"(${sigExprs(2 * b)} * ${F.P} + ${sigExprs(2 * b + 1)})")
+      .mkString("array(", ", ", ")")
+    docs.withColumn("__sh", shingleHashes)
+      .select(col("doc_id"), posexplode(expr(bandArray)).as(Seq("band", "v")))
+  }
+
+  /** Streaming NEAR-DUP ingest gate — the LSH candidate check a corpus
+    * pipeline runs on every arriving document against the STANDING band
+    * index (the batch pipeline's materialized signatures, a static
+    * table): an arriving doc that shares any band bucket with a
+    * standing doc is a near-dup CANDIDATE and is routed to the exact
+    * confirm path; docs with no collision are admitted immediately.
+    * Emits the collision records (arriving doc, band, standing doc) —
+    * the routing feed. Shape: in-row signatures + a stream-STATIC
+    * equi-join on (band, v) — NO streaming state, no stream-side
+    * shuffle beyond the join; memory is bounded regardless of how long
+    * the stream runs, and the static side is the same artifact the
+    * batch dedup already maintains.
+    */
+  def nearDupIngestGate(docs: DataFrame, standingBands: DataFrame): DataFrame =
+    minhashBands(docs).join(
+      standingBands.select(col("band"), col("v"),
+        col("doc_id").as("standing_doc")),
+      Seq("band", "v"))
+
   /** Watermarked stream-stream interval join — each click pairs with
     * the same user's views inside [click.ts − maxAge, click.ts]. The
     * interval bound plus the watermarks is what makes the join state

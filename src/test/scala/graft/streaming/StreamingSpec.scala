@@ -134,6 +134,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup ingest gate: stream collisions equal the batch band join, stateless") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val docsPath = s"$sf/documents.parquet"
+    val batchDocs = spark.read.parquet(docsPath)
+    val b = math.floor(batchDocs.count() * 0.8).toLong
+    // standing index = batch band table over the first 80% (the artifact
+    // the batch dedup pipeline maintains); arriving batch = last 20%
+    val standing = StreamOps.minhashBands(batchDocs.filter(col("doc_id") < b))
+    val watchDir = tmpDir("neardup_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(docsPath),
+      java.nio.file.Paths.get(watchDir, "documents.parquet"))
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(watchDir)
+    val q = StreamOps.nearDupIngestGate(
+        stream.filter(col("doc_id") >= b), standing)
+      .writeStream.format("memory").queryName("neardup_gate")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "availableNow drain timed out")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Int]("band"), r.getAs[Long]("v"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("standing_doc"))
+      val got = spark.table("neardup_gate").collect().map(key).toSet
+      // batch replay of the identical plan over the same split
+      val want = StreamOps.nearDupIngestGate(
+        batchDocs.filter(col("doc_id") >= b), standing).collect().map(key).toSet
+      assert(got == want, s"stream ${got.size} collisions, batch ${want.size}")
+      // the gate must be STATELESS: no stateful operators registered
+      val st = q.lastProgress.stateOperators
+      assert(st == null || st.isEmpty,
+        s"ingest gate must carry no streaming state: ${st.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with in-window views only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[StreamOps.Event]
