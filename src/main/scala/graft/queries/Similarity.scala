@@ -843,7 +843,32 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** ANN recall telemetry — the health metric that decides whether the
+    * approximate path is safe to enable: per query vector, how many of
+    * the TRUE top-5 neighbors (brute-force leg) the sign-LSH ANN leg
+    * recovered. Run on a sampled query set before switching a corpus
+    * pipeline from exact to approximate, and re-run when the embedding
+    * distribution drifts (recall decays silently otherwise — the whole
+    * reason this is a standing query, not a one-off notebook check).
+    * Both legs are deterministic, so the oracle replays them exactly.
+    * Cost: the brute leg is |Q|·N with Q = 5 (the sampled-probe
+    * contract — never all-pairs); the overlap join touches 25 rows.
+    */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = qEmbedKnn(s, dir).filter(col("rank") <= 5).select("qid", "vid")
+    val approx = qEmbedAnn(s, dir).select("qid", "vid")
+    val hits = truth.join(approx, Seq("qid", "vid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    truth.groupBy("qid").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("qid"), col("n_true"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true")).as("recall"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_recall" -> (qAnnRecall(_, _)),
     "q_decontaminate_embed" -> (qDecontaminateEmbed(_, _)),
     "q_embed_norms" -> (qEmbedNorms(_, _)),
     "q_embed_knn" -> (qEmbedKnn(_, _)),
@@ -911,6 +936,22 @@ object Similarity extends QueryModule {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_ann_recall" ->
+      s"""$sqlKnnCtes,
+         |approx AS (SELECT qid, vid FROM r WHERE qid < 5 AND rank <= 5),
+         |tc AS (
+         |  SELECT q.vec_id AS qid, v.vec_id AS vid,
+         |    ${sqlQcos("q.qv", "v.qv", "q.n2", "v.n2")} AS cos
+         |  FROM e q, e v
+         |  WHERE q.vec_id < 5 AND q.vec_id <> v.vec_id),
+         |tr AS (SELECT qid, vid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank
+         |  FROM tc),
+         |truth AS (SELECT qid, vid FROM tr WHERE rank <= 5)
+         |SELECT t.qid, count(*) AS n_true, count(a.vid) AS n_hit,
+         |  CAST(count(a.vid) AS DOUBLE) / count(*) AS recall
+         |FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.vid = a.vid
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
     "q_embed_centroids" ->
       s"""WITH q AS (SELECT label, $sqlQvec AS qv FROM embeddings),
          |e AS (SELECT label, CAST(t.i AS INTEGER) AS pos, qv[t.i + 1] AS q
