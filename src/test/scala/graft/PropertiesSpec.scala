@@ -226,7 +226,13 @@ class PropertiesSpec extends SparkSpec {
       "resample" -> (() => queries.Windows.qEventsResample(spark, sf).collect().toSeq),
       "rank_global" -> (() => queries.Positional.qRankGlobal(spark, sf).collect().toSeq),
       "para_dedup" -> (() => queries.Dedup.qDedupParagraph(spark, sf).collect().toSeq),
-      "q18" -> (() => queries.Joins.q18LargeOrders(spark, sf).collect().toSeq))
+      "q18" -> (() => queries.Joins.q18LargeOrders(spark, sf).collect().toSeq),
+      // round-6: histogram-cumsum percentiles (window over hash agg),
+      // the broadcast eval-cos decontamination, and the two-leg recall
+      // overlap must be partition-count-independent
+      "length_quantiles" -> (() => queries.CorpusQuality.qLengthQuantiles(spark, sf).collect().toSeq),
+      "decont_embed" -> (() => queries.Similarity.qDecontaminateEmbed(spark, sf).collect().toSeq),
+      "ann_recall" -> (() => queries.Similarity.qAnnRecall(spark, sf).collect().toSeq))
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val baseline = qs.map { case (n, f) => n -> f() }.toMap
     try {
