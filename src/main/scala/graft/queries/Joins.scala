@@ -204,6 +204,80 @@ object Joins extends QueryModule {
       .limit(100)
   }
 
+  /** TPC-H-Q7-shaped bilateral trade volume — the DUAL-ROLE dimension
+    * plan no other TPC-H query here exercises: `nation` joins the fact
+    * twice under different aliases (supplier's nation, customer's
+    * nation) with the symmetric pair predicate applied AFTER both
+    * attachments. Both nation copies broadcast (dimension-sized), the
+    * date filter pushes into the lineitem scan, and the fact shuffles
+    * only on its join keys (orderkey, then custkey) — the year is
+    * derived AFTER the joins so nothing blocks pushdown. The adapted
+    * constants (NATION_1/NATION_2, ship years 1996–97) match the
+    * generator's vocabulary.
+    */
+  def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1998-01-01"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+        || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H-Q8-shaped national market share — the CONDITIONAL-aggregate
+    * star: a 7-table join (fact + part/supplier/orders/customer/nation×2
+    * /region) whose answer is a RATIO of two sums over the same joined
+    * rows (share = Σ volume where supplier-nation = target / Σ volume).
+    * Every dimension broadcasts; the region filter reaches the customer
+    * side through nation, the p_type filter prunes part before its
+    * broadcast; both sums fold through exact decimals so the final
+    * division is one double op on identical scalars cross-engine.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val amNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val suppNation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01")
+            && col("o_orderdate") < lit("1998-01-01"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(amNations), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((Q.dsum(when(col("nation") === "NATION_3", col("volume")).otherwise(lit(0.0)))
+        / Q.dsum(col("volume"))).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   /** Cross join (beyond reference — SURVEY §2.8 "not present"): the
     * 125-row nation×region grid with a computed pairing label. Spark
     * makes cross products explicit (`crossJoin`) — the right default
@@ -221,6 +295,8 @@ object Joins extends QueryModule {
     "q3_shipping" -> (q3Shipping(_, _)),
     "q5_local_revenue" -> (q5LocalRevenue(_, _)),
     "q18_large_orders" -> (q18LargeOrders(_, _)),
+    "q7_nation_volume" -> (q7NationVolume(_, _)),
+    "q8_market_share" -> (q8MarketShare(_, _)),
     "q_join_cross" -> (qJoinCross(_, _)),
     "q_join_inner" -> (qJoinInner(_, _)),
     "q_join_left" -> (qJoinLeft(_, _)),
@@ -244,6 +320,40 @@ object Joins extends QueryModule {
          |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
          |ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
          |LIMIT 100""".stripMargin,
+    "q7_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+         |  ${Q.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         |  ${Q.sqlDsum("CASE WHEN n1.n_name = 'NATION_3' " +
+            "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+         |    / ${Q.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS mkt_share
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |JOIN region ON n2.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
     "q_join_cross" ->
       """SELECT n_nationkey, n_name, r_regionkey, r_name,
         |  n_name || '-' || r_name AS pair
