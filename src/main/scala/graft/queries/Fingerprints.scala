@@ -834,7 +834,24 @@ object Fingerprints extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** LSH candidate PRECISION — the text-leg health metric paired with
+    * the embedding leg's recall telemetry (`q_ann_recall`): of the
+    * MinHash band-collision candidates, what fraction confirm at
+    * J ≥ [[JaccardT]]. Low precision means the band geometry is wasting
+    * exact-confirm compute (too few rows per band); the metric is read
+    * before re-tuning bands×rows, and monitored because it drifts as
+    * corpus duplication structure changes. Cost: two counts over
+    * already-materialized artifacts.
+    */
+  def qLshPrecision(s: SparkSession, dir: String): DataFrame =
+    candidatePairs(s, dir).agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(confirmedPairs(s, dir).agg(count(lit(1)).as("n_confirmed")))
+      .select(col("n_candidates"), col("n_confirmed"),
+        (col("n_confirmed").cast("double") / col("n_candidates"))
+          .as("cand_precision"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lsh_precision" -> (qLshPrecision(_, _)),
     "q_corpus_clean" -> (qCorpusClean(_, _)),
     "q_clean_funnel" -> (qCleanFunnel(_, _)),
     "q_decontaminate" -> (qDecontaminate(_, _)),
@@ -987,6 +1004,20 @@ object Fingerprints extends QueryModule {
     "q_dedup_minhash" ->
       s"""$sqlMinhashCtes
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "q_lsh_precision" ->
+      s"""$sqlMinhashCtes,
+         |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),
+         |confirmed AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM pairs p
+         |  JOIN dhs a ON a.doc_id = p.doc_a
+         |  JOIN dhs b ON b.doc_id = p.doc_b
+         |  WHERE len(list_intersect(a.dh, b.dh))
+         |    / (a.n + b.n - len(list_intersect(a.dh, b.dh))) >= 0.5)
+         |SELECT (SELECT count(*) FROM pairs) AS n_candidates,
+         |  (SELECT count(*) FROM confirmed) AS n_confirmed,
+         |  CAST((SELECT count(*) FROM confirmed) AS DOUBLE)
+         |    / (SELECT count(*) FROM pairs) AS cand_precision""".stripMargin,
     "q_dedup_incremental" ->
       s"""$sqlMinhashCtes,
          |bnd AS (SELECT CAST(floor(count(*) * 0.8) AS BIGINT) AS b FROM documents),
