@@ -278,6 +278,33 @@ object Joins extends QueryModule {
       .orderBy("o_year")
   }
 
+  /** TPC-H-Q10-shaped returned-item revenue report — the WIDE-GROUP
+    * top-k: the aggregate keys carry the whole customer record (8
+    * grouping columns), so the shuffle rows are wide but the group
+    * count is customer-bounded; the returnflag filter prunes ⅔ of the
+    * fact at the scan, orders gates the quarter, nation broadcasts,
+    * and the final 20 rows come off a TakeOrderedAndProject — no
+    * global sort of the aggregate output.
+    */
+  def q10Returned(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01")
+            && col("o_orderdate") < lit("1996-04-01"))
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir)
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+
   /** Cross join (beyond reference — SURVEY §2.8 "not present"): the
     * 125-row nation×region grid with a computed pairing label. Spark
     * makes cross products explicit (`crossJoin`) — the right default
@@ -297,6 +324,7 @@ object Joins extends QueryModule {
     "q18_large_orders" -> (q18LargeOrders(_, _)),
     "q7_nation_volume" -> (q7NationVolume(_, _)),
     "q8_market_share" -> (q8MarketShare(_, _)),
+    "q10_returned" -> (q10Returned(_, _)),
     "q_join_cross" -> (qJoinCross(_, _)),
     "q_join_inner" -> (qJoinInner(_, _)),
     "q_join_left" -> (qJoinLeft(_, _)),
@@ -354,6 +382,19 @@ object Joins extends QueryModule {
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY 1
          |ORDER BY 1""".stripMargin,
+    "q10_returned" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  ${Q.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey ASC
+         |LIMIT 20""".stripMargin,
     "q_join_cross" ->
       """SELECT n_nationkey, n_name, r_regionkey, r_name,
         |  n_name || '-' || r_name AS pair
