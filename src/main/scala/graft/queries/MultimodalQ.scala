@@ -56,9 +56,23 @@ object MultimodalQ extends QueryModule {
       .orderBy("id")
   }
 
+  /** Frame-sample-then-decode: keep every 2nd 256-byte "frame" block of
+    * each payload (the stub for keyframe sampling), decode the sampled
+    * media — per-row metadata out. The sampling is pure byte-position
+    * arithmetic, so the oracle replays it value-exactly from the hex
+    * view without reconstructing binary.
+    */
+  def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val sampled = Multimodal.sampleFrames(Multimodal.syntheticMedia(s, dir), 2)
+    Multimodal.decodeMeta(sampled).toDF()
+      .select("id", "kind", "nBytes", "width", "height", "nFrames")
+      .orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta(_, _)),
     "q_multimodal_resize" -> (qMultimodalResize(_, _)),
+    "q_multimodal_frames" -> (qMultimodalFrames(_, _)),
     "q_multimodal_pipeline" -> (qMultimodalPipeline(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -94,6 +108,33 @@ object MultimodalQ extends QueryModule {
         |SELECT doc_id AS id, kind, CAST(64 AS BIGINT) AS "nBytes",
         |  CAST(64 + (s + 7 * 64) % 1856 AS INTEGER) AS width,
         |  CAST(64 + (s // 7 + 64) % 1016 AS INTEGER) AS height
+        |FROM d ORDER BY id""".stripMargin,
+    // Replays sampleFrames(2) + decode: kept byte positions are pure
+    // index arithmetic ((p // 256) % 2 = 0), byte values from hex
+    // pairs, then the decode formulas over the SAMPLED length and sum.
+    "q_multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+        |    hex(encode(text)) AS hx
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, kind, hx,
+        |    list_filter(range(0, CAST(nb AS INTEGER)), i -> (i // 256) % 2 = 0) AS keep
+        |  FROM m),
+        |d AS (
+        |  SELECT doc_id, kind,
+        |    CAST(len(keep) AS BIGINT) AS snb,
+        |    CAST(COALESCE(list_sum(list_transform(keep, i ->
+        |      (strpos('0123456789ABCDEF', substring(hx, CAST(2*i + 1 AS INTEGER), 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substring(hx, CAST(2*i + 2 AS INTEGER), 1)) - 1))),
+        |      0) AS BIGINT) AS s
+        |  FROM p)
+        |SELECT doc_id AS id, kind, snb AS "nBytes",
+        |  CAST(64 + (s + 7 * snb) % 1856 AS INTEGER) AS width,
+        |  CAST(64 + (s // 7 + snb) % 1016 AS INTEGER) AS height,
+        |  CAST(CASE WHEN kind = 'video' THEN 1 + snb % 300 ELSE 1 END AS INTEGER) AS "nFrames"
         |FROM d ORDER BY id""".stripMargin,
     // DuckDB reimplementation of the WHOLE stub pipeline: byte values
     // recovered from hex(payload) pairs; StubCodec.decode's width and
