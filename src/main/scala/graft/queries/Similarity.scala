@@ -867,7 +867,54 @@ object Similarity extends QueryModule {
       .orderBy("qid")
   }
 
+  /** Random-walk rounds and the per-round mass multiplier: 6 =
+    * lcm(1, 2, 3) makes every per-neighbor share `6 div deg` an exact
+    * integer for out-degrees up to [[GraphK]] = 3.
+    */
+  private val WalkRounds = 3
+  private val WalkScale = 216L // 6^WalkRounds
+
+  /** Random-walk centrality over the kNN graph — PageRank's power
+    * iteration with EXACT INTEGER mass: every node starts with mass 1,
+    * each round a node's mass splits evenly over its out-neighbors, and
+    * all masses are scaled by 6 = lcm(1,2,3) per round so the per-
+    * neighbor share (`6 div deg`, deg ≤ k = 3) is exact integer
+    * arithmetic — no float division to diverge cross-engine, and total
+    * mass is conserved at n·6^r (spec-asserted). Nodes with no
+    * out-edges keep their (scaled) mass. High-mass nodes are the hub
+    * documents of the near-duplicate/similarity neighborhood — the ones
+    * a curation pass inspects first.
+    *
+    * Shape: per round ONE equi-join of the mass table onto the
+    * (materialized) edge artifact + one hash aggregate, localCheckpoint
+    * per round — the CC-loop discipline; driver carries no data. The
+    * normalized score is one double division by a constant at the end.
+    */
+  def qWalkMass(s: SparkSession, dir: String): DataFrame = {
+    val edges = knnEdges(s, dir).select("qid", "vid")
+    val deg = edges.groupBy("qid").agg(count(lit(1)).as("deg"))
+    var mass = Tables.embeddings(s, dir).select("vec_id")
+      .withColumn("m", lit(1L)).localCheckpoint(true)
+    for (_ <- 1 to WalkRounds) {
+      val contrib = edges.join(deg, "qid")
+        .join(mass.select(col("vec_id").as("qid"), col("m")), "qid")
+        .withColumn("c", col("m") * expr("6 DIV deg"))
+        .groupBy(col("vid")).agg(sum(col("c")).as("s"))
+      mass = mass.withColumnRenamed("m", "pm")
+        .join(contrib.withColumnRenamed("vid", "vec_id"), Seq("vec_id"), "left")
+        .join(deg.select(col("qid").as("vec_id"), col("deg")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (coalesce(col("s"), lit(0L))
+            + when(col("deg").isNull, lit(6L) * col("pm")).otherwise(lit(0L))).as("m"))
+        .localCheckpoint(true)
+    }
+    mass.select(col("vec_id"), col("m").as("mass"),
+        (col("m").cast("double") / WalkScale).as("score"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_walk_mass" -> (qWalkMass(_, _)),
     "q_ann_recall" -> (qAnnRecall(_, _)),
     "q_decontaminate_embed" -> (qDecontaminateEmbed(_, _)),
     "q_embed_norms" -> (qEmbedNorms(_, _)),
@@ -1232,6 +1279,27 @@ object Similarity extends QueryModule {
          |LEFT JOIN dv ON dv.v = em.vec_id
          |LEFT JOIN tv ON tv.v = em.vec_id
          |ORDER BY em.vec_id""".stripMargin,
+    "q_walk_mass" -> {
+      val rounds = (1 to WalkRounds).map { r =>
+        s"""m$r AS (SELECT p.vec_id,
+           |    CAST(COALESCE(c.s, 0)
+           |      + CASE WHEN d.qid IS NULL THEN 6 * p.m ELSE 0 END AS BIGINT) AS m
+           |  FROM m${r - 1} p
+           |  LEFT JOIN (
+           |    SELECT g.vid, CAST(SUM(p2.m * (6 // d2.deg)) AS BIGINT) AS s
+           |    FROM g JOIN deg d2 USING (qid)
+           |    JOIN m${r - 1} p2 ON p2.vec_id = g.qid
+           |    GROUP BY g.vid) c ON c.vid = p.vec_id
+           |  LEFT JOIN deg d ON d.qid = p.vec_id)""".stripMargin
+      }.mkString(",\n")
+      s"""$sqlKnnCtes,
+         |g AS (SELECT qid, vid FROM r WHERE rank <= $GraphK),
+         |deg AS (SELECT qid, count(*) AS deg FROM g GROUP BY qid),
+         |m0 AS (SELECT vec_id, CAST(1 AS BIGINT) AS m FROM embeddings),
+         |$rounds
+         |SELECT vec_id, m AS mass, CAST(m AS DOUBLE) / $WalkScale AS score
+         |FROM m$WalkRounds ORDER BY vec_id""".stripMargin
+    },
     "q_label_prop" -> {
       val rounds = (1 to PropRounds).map { r =>
         s"""v$r AS (SELECT qid, nl FROM (

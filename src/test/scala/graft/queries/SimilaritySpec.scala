@@ -210,6 +210,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("walk mass: total mass conserved at n·6^rounds; all masses non-negative") {
+    val out = Similarity.qWalkMass(spark, dir).collect()
+    val n = graft.Tables.embeddings(spark, dir).count()
+    val total = out.map(_.getAs[Long]("mass")).sum
+    assert(total == n * 216L, s"mass not conserved: $total != ${n * 216L}")
+    assert(out.forall(_.getAs[Long]("mass") >= 0L))
+    assert(out.length == n)
+  }
+
   test("decontaminate_embed: survivors ≡ brute-force eval-cosine threshold; eval side broadcast") {
     val df = Similarity.qDecontaminateEmbed(spark, dir)
     val out = df.collect().map(_.getAs[Long]("vec_id")).toSet
