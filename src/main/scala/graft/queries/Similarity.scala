@@ -913,7 +913,38 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** Incremental-ingest ANN — the embedding-side mirror of the text
+    * suite's index-append maintenance: the last 20% of vectors (by
+    * vec_id) play a newly arriving batch, and each probes the STANDING
+    * band index (first 80%) for its top-3 standing neighbors — the
+    * production shape where ingesting a batch queries the existing
+    * index instead of rebuilding the graph, and within-batch edges stay
+    * the batch build's job. Shape: one equi-join of the batch's band
+    * rows against the standing band rows (shuffle keys are (band,
+    * bucket) ints), cosine on candidates only, per-probe top-k window
+    * over batch-sized groups.
+    */
+  def qEmbedIncremental(s: SparkSession, dir: String): DataFrame = {
+    val b = math.floor(Tables.embeddings(s, dir).count() * 0.8).toLong
+    val bands = banded(s, dir)
+    val standing = bands.filter(col("vec_id") < b)
+      .select(col("vec_id").as("vid"), col("qv").as("ve"),
+        col("n2").as("vn2"), col("band"), col("bkt"))
+    val batch = bands.filter(col("vec_id") >= b)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"),
+        col("n2").as("qn2"), col("band"), col("bkt"))
+    val cand = batch.join(standing, Seq("band", "bkt"))
+      .dropDuplicates("qid", "vid")
+      .withColumn("cos", qcos(G.dotl(col("qe"), col("ve")), col("qn2"), col("vn2")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= GraphK)
+      .select("qid", "vid", "cos", "rank")
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_incremental" -> (qEmbedIncremental(_, _)),
     "q_walk_mass" -> (qWalkMass(_, _)),
     "q_ann_recall" -> (qAnnRecall(_, _)),
     "q_decontaminate_embed" -> (qDecontaminateEmbed(_, _)),
@@ -1279,6 +1310,20 @@ object Similarity extends QueryModule {
          |LEFT JOIN dv ON dv.v = em.vec_id
          |LEFT JOIN tv ON tv.v = em.vec_id
          |ORDER BY em.vec_id""".stripMargin,
+    "q_embed_incremental" ->
+      s"""$sqlKnnCtes,
+         |bnd AS (SELECT CAST(floor(count(*) * 0.8) AS BIGINT) AS b FROM embeddings),
+         |c2 AS (
+         |  SELECT DISTINCT q.vec_id AS qid, v.vec_id AS vid,
+         |    ${sqlQcos("q.qv", "v.qv", "q.n2", "v.n2")} AS cos
+         |  FROM bands q JOIN bands v ON q.band = v.band AND q.bkt = v.bkt
+         |  JOIN bnd ON q.vec_id >= bnd.b AND v.vec_id < bnd.b),
+         |r2 AS (SELECT qid, vid, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vid ASC) AS INTEGER) AS rank
+         |  FROM c2)
+         |SELECT qid, vid, cos, rank FROM r2 WHERE rank <= $GraphK
+         |ORDER BY qid, rank""".stripMargin,
     "q_walk_mass" -> {
       val rounds = (1 to WalkRounds).map { r =>
         s"""m$r AS (SELECT p.vec_id,
