@@ -318,7 +318,46 @@ object Pipelines extends QueryModule {
       .orderBy("bucket")
   }
 
+  /** T5-style span-corruption pair generation — the denoising-objective
+    * preprocessing step: each document's words split into fixed 5-word
+    * blocks, a deterministic md5 bucket masks ~¼ of them, and the doc
+    * becomes an (input, target) pair — masked blocks replaced by
+    * numbered sentinels in the input, emitted after their sentinels in
+    * the target (the exact T5 target layout). Hash-driven masking means
+    * the pair set is reproducible across runs/engines — the property an
+    * ablation needs. Shape: one explode over block indices (strings
+    * sliced AFTER the explode, codegen'd — the round-6 generator
+    * discipline), a per-doc rank window over masked blocks only, and
+    * one ordered group-concat back to doc grain; map-sized shuffles
+    * keyed by doc_id throughout.
+    */
+  def qSpanCorrupt(s: SparkSession, dir: String): DataFrame = {
+    val blocks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), col("words"), explode(expr(
+        "sequence(0, cast(ceil(size(words) / 5.0) as int) - 1)")).as("blk"))
+      .select(col("doc_id"), col("blk"),
+        expr("array_join(slice(words, blk * 5 + 1, 5), ' ')").as("piece"))
+      .withColumn("masked", expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(blk AS STRING))), 1, 15), 16, 10) AS BIGINT) % 4 = 0"))
+    val w = Window.partitionBy("doc_id").orderBy("blk")
+    val sent = blocks.withColumn("k",
+      sum(when(col("masked"), 1).otherwise(0)).over(w))
+    val rendered = sent.select(col("doc_id"), col("blk"), col("masked"),
+      when(col("masked"), concat(lit("<extra_id_"), (col("k") - 1).cast("string"), lit(">")))
+        .otherwise(col("piece")).as("in_piece"),
+      when(col("masked"), concat(lit("<extra_id_"), (col("k") - 1).cast("string"),
+        lit("> "), col("piece"))).as("tgt_piece"))
+    rendered.groupBy("doc_id")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(blk, in_piece))), x -> x.in_piece), ' ')").as("input"),
+        expr("array_join(transform(array_sort(collect_list(CASE WHEN tgt_piece IS NOT NULL THEN struct(blk, tgt_piece) END)), x -> x.tgt_piece), ' ')").as("target"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_corrupt" -> (qSpanCorrupt(_, _)),
     "q_zorder" -> (qZorder(_, _)),
     "q_bucketed_join" -> (qBucketedJoin(_, _)),
     "q_partition_prune" -> (qPartitionPrune(_, _)),
@@ -332,6 +371,30 @@ object Pipelines extends QueryModule {
   }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_span_corrupt" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, CAST(t.i AS INTEGER) AS blk,
+        |    array_to_string(ws[t.i * 5 + 1 : t.i * 5 + 5], ' ') AS piece
+        |  FROM d, LATERAL unnest(generate_series(0,
+        |    CAST(ceil(len(ws) / 5.0) AS INTEGER) - 1)) AS t(i)),
+        |m AS (SELECT doc_id, blk, piece,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(blk AS VARCHAR)), 1, 15))::BIGINT % 4 = 0 AS masked
+        |  FROM b),
+        |k AS (SELECT doc_id, blk, piece, masked,
+        |    sum(CASE WHEN masked THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY blk) AS k
+        |  FROM m),
+        |r AS (SELECT doc_id, blk, masked,
+        |    CASE WHEN masked THEN '<extra_id_' || CAST(k - 1 AS VARCHAR) || '>'
+        |      ELSE piece END AS in_piece,
+        |    CASE WHEN masked THEN '<extra_id_' || CAST(k - 1 AS VARCHAR) || '> ' || piece
+        |      END AS tgt_piece
+        |  FROM k)
+        |SELECT doc_id,
+        |  string_agg(in_piece, ' ' ORDER BY blk) AS input,
+        |  COALESCE(string_agg(tgt_piece, ' ' ORDER BY blk), '') AS target,
+        |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_zorder" ->
       s"""WITH z AS (SELECT l_partkey & 65535 AS pk, l_suppkey & 65535 AS sk,
          |    CAST($sqlZ AS BIGINT) AS z
