@@ -232,7 +232,12 @@ class PropertiesSpec extends SparkSpec {
       // overlap must be partition-count-independent
       "length_quantiles" -> (() => queries.CorpusQuality.qLengthQuantiles(spark, sf).collect().toSeq),
       "decont_embed" -> (() => queries.Similarity.qDecontaminateEmbed(spark, sf).collect().toSeq),
-      "ann_recall" -> (() => queries.Similarity.qAnnRecall(spark, sf).collect().toSeq))
+      "ann_recall" -> (() => queries.Similarity.qAnnRecall(spark, sf).collect().toSeq),
+      // late round-6: integer-mass BSP walk, hash-masked denoising
+      // pairs (ordered group-concat), and the standing-index ANN probe
+      "walk_mass" -> (() => queries.Similarity.qWalkMass(spark, sf).collect().toSeq),
+      "span_corrupt" -> (() => queries.Pipelines.qSpanCorrupt(spark, sf).collect().toSeq),
+      "embed_incr" -> (() => queries.Similarity.qEmbedIncremental(spark, sf).collect().toSeq))
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val baseline = qs.map { case (n, f) => n -> f() }.toMap
     try {
