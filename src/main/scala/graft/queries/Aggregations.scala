@@ -201,7 +201,42 @@ object Aggregations extends QueryModule {
       .orderBy("col_x", "col_y")
   }
 
+  /** Data-quality CONTRACT report — the Deequ/dbt-test-style gate a
+    * pipeline runs before publishing a table: one row per constraint
+    * with its violation count and verdict. Checks exercised: primary-
+    * key uniqueness (count − distinct), referential integrity
+    * (lineitem → orders orphans via left_anti), null-rate, and a value-
+    * range invariant. Each check is one aggregate or one anti-join
+    * count; at 100 TB the uniqueness check's distinct is the only
+    * full-width shuffle and swaps to approx_count_distinct when an
+    * exact audit is not required (exact kept here for the oracle).
+    */
+  def qDqContract(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    def check(i: Int, name: String, viol: DataFrame): DataFrame =
+      viol.select(lit(i).as("check_id"), lit(name).as("check_name"),
+        col("n_violations"), (col("n_violations") === 0L).as("pass"))
+    val pkDup = orders.agg(
+      (count(col("o_orderkey")) - countDistinct(col("o_orderkey")))
+        .as("n_violations"))
+    val fkOrphan = li.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    val qtyNull = li.agg(
+      (count(lit(1)) - count(col("l_quantity"))).as("n_violations"))
+    val discRange = li.agg(count(when(
+      col("l_discount") < 0.0 || col("l_discount") > 1.0, 1)).as("n_violations"))
+    check(0, "orders_pk_unique", pkDup)
+      .unionAll(check(1, "lineitem_fk_orders", fkOrphan))
+      .unionAll(check(2, "l_quantity_not_null", qtyNull))
+      .unionAll(check(3, "l_discount_in_range", discRange))
+      .orderBy("check_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_contract" -> (qDqContract(_, _)),
     "q_corr_matrix" -> (qCorrMatrix(_, _)),
     "q_agg_row" -> (qAggRow(_, _)),
     "q_agg_matrix" -> (qAggMatrix(_, _)),
@@ -248,6 +283,27 @@ object Aggregations extends QueryModule {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_dq_contract" ->
+      """SELECT 0 AS check_id, 'orders_pk_unique' AS check_name,
+        |  CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+        |  count(o_orderkey) - count(DISTINCT o_orderkey) = 0 AS pass
+        |FROM orders
+        |UNION ALL
+        |SELECT 1, 'lineitem_fk_orders',
+        |  CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT),
+        |  count(*) FILTER (o_orderkey IS NULL) = 0
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT 2, 'l_quantity_not_null',
+        |  CAST(count(*) - count(l_quantity) AS BIGINT),
+        |  count(*) - count(l_quantity) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 3, 'l_discount_in_range',
+        |  CAST(count(*) FILTER (l_discount < 0.0 OR l_discount > 1.0) AS BIGINT),
+        |  count(*) FILTER (l_discount < 0.0 OR l_discount > 1.0) = 0
+        |FROM lineitem
+        |ORDER BY check_id""".stripMargin,
     "q_corr_matrix" -> corrOracle,
     "q_agg_row" ->
       s"""SELECT
