@@ -850,7 +850,39 @@ object Fingerprints extends QueryModule {
         (col("n_confirmed").cast("double") / col("n_candidates"))
           .as("cand_precision"))
 
+  /** Removal PROVENANCE — for every document, WHY the corpus clean kept
+    * or dropped it: the first failing stage in gate order
+    * (quality_gate → lang_mismatch → exact_dup → near_dup → kept).
+    * This is the auditability face of the clean: a data owner asking
+    * "where did my document go" gets a one-row answer, and stage-level
+    * drop counts reconcile exactly with the funnel telemetry
+    * ([[qCleanFunnel]]) by construction, since both read the same
+    * stage frames. Cost: the shared stage frames plus two small
+    * left-semi decorations; map-sized output.
+    */
+  def qRemovalReasons(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, exact, nearSurv) = cleanStages(s, dir)
+    val scored = Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")))
+      .select(Seq(col("doc_id"), col("lang"), col("n_words"))
+        ++ TextAnalysis.langScoreCols: _*)
+    val inExact = exact.select("doc_id").withColumn("in_exact", lit(true))
+    val inNear = nearSurv.select("doc_id").withColumn("in_near", lit(true))
+    scored
+      .join(inExact, Seq("doc_id"), "left")
+      .join(inNear, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_words") < 20, "quality_gate")
+          .when(TextAnalysis.langPred =!= col("lang"), "lang_mismatch")
+          .when(col("in_exact").isNull, "exact_dup")
+          .when(col("in_near").isNull, "near_dup")
+          .otherwise("kept").as("reason"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_removal_reasons" -> (qRemovalReasons(_, _)),
     "q_lsh_precision" -> (qLshPrecision(_, _)),
     "q_corpus_clean" -> (qCorpusClean(_, _)),
     "q_clean_funnel" -> (qCleanFunnel(_, _)),
@@ -1004,6 +1036,19 @@ object Fingerprints extends QueryModule {
     "q_dedup_minhash" ->
       s"""$sqlMinhashCtes
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "q_removal_reasons" ->
+      s"""$sqlCorpusCleanCtes
+         |SELECT doc_id,
+         |  CASE WHEN n_words < 20 THEN 'quality_gate'
+         |    WHEN (CASE
+         |      WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+         |      WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+         |      WHEN s_de >= s_es THEN 'de'
+         |      ELSE 'es' END) <> lang THEN 'lang_mismatch'
+         |    WHEN doc_id NOT IN (SELECT doc_id FROM surv) THEN 'exact_dup'
+         |    WHEN doc_id IN (SELECT doc_id FROM removed) THEN 'near_dup'
+         |    ELSE 'kept' END AS reason
+         |FROM sc ORDER BY doc_id""".stripMargin,
     "q_lsh_precision" ->
       s"""$sqlMinhashCtes,
          |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),

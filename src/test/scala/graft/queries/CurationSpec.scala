@@ -31,6 +31,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("removal reasons reconcile exactly with the funnel stage counts") {
+    val reasons = Fingerprints.qRemovalReasons(spark, dir).collect()
+      .groupBy(_.getAs[String]("reason")).view.mapValues(_.length.toLong).toMap
+    val funnel = Fingerprints.qCleanFunnel(spark, dir).collect()
+      .map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_docs")).toMap
+    val n = (k: String) => reasons.getOrElse(k, 0L)
+    // every doc gets exactly one reason; stage survivor counts are the
+    // suffix sums of the reason cascade
+    assert(reasons.values.sum == funnel(0), "one reason per raw doc")
+    assert(funnel(1) == n("kept") + n("near_dup") + n("exact_dup"),
+      "gate survivors = docs past quality+lang")
+    assert(funnel(2) == n("kept") + n("near_dup"),
+      "exact-dedup survivors = kept + near-dup removals")
+    assert(funnel(3) == n("kept"), "near-dedup survivors = kept")
+  }
+
   test("gopher rules: verdict is the conjunction; rules replay on a hand doc") {
     val rows = TextAnalysis.qGopherRules(spark, dir).collect()
     rows.foreach { r =>
