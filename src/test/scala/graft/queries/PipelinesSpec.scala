@@ -219,4 +219,32 @@ class PipelinesSpec extends SparkSpec {
       assert(bad.count() == 0)
     } finally { out.unpersist(); () }
   }
+
+  test("span corruption reconstructs: sentinels zip with target spans back to the original") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val out = Pipelines.qSpanCorrupt(spark, sf).collect()
+    assert(out.length == docs.size)
+    val sentinel = "<extra_id_(\\d+)>".r
+    out.foreach { r =>
+      val (docId, input, target, nMasked) =
+        (r.getAs[Long]("doc_id"), r.getAs[String]("input"),
+          r.getAs[String]("target"), r.getAs[Long]("n_masked"))
+      // sentinel ids in the input are 0..n−1 in order, and the target
+      // carries exactly the same sentinels
+      val inIds = sentinel.findAllMatchIn(input).map(_.group(1).toInt).toSeq
+      assert(inIds == (0 until nMasked.toInt), s"doc $docId sentinel ids $inIds")
+      val tgtIds = sentinel.findAllMatchIn(target).map(_.group(1).toInt).toSeq
+      assert(tgtIds == inIds, s"doc $docId target sentinels differ")
+      // substituting each sentinel with its target span reconstructs
+      // the original text exactly — nothing lost, nothing reordered
+      val spans = sentinel.split(target).map(_.trim).filter(_.nonEmpty)
+      assert(spans.length == nMasked.toInt, s"doc $docId span count")
+      val rebuilt = inIds.zip(spans).foldLeft(input) { case (acc, (k, span)) =>
+        acc.replace(s"<extra_id_$k>", span)
+      }
+      assert(rebuilt == docs(docId), s"doc $docId does not reconstruct")
+    }
+  }
 }
