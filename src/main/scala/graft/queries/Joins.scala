@@ -305,6 +305,25 @@ object Joins extends QueryModule {
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(20)
 
+  /** TPC-H-Q14-shaped promo revenue share — fact⋈dim with a
+    * DIM-ATTRIBUTE conditional: the numerator condition lives on the
+    * joined part attribute, so the broadcast must carry `p_type` (not
+    * just the key) and the share is again a ratio of two exact-decimal
+    * sums over one joined pass. The month window pushes into the
+    * lineitem scan.
+    */
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01")
+        && col("l_shipdate") < lit("1996-04-01"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .agg((lit(100.0)
+        * Q.dsum(when(col("p_type") === "PROMO", col("volume")).otherwise(lit(0.0)))
+        / Q.dsum(col("volume"))).as("promo_revenue"))
+
   /** Cross join (beyond reference — SURVEY §2.8 "not present"): the
     * 125-row nation×region grid with a computed pairing label. Spark
     * makes cross products explicit (`crossJoin`) — the right default
@@ -325,6 +344,7 @@ object Joins extends QueryModule {
     "q7_nation_volume" -> (q7NationVolume(_, _)),
     "q8_market_share" -> (q8MarketShare(_, _)),
     "q10_returned" -> (q10Returned(_, _)),
+    "q14_promo_share" -> (q14PromoShare(_, _)),
     "q_join_cross" -> (qJoinCross(_, _)),
     "q_join_inner" -> (qJoinInner(_, _)),
     "q_join_left" -> (qJoinLeft(_, _)),
@@ -382,6 +402,14 @@ object Joins extends QueryModule {
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY 1
          |ORDER BY 1""".stripMargin,
+    "q14_promo_share" ->
+      s"""SELECT 100.0
+         |  * ${Q.sqlDsum("CASE WHEN p_type = 'PROMO' " +
+            "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+         |  / ${Q.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
     "q10_returned" ->
       s"""SELECT c_custkey, c_name, c_acctbal, n_name,
          |  ${Q.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
