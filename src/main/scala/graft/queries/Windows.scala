@@ -371,7 +371,35 @@ object Windows extends QueryModule {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** Micros per week — the cohort bucketing constant. */
+  private val WeekUs = 604800000000L
+
+  /** Retention COHORT matrix — the product-analytics staple: users
+    * bucketed by first-seen week, activity counted per (cohort,
+    * week-offset) cell, one row per cell with its distinct-user count.
+    * All bucketing is integer epoch-micros division (no calendar/
+    * timezone arithmetic to diverge cross-engine). Shape: first-seen
+    * is one user-keyed aggregate, the join back and the
+    * (user, cohort, offset) dedup reuse the same user partitioning
+    * (AQE collapses the exchanges), and the output is a weeks² matrix
+    * regardless of event volume.
+    */
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val first = ev.groupBy("user_id").agg(min(col("us")).as("first_us"))
+    ev.join(first, "user_id")
+      .select(col("user_id"),
+        expr(s"first_us DIV $WeekUs").as("cohort_week"),
+        expr(s"(us - first_us) DIV $WeekUs").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention" -> (qCohortRetention(_, _)),
     "q_sessionize" -> (qSessionize(_, _)),
     "q_range_join" -> (qRangeJoin(_, _)),
     "q_window_range" -> (qWindowRange(_, _)),
@@ -397,6 +425,16 @@ object Windows extends QueryModule {
       |  CAST(ts AS TIMESTAMP) AS ts FROM events""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_cohort_retention" ->
+      s"""WITH e AS (SELECT user_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |f AS (SELECT user_id, min(us) AS first_us FROM e GROUP BY user_id),
+         |w AS (SELECT DISTINCT e.user_id,
+         |    first_us // $WeekUs AS cohort_week,
+         |    (us - first_us) // $WeekUs AS week_offset
+         |  FROM e JOIN f USING (user_id))
+         |SELECT cohort_week, week_offset, count(*) AS n_users
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_event_anomaly" ->
       s"""WITH st AS (SELECT event_type,
          |    ${Q.sqlDavg("value")} AS mu,
