@@ -477,7 +477,64 @@ object CorpusQuality extends QueryModule {
       .orderBy("source")
   }
 
+  /** DSIR-style importance data selection (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by a hashed-n-gram naive-Bayes discriminant
+    * between a TARGET distribution (here the lang='en' slice) and the
+    * RAW corpus, then keep the top-k. Features are unigrams + bigrams
+    * hashed into 4096 buckets (the paper's hashed n-gram feature space);
+    * the published weight is Σ_f c_f·(log p_f − log q_f) — here the
+    * per-feature log-ratio is replaced by the FIXED-POINT probability
+    * delta (p̂_f − q̂_f in integer 1e-9 units, +1-smoothed), the same
+    * linear NB discriminant family, because an exact-integer score is
+    * bit-identical across engines while libm logs differ in their last
+    * ulp (the determinism playbook of Q.scala).
+    *
+    * Scale: the feature table is AT MOST 4096 rows no matter the corpus
+    * size — it aggregates once (shuffle on the hash bucket), broadcasts,
+    * and scoring is a map-side join + one hash agg on doc_id. Bigrams
+    * are built post-explode from an int sequence (codegen'd concat, see
+    * TextAnalysis.bigramIdxExpr). At 100 TB the (count+1)×1e9 products
+    * want DECIMAL(38,0) partials; the long headroom here is documented:
+    * safe to ~10^9 corpus tokens.
+    */
+  def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        split(lower(col("text")), " ").as("ws"))
+      .withColumn("nw", size(col("ws")))
+    val uni = docs.select(col("doc_id"), col("lang"), explode(col("ws")).as("g"))
+    val bi = docs.filter(col("nw") >= 2)
+      .select(col("doc_id"), col("lang"), col("ws"),
+        explode(expr("sequence(1, nw - 1)")).as("i"))
+      .select(col("doc_id"), col("lang"),
+        concat(expr("element_at(ws, i)"), lit(" "),
+          expr("element_at(ws, i + 1)")).as("g"))
+    val grams = uni.unionByName(bi)
+      .select(col("doc_id"), col("lang"),
+        expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % 4096").as("f"))
+    val tgtC = grams.filter(col("lang") === "en")
+      .groupBy("f").agg(count(lit(1)).as("ct"))
+    val rawC = grams.groupBy("f").agg(count(lit(1)).as("cr"))
+    val totals = rawC.agg(sum(col("cr")).as("rt"))
+      .crossJoin(tgtC.agg(sum(col("ct")).as("tt")))
+    val feats = rawC.join(tgtC, Seq("f"), "left_outer")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("f"),
+        (expr("((ct + 1) * 1000000000L) DIV (tt + 4096)")
+          - expr("((cr + 1) * 1000000000L) DIV (rt + 4096)")).as("delta"))
+    val scored = grams.join(broadcast(feats), Seq("f"))
+      .groupBy("doc_id")
+      .agg(sum(col("delta")).as("score"), count(lit(1)).as("n_grams"))
+    Tables.documents(s, dir).select("doc_id", "lang", "source")
+      .join(scored, Seq("doc_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_select" -> (qDsirSelect(_, _)),
     "q_length_quantiles" -> (qLengthQuantiles(_, _)),
     "q_text_repetition" -> (qTextRepetition(_, _)),
     "q_text_boilerplate" -> (qTextBoilerplate(_, _)),
@@ -495,6 +552,32 @@ object CorpusQuality extends QueryModule {
     "q_decontaminate_spans" -> (qDecontaminateSpans(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_dsir_select" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+        |  FROM documents),
+        |uni AS (SELECT doc_id, lang, unnest(ws) AS g FROM d),
+        |bi AS (SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(ws)),
+        |      i -> ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i + 1 AS INTEGER)])) AS g
+        |  FROM d WHERE len(ws) >= 2),
+        |grams AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS f
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |tgt AS (SELECT f, count(*) AS ct FROM grams WHERE lang = 'en' GROUP BY f),
+        |raw AS (SELECT f, count(*) AS cr FROM grams GROUP BY f),
+        |tot AS (SELECT (SELECT sum(ct) FROM tgt) AS tt,
+        |    (SELECT sum(cr) FROM raw) AS rt),
+        |feats AS (SELECT raw.f,
+        |    ((COALESCE(ct, 0) + 1) * 1000000000) // (tt + 4096)
+        |    - ((cr + 1) * 1000000000) // (rt + 4096) AS delta
+        |  FROM raw LEFT JOIN tgt ON raw.f = tgt.f, tot),
+        |scored AS (SELECT doc_id, CAST(sum(delta) AS BIGINT) AS score,
+        |    count(*) AS n_grams
+        |  FROM grams JOIN feats ON grams.f = feats.f GROUP BY doc_id)
+        |SELECT dd.doc_id, lang, source, score, n_grams
+        |FROM documents dd JOIN scored ON dd.doc_id = scored.doc_id
+        |ORDER BY score DESC, dd.doc_id ASC
+        |LIMIT 100""".stripMargin,
     "q_length_quantiles" ->
       """WITH d AS (SELECT source,
         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS nw FROM documents),
