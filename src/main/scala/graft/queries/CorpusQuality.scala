@@ -498,8 +498,18 @@ object CorpusQuality extends QueryModule {
     * want DECIMAL(38,0) partials; the long headroom here is documented:
     * safe to ~10^9 corpus tokens.
     */
-  def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def qDsirSelect(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "lang", "source")
+      .join(dsirScores(Tables.documents(s, dir), targetLang = "en"), Seq("doc_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(100)
+
+  /** The discriminant scorer over any (doc_id, lang, text) frame — split
+    * out so specs can drive it with planted fixtures. Returns one row
+    * per document: (doc_id, score, n_grams).
+    */
+  private[queries] def dsirScores(docsIn: DataFrame, targetLang: String): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), col("lang"),
         split(lower(col("text")), " ").as("ws"))
       .withColumn("nw", size(col("ws")))
@@ -513,7 +523,7 @@ object CorpusQuality extends QueryModule {
     val grams = uni.unionByName(bi)
       .select(col("doc_id"), col("lang"),
         expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % 4096").as("f"))
-    val tgtC = grams.filter(col("lang") === "en")
+    val tgtC = grams.filter(col("lang") === targetLang)
       .groupBy("f").agg(count(lit(1)).as("ct"))
     val rawC = grams.groupBy("f").agg(count(lit(1)).as("cr"))
     val totals = rawC.agg(sum(col("cr")).as("rt"))
@@ -524,13 +534,9 @@ object CorpusQuality extends QueryModule {
       .select(col("f"),
         (expr("((ct + 1) * 1000000000L) DIV (tt + 4096)")
           - expr("((cr + 1) * 1000000000L) DIV (rt + 4096)")).as("delta"))
-    val scored = grams.join(broadcast(feats), Seq("f"))
+    grams.join(broadcast(feats), Seq("f"))
       .groupBy("doc_id")
       .agg(sum(col("delta")).as("score"), count(lit(1)).as("n_grams"))
-    Tables.documents(s, dir).select("doc_id", "lang", "source")
-      .join(scored, Seq("doc_id"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(100)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
