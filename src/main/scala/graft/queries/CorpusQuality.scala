@@ -317,6 +317,38 @@ object CorpusQuality extends QueryModule {
       .orderBy("round")
   }
 
+  /** BPE ENCODE — the tokenizer's apply side, closing the train→encode
+    * loop: apply the [[bpeTrain]]ed merge list, in training order, to
+    * every distinct word (one `replace` per merge — leftmost
+    * non-overlapping on both engines, the same single-pass-per-merge
+    * discipline the training rewrite uses), then charge each document
+    * the symbol count of its words. The per-occurrence work collapses to
+    * per-DISTINCT-word work exactly like training; single-character
+    * words (excluded from training, which needs pairs) cost one symbol.
+    * At 100 TB the trained merge list is a written artifact applied as a
+    * broadcast rewrite chain; the per-doc count is one hash agg.
+    */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = bpeTrain(s, dir)
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val encoded = merges.foldLeft(
+      toks.select("word").distinct()
+        .filter(length(col("word")) >= 2)
+        .withColumn("seq", array_join(split(col("word"), ""), US))) {
+      case (df, (_, a, b, m, _)) =>
+        df.withColumn("seq",
+          call_function("replace", col("seq"), lit(a + US + b), lit(m)))
+    }.select(col("word"), size(split(col("seq"), US)).as("n_sym"))
+    toks.join(encoded, Seq("word"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_sym"), lit(1L)).cast("long")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words")).as("tokens_per_word"))
+      .orderBy("doc_id")
+  }
+
   /** BPE compression trajectory — the number the merge loop is actually
     * optimizing: corpus-weighted symbol count after each round, and
     * symbols-per-word-occurrence. Round 0 is the raw character
@@ -551,6 +583,7 @@ object CorpusQuality extends QueryModule {
     "q_bpe_pairs" -> (qBpePairs(_, _)),
     "q_epoch_schedule" -> (qEpochSchedule(_, _)),
     "q_bpe_merges" -> (qBpeMerges(_, _)),
+    "q_bpe_encode" -> (qBpeEncode(_, _)),
     "q_bpe_compression" -> (qBpeCompression(_, _)),
     "q_quality_gate" -> (qQualityGate(_, _)),
     "q_dedup_spans" -> (qDedupSpans(_, _)),
@@ -740,6 +773,43 @@ object CorpusQuality extends QueryModule {
          |  replace(pair, chr(31), '') AS merged, n
          |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3)
          |ORDER BY round""".stripMargin
+    },
+    "q_bpe_encode" -> {
+      // the same unrolled training rounds as q_bpe_merges, plus a
+      // word-keyed encode chain applying each round's argmax pair
+      def round(r: Int): String =
+        s"""p$r AS (SELECT wc,
+           |    unnest(list_transform(range(1, len(sym)),
+           |      i -> sym[CAST(i AS INTEGER)] || chr(31) || sym[CAST(i + 1 AS INTEGER)])) AS pair
+           |  FROM (SELECT wc, string_split(seq, chr(31)) AS sym FROM w${r - 1})),
+           |b$r AS (SELECT $r AS round, pair, CAST(sum(wc) AS BIGINT) AS n
+           |  FROM p$r GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1),
+           |w$r AS (SELECT wc, replace(seq, (SELECT pair FROM b$r),
+           |    replace((SELECT pair FROM b$r), chr(31), '')) AS seq FROM w${r - 1}),
+           |e$r AS (SELECT word, replace(seq, (SELECT pair FROM b$r),
+           |    replace((SELECT pair FROM b$r), chr(31), '')) AS seq FROM e${r - 1})""".stripMargin
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |w0 AS (
+         |  SELECT array_to_string(string_split(word, ''), chr(31)) AS seq,
+         |    count(*) AS wc
+         |  FROM toks WHERE length(word) >= 2
+         |  GROUP BY 1),
+         |e0 AS (
+         |  SELECT DISTINCT word,
+         |    array_to_string(string_split(word, ''), chr(31)) AS seq
+         |  FROM toks WHERE length(word) >= 2),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |enc AS (SELECT word,
+         |    CAST(len(string_split(seq, chr(31))) AS BIGINT) AS n_sym FROM e3)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(COALESCE(n_sym, 1)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(COALESCE(n_sym, 1)) AS DOUBLE) / count(*) AS tokens_per_word
+         |FROM toks LEFT JOIN enc USING (word)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
     },
     "q_bpe_compression" -> {
       def round(r: Int): String =
