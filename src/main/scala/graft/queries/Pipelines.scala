@@ -356,7 +356,67 @@ object Pipelines extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Join-key SKEW AUDIT — the telemetry that decides, before a 100 TB
+    * join is launched, whether a key needs salting ([[graft.operators.Salt]])
+    * or AQE's runtime skew split suffices: per-key row counts summarized
+    * as exact max / p50 / p99 (percentile_disc — an actual element, so
+    * integer-exact cross-engine) plus the max-to-mean skew ratio. One
+    * hash agg per audited key (the same shuffle the real join would do,
+    * at count-width), then a dimension-sized summary. The salt flag
+    * trips when the hottest key is 10× the median — hot enough that one
+    * task owns a meaningful fraction of the join.
+    */
+  def qSkewStats(s: SparkSession, dir: String): DataFrame = {
+    def keyStats(df: DataFrame, key: String, tag: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_c"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+            .cast("long").as("p50_c"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)")
+            .cast("long").as("p99_c"))
+        .select(lit(tag).as("join_key"), col("n_keys"), col("n_rows"),
+          col("max_c"), col("p50_c"), col("p99_c"))
+    keyStats(Tables.events(s, dir), "user_id", "events.user_id")
+      .unionByName(keyStats(Tables.lineitem(s, dir), "l_orderkey",
+        "lineitem.l_orderkey"))
+      .unionByName(keyStats(Tables.lineitem(s, dir), "l_partkey",
+        "lineitem.l_partkey"))
+      .withColumn("skew_ratio",
+        col("max_c") * col("n_keys") / col("n_rows").cast("double"))
+      .withColumn("salt_recommended", col("max_c") > lit(10L) * col("p50_c"))
+      .orderBy("join_key")
+  }
+
+  /** Length-CURRICULUM sharding — ordering training data easy→hard and
+    * cutting it into equal shard budgets (curriculum learning's data
+    * side). The global order comes from [[graft.operators.Ordinal]]'s
+    * range-partitioned ordinal — NEVER row_number over a global window
+    * (single-partition collapse at scale); the shard id is then pure
+    * arithmetic on the ordinal, and the output is the shard-level
+    * schedule a loader consumes (doc counts, word-length range, token
+    * budget per shard).
+    */
+  def qCurriculumShards(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nw"))
+    val ranked = graft.operators.Ordinal
+      .withOrdinal(docs, Seq(col("nw").asc, col("doc_id").asc))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("shard", expr("(ord * 8) DIV __n").cast("int"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("nw")).as("min_words"), max(col("nw")).as("max_words"),
+        sum(col("nw")).as("shard_tokens"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_stats" -> (qSkewStats(_, _)),
+    "q_curriculum_shards" -> (qCurriculumShards(_, _)),
     "q_span_corrupt" -> (qSpanCorrupt(_, _)),
     "q_zorder" -> (qZorder(_, _)),
     "q_bucketed_join" -> (qBucketedJoin(_, _)),
@@ -370,7 +430,34 @@ object Pipelines extends QueryModule {
     s"((((l_partkey & 65535) >> $i) & 1) << ${2 * i + 1}) + ((((l_suppkey & 65535) >> $i) & 1) << ${2 * i})"
   }.mkString(" + ")
 
+  private def sqlKeyStats(tag: String, key: String, table: String): String =
+    s"""SELECT '$tag' AS join_key, count(*) AS n_keys,
+       |    CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_c,
+       |    quantile_disc(c, 0.5) AS p50_c, quantile_disc(c, 0.99) AS p99_c
+       |  FROM (SELECT $key, count(*) AS c FROM $table GROUP BY $key)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_skew_stats" ->
+      s"""WITH s AS (
+         |  ${sqlKeyStats("events.user_id", "user_id", "events")}
+         |  UNION ALL
+         |  ${sqlKeyStats("lineitem.l_orderkey", "l_orderkey", "lineitem")}
+         |  UNION ALL
+         |  ${sqlKeyStats("lineitem.l_partkey", "l_partkey", "lineitem")})
+         |SELECT join_key, n_keys, n_rows, max_c, p50_c, p99_c,
+         |  max_c * n_keys / CAST(n_rows AS DOUBLE) AS skew_ratio,
+         |  max_c > 10 * p50_c AS salt_recommended
+         |FROM s ORDER BY join_key""".stripMargin,
+    "q_curriculum_shards" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS nw FROM documents),
+        |r AS (SELECT doc_id, nw,
+        |    row_number() OVER (ORDER BY nw, doc_id) - 1 AS ord,
+        |    count(*) OVER () AS n FROM d)
+        |SELECT CAST((ord * 8) // n AS INTEGER) AS shard,
+        |  count(*) AS n_docs, min(nw) AS min_words, max(nw) AS max_words,
+        |  CAST(sum(nw) AS BIGINT) AS shard_tokens
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
     "q_span_corrupt" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |b AS (SELECT doc_id, CAST(t.i AS INTEGER) AS blk,
