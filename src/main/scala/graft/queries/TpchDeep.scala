@@ -242,7 +242,106 @@ object TpchDeep extends QueryModule {
       .select("l_partkey", "best_supp", "s_name", "min_price")
       .orderBy("l_partkey")
 
+  /** TPC-H-Q6-shaped forecasting revenue — the pure SCAN-BOUND query:
+    * three range predicates and one sum, no join. Exists to pin the
+    * pushdown contract: all three predicates reach the parquet scan as
+    * PushedFilters and only three columns are read; at 100 TB this is
+    * the query where row-group statistics do all the work.
+    */
+  def q6SimpleRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1997-01-01")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(Q.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** TPC-H-Q9-shaped product-type profit — the WIDEST star (5 tables)
+    * with a LIKE dimension filter and an expression mixing fact and two
+    * dimension attributes (revenue minus a retail-price-based cost).
+    * part prunes through the LIKE before broadcasting; nation arrives
+    * through supplier; the (nation, year) aggregate is dimension-sized.
+    */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity")
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_name").contains("bolt"))
+          .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        - col("p_retailprice") * col("l_quantity") * lit(0.1)).as("sum_profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+
+  /** TPC-H-Q12-shaped shipping-priority matrix — the POST-JOIN
+    * CONDITIONAL COUNT pair: one orders⋈lineitem join, then two CASE
+    * counts per group keyed on a dimension attribute of the OTHER
+    * table. (l_linestatus stands in for l_shipmode, absent from this
+    * schema.) The date window pushes into the lineitem scan; the join
+    * shuffles once on orderkey.
+    */
+  def q12Priority(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1997-01-01"))
+      .select("l_orderkey", "l_linestatus")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+
+  /** TPC-H-Q20-shaped excess-supply supplier list — the NESTED IN with
+    * a PER-GROUP aggregate threshold: suppliers who shipped more than
+    * half their all-time quantity of a 'bolt' part during 1996 alone
+    * (the availqty>half-demand test recast on this schema's facts).
+    * The inner query is ONE hash aggregate with two conditional sums —
+    * threshold and value from the same pass, no join-back — and the
+    * outer IN is a left-semi broadcast join; nation gates the supplier
+    * side before output.
+    */
+  def q20ExcessSupply(s: SparkSession, dir: String): DataFrame = {
+    val hoarders = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_name").contains("bolt")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(
+        Q.dsum(when(col("l_shipdate") >= lit("1996-01-01")
+          && col("l_shipdate") < lit("1997-01-01"), col("l_quantity"))
+          .otherwise(lit(0.0))).as("qty_1996"),
+        Q.dsum(col("l_quantity")).as("qty_total"))
+      .filter(col("qty_1996") > col("qty_total") * lit(0.5))
+      .select("l_suppkey").distinct()
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name").isin("NATION_1", "NATION_2"))
+          .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(hoarders, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_simple_revenue" -> (q6SimpleRevenue(_, _)),
+    "q9_product_profit" -> (q9ProductProfit(_, _)),
+    "q12_priority" -> (q12Priority(_, _)),
+    "q20_excess_supply" -> (q20ExcessSupply(_, _)),
     "q2_min_cost" -> (q2MinCost(_, _)),
     "q4_priority" -> (q4Priority(_, _)),
     "q11_important" -> (q11Important(_, _)),
@@ -255,6 +354,51 @@ object TpchDeep extends QueryModule {
     "q22_no_orders" -> (q22NoOrders(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q6_simple_revenue" ->
+      s"""SELECT ${Q.sqlDsum("l_extendedprice * l_discount")} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation,
+         |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         |  ${Q.sqlDsum("l_extendedprice * (1.0 - l_discount)" +
+            " - p_retailprice * l_quantity * 0.1")} AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%bolt%'
+         |GROUP BY 1, 2
+         |ORDER BY nation ASC, o_year DESC""".stripMargin,
+    "q12_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "q20_excess_supply" ->
+      s"""SELECT s_suppkey, s_name, s_acctbal
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name IN ('NATION_1', 'NATION_2')
+         |  AND s_suppkey IN (
+         |    SELECT l_suppkey
+         |    FROM lineitem JOIN part ON l_partkey = p_partkey
+         |    WHERE p_name LIKE '%bolt%'
+         |    GROUP BY l_suppkey, l_partkey
+         |    HAVING ${Q.sqlDsum("CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01' " +
+            "AND l_shipdate < TIMESTAMP '1997-01-01' THEN l_quantity ELSE 0.0 END")}
+         |      > ${Q.sqlDsum("l_quantity")} * 0.5)
+         |ORDER BY s_suppkey""".stripMargin,
     "q4_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

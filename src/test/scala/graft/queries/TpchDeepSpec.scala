@@ -102,6 +102,25 @@ class TpchDeepSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).toSeq.sorted)
   }
 
+  test("q6's three predicates push into the parquet scan and prune the schema") {
+    val plan = TpchDeep.q6SimpleRevenue(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate")
+      && plan.contains("l_discount") && plan.contains("l_quantity"),
+      s"expected all three range predicates in PushedFilters:\n$plan")
+    val read = plan.replaceAll("(?s).*ReadSchema: ([^\\n]*).*", "$1")
+    assert(!read.contains("l_orderkey") && !read.contains("l_returnflag"),
+      s"scan must read only the referenced columns:\n$read")
+  }
+
+  test("q20's per-group threshold comes from one aggregate pass, no join-back") {
+    val plan = TpchDeep.q20ExcessSupply(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected IN as semi join:\n$plan")
+    // two conditional sums in one agg ⇒ exactly the three real joins
+    // (part broadcast, nation broadcast, outer semi) appear.
+    assert("BroadcastHashJoin".r.findAllIn(plan).size <= 3,
+      s"threshold must not re-join the fact:\n$plan")
+  }
+
   test("dsir scorer ranks a target-like document above an off-target one") {
     // Target distribution = lang 'tgt' docs over tokens {aa,bb,cc};
     // the raw pool adds 'oth' docs over {xx,yy,zz}. A new doc written
