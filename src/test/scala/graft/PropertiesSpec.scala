@@ -237,7 +237,14 @@ class PropertiesSpec extends SparkSpec {
       // pairs (ordered group-concat), and the standing-index ANN probe
       "walk_mass" -> (() => queries.Similarity.qWalkMass(spark, sf).collect().toSeq),
       "span_corrupt" -> (() => queries.Pipelines.qSpanCorrupt(spark, sf).collect().toSeq),
-      "embed_incr" -> (() => queries.Similarity.qEmbedIncremental(spark, sf).collect().toSeq))
+      "embed_incr" -> (() => queries.Similarity.qEmbedIncremental(spark, sf).collect().toSeq),
+      // this session: the correlated-threshold float filter (Q17), the
+      // fixed-point DSIR score, the driver-looped BPE encode, and the
+      // percentile-disc skew summary must be partition-count-independent
+      "q17" -> (() => queries.TpchDeep.q17SmallQty(spark, sf).collect().toSeq),
+      "dsir" -> (() => queries.CorpusQuality.qDsirSelect(spark, sf).collect().toSeq),
+      "bpe_encode" -> (() => queries.CorpusQuality.qBpeEncode(spark, sf).collect().toSeq),
+      "skew_stats" -> (() => queries.Pipelines.qSkewStats(spark, sf).collect().toSeq))
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val baseline = qs.map { case (n, f) => n -> f() }.toMap
     try {
