@@ -1,0 +1,440 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pandas-API breadth beyond the reference's subset (SURVEY.md §2.9
+  * extension, same spirit as [[SetOps]]): the everyday DataFrame verbs a
+  * pandas user reaches for that baloo never implemented —
+  * `value_counts`, `describe`, `nlargest`, cumulative ops, `clip`,
+  * `duplicated`, `nunique`, `idxmax`/`idxmin`, `cut`/`qcut`,
+  * `get_dummies`, `crosstab`, `pct_change`, outer `concat`, and
+  * `rank(pct=True)` — each declared as the Catalyst plan that survives
+  * 100 TB (hash aggregates with map-side partials, windows only over
+  * keyed partitions or bounded value histograms, never a global
+  * single-partition row sort).
+  */
+object PandasExt extends QueryModule {
+
+  /** `Series.value_counts()` — counts descending, value ascending on
+    * ties. One hash aggregate (map-side partials) + a 5-row sort.
+    */
+  def qValueCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("lang").asc)
+
+  /** One leg of `describe()` for a BOUNDED-DOMAIN numeric column:
+    * count/mean/std/min/max in one hash aggregate pass, and the exact
+    * p25/p50/p75 selected from the VALUE HISTOGRAM by the integer rank
+    * test (the [[CorpusQuality.qLengthQuantiles]] discipline — the
+    * multiplied-through `cum·100 ≥ n·p` comparison picks the identical
+    * element on any engine, no float interpolation). The cumulative
+    * window runs over the histogram, ≤51 rows for l_quantity and 11 for
+    * l_discount — bounded by the value domain, NOT the corpus — so the
+    * single-partition window is over a dimension-sized frame at any
+    * scale.
+    */
+  private def descLeg(li: DataFrame, c: String, p: String): DataFrame = {
+    val agg = li.agg(
+      count(col(c)).cast("double").as(s"${p}_count"),
+      Q.davg(col(c)).as(s"${p}_mean"),
+      Q.dstd(col(c)).as(s"${p}_std"),
+      min(col(c)).as(s"${p}_min"),
+      max(col(c)).as(s"${p}_max"))
+    val hist = li.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(Window.orderBy("v")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+    val pct = cum.agg(
+      min(when(col("cum") * 100 >= col("n") * 25, col("v"))).as(s"${p}_p25"),
+      min(when(col("cum") * 100 >= col("n") * 50, col("v"))).as(s"${p}_p50"),
+      min(when(col("cum") * 100 >= col("n") * 75, col("v"))).as(s"${p}_p75"))
+    agg.crossJoin(pct)
+  }
+
+  /** `df.describe()` over (l_quantity, l_discount): 8 stat rows × 2
+    * measure columns, assembled by one `stack` Expand over the crossed
+    * 1-row stat legs (all broadcasts of scalars — no data movement).
+    */
+  def qDescribe(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val one = descLeg(li, "l_quantity", "q")
+      .crossJoin(descLeg(li, "l_discount", "d"))
+    one.selectExpr(
+      """stack(8,
+        |  0, 'count', q_count, d_count,
+        |  1, 'mean',  q_mean,  d_mean,
+        |  2, 'std',   q_std,   d_std,
+        |  3, 'min',   q_min,   d_min,
+        |  4, '25%',   q_p25,   d_p25,
+        |  5, '50%',   q_p50,   d_p50,
+        |  6, '75%',   q_p75,   d_p75,
+        |  7, 'max',   q_max,   d_max
+        |) AS (ord, stat, quantity, discount)""".stripMargin)
+      .orderBy("ord")
+  }
+
+  /** `nlargest(15, o_totalprice)` — plans as TakeOrderedAndProject:
+    * per-partition top-15 heaps, 15-row merge at the driver; never a
+    * global sort.
+    */
+  def qNlargest(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(15)
+
+  /** `cumsum`/`cummax`/`cummin` per customer in order-key order — the
+    * pandas cumulative family done the way it scales: the window is
+    * PARTITIONED on the group key (one keyed exchange, each customer's
+    * short history sorted within its partition), never a global
+    * unpartitioned running total. The running sum is carried in exact
+    * decimal so left-to-right accumulation is order-independent and
+    * bit-identical across engines.
+    */
+  def qCumOps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("run_sum",
+        sum(col("o_totalprice").cast("decimal(28,4)")).over(w).cast("double"))
+      .withColumn("run_max", max("o_totalprice").over(w))
+      .withColumn("run_min", min("o_totalprice").over(w))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** `Series.clip(5000, 50000)` + the aggregate evidence per return
+    * flag: clipped exact-decimal sum and how many rows hit each bound.
+    * The clip itself is two codegen'd `least`/`greatest` calls inside
+    * the scan projection — map-only.
+    */
+  def qClip(s: SparkSession, dir: String): DataFrame = {
+    val p = col("l_extendedprice")
+    val clipped = greatest(least(p, lit(50000.0)), lit(5000.0))
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        Q.dsum(clipped).as("sum_clipped"),
+        sum(when(p < 5000.0, 1L).otherwise(0L)).as("n_lo"),
+        sum(when(p > 50000.0, 1L).otherwise(0L)).as("n_hi"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** `duplicated(subset=[l_partkey, l_suppkey], keep=False)` — flag
+    * every row whose key occurs more than once. Computed as a key-count
+    * hash aggregate joined back on the key (both sides shuffle on the
+    * SAME key — one partitioning, and AQE broadcasts the count side
+    * when it is small), instead of a `count(*) OVER (PARTITION BY …)`
+    * window that would add a per-partition sort for a sort-free
+    * semantics.
+    */
+  def qDuplicated(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+    val cnts = li.groupBy("l_partkey", "l_suppkey").agg(count(lit(1)).as("kc"))
+    li.join(cnts, Seq("l_partkey", "l_suppkey"))
+      .select(col("l_partkey"), col("l_suppkey"), (col("kc") > 1L).as("is_dup"))
+      .orderBy("l_partkey", "l_suppkey")
+  }
+
+  /** `groupby(source).nunique()` — distinct-count per group for two
+    * columns plus the group size. Two `count(distinct …)` in one agg
+    * plan one Expand (3× the rows, map-side partial-deduped); the
+    * documented at-scale alternative when exactness can be traded is
+    * `approx_count_distinct` (HLL, no Expand).
+    */
+  def qNunique(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("n_chars")).as("n_lengths"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
+  /** `idxmax`/`idxmin` per language — the row LABEL at the extremum,
+    * ties to the smallest doc_id (pandas takes the first label in row
+    * order; with doc_id as the order that is the min id). One hash
+    * aggregate of lexicographic struct min/max — map-side partials,
+    * no per-group sort, no join back.
+    */
+  def qIdxmax(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(
+        max(struct(col("n_chars").as("v"), (-col("doc_id")).as("nid"))).as("mx"),
+        min(struct(col("n_chars").as("v"), col("doc_id").as("id"))).as("mn"))
+      .select(
+        col("lang"),
+        col("mx.v").as("max_chars"), (-col("mx.nid")).as("idxmax"),
+        col("mn.v").as("min_chars"), col("mn.id").as("idxmin"))
+      .orderBy("lang")
+
+  /** `pd.cut` — fixed-width binning of c_acctbal into 8 buckets over
+    * [-1000, 10000): the bin id is pure row-local arithmetic (codegen'd
+    * floor/clamp in the scan projection), then one hash aggregate for
+    * the per-bin profile.
+    */
+  def qCutBins(s: SparkSession, dir: String): DataFrame = {
+    val bin = least(lit(7), greatest(lit(0),
+      floor((col("c_acctbal") + 1000.0) / 1375.0))).cast("int")
+    Tables.customer(s, dir)
+      .select(bin.as("bin"), col("c_acctbal"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        Q.dsum(col("c_acctbal")).as("bal_sum"),
+        min("c_acctbal").as("bal_min"),
+        max("c_acctbal").as("bal_max"))
+      .orderBy("bin")
+  }
+
+  /** `pd.qcut(p_size, 4)` — quantile binning via the value histogram:
+    * one hash aggregate to (value, count), a cumulative window over the
+    * ≤50-row histogram (bounded by the p_size domain, not the table),
+    * and the bucket of a value = `(rows strictly below · 4) div n`
+    * clamped to 3 — all integer arithmetic, so every engine buckets the
+    * identical way and equal values always share a bucket (the qcut
+    * contract). Per-bucket profile aggregated straight off the
+    * histogram — the parts table is scanned exactly once.
+    */
+  def qQcutBins(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.part(s, dir)
+      .groupBy(col("p_size").as("v")).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(Window.orderBy("v")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+      .withColumn("bucket",
+        least(lit(3L), expr("(cum - cnt) * 4 div n")).cast("int"))
+    cum.groupBy("bucket")
+      .agg(
+        sum("cnt").as("n_parts"),
+        min("v").as("size_min"),
+        max("v").as("size_max"))
+      .orderBy("bucket")
+  }
+
+  /** `pd.get_dummies(n_regionkey)` — one-hot indicator columns over the
+    * 5-region domain: five codegen'd CASE projections, map-only, output
+    * row-per-nation.
+    */
+  def qGetDummies(s: SparkSession, dir: String): DataFrame = {
+    val dummies = (0 to 4).map(r =>
+      when(col("n_regionkey") === r, 1).otherwise(0).cast("int").as(s"reg_$r"))
+    Tables.nation(s, dir)
+      .select(col("n_nationkey") +: col("n_name") +: dummies: _*)
+      .orderBy("n_nationkey")
+  }
+
+  /** `pd.crosstab(source, lang, margins=True)` — contingency counts as
+    * ONE pivot hash aggregate over the fixed lang domain plus a row
+    * total; never a per-cell query loop.
+    */
+  def qCrosstab(s: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val piv = Tables.documents(s, dir)
+      .groupBy("source").pivot("lang", langs).agg(count(lit(1)))
+    val filled = langs.foldLeft(piv)((df, l) =>
+      df.withColumn(l, coalesce(col(l), lit(0L))))
+    filled
+      .withColumn("total", langs.map(col).reduce(_ + _))
+      .orderBy("source")
+  }
+
+  /** `pct_change` of event value per user in time order — `lag` over
+    * the user-keyed window (one keyed exchange; every user's history is
+    * short relative to the corpus). Division guarded by `nullif` so a
+    * zero previous value yields NULL on every engine rather than an
+    * engine-specific infinity.
+    */
+  def qPctChange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("value"))
+      .withColumn("prev", lag("value", 1).over(w))
+      .select(
+        col("user_id"), col("event_id"), col("value"),
+        ((col("value") - col("prev")) / nullif(col("prev"), lit(0.0))).as("pct"))
+      .orderBy("event_id")
+  }
+
+  /** `pd.concat([customers, suppliers], axis=0, join='outer')` —
+    * row-wise outer concatenation of frames with different column sets:
+    * `unionByName(allowMissingColumns)` null-pads each side, plans as
+    * one Union of two scans (map-only, no shuffle before the final
+    * order).
+    */
+  def qConcatOuter(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(
+      lit("cust").as("origin"), col("c_custkey").as("rid"),
+      col("c_acctbal").as("bal"), col("c_mktsegment").as("segment"))
+    val supp = Tables.supplier(s, dir).select(
+      lit("supp").as("origin"), col("s_suppkey").as("rid"),
+      col("s_acctbal").as("bal"), col("s_nationkey").cast("int").as("nationkey"))
+    cust.unionByName(supp, allowMissingColumns = true)
+      .orderBy("origin", "rid")
+  }
+
+  /** `rank(method='dense')` + `rank(pct=True)` per market segment —
+    * both windows share ONE segment-keyed exchange and sort; ranks
+    * depend only on the value so ties are engine-independent, and
+    * `percent_rank`'s `(rank−1)/(n−1)` is the same double arithmetic
+    * everywhere.
+    */
+  def qRankPct(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("drank", dense_rank().over(w))
+      .withColumn("prank", percent_rank().over(w))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_value_counts" -> (qValueCounts(_, _)),
+    "q_describe" -> (qDescribe(_, _)),
+    "q_nlargest" -> (qNlargest(_, _)),
+    "q_cum_ops" -> (qCumOps(_, _)),
+    "q_clip" -> (qClip(_, _)),
+    "q_duplicated" -> (qDuplicated(_, _)),
+    "q_nunique" -> (qNunique(_, _)),
+    "q_idxmax" -> (qIdxmax(_, _)),
+    "q_cut_bins" -> (qCutBins(_, _)),
+    "q_qcut_bins" -> (qQcutBins(_, _)),
+    "q_get_dummies" -> (qGetDummies(_, _)),
+    "q_crosstab" -> (qCrosstab(_, _)),
+    "q_pct_change" -> (qPctChange(_, _)),
+    "q_concat_outer" -> (qConcatOuter(_, _)),
+    "q_rank_pct" -> (qRankPct(_, _)))
+
+  private def sqlDescLeg(c: String, p: String): String =
+    s"""${p}a AS (SELECT CAST(count($c) AS DOUBLE) AS ${p}_count,
+       |  ${Q.sqlDavg(c)} AS ${p}_mean, ${Q.sqlDstd(c)} AS ${p}_std,
+       |  min($c) AS ${p}_min, max($c) AS ${p}_max FROM lineitem),
+       |${p}h AS (SELECT $c AS v, count(*) AS cnt FROM lineitem GROUP BY 1),
+       |${p}c AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+       |  CAST(sum(cnt) OVER () AS BIGINT) AS n FROM ${p}h),
+       |${p}p AS (SELECT
+       |  min(CASE WHEN cum * 100 >= n * 25 THEN v END) AS ${p}_p25,
+       |  min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS ${p}_p50,
+       |  min(CASE WHEN cum * 100 >= n * 75 THEN v END) AS ${p}_p75 FROM ${p}c)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_value_counts" ->
+      """SELECT lang, count(*) AS cnt FROM documents
+        |GROUP BY lang ORDER BY cnt DESC, lang ASC""".stripMargin,
+    "q_describe" ->
+      s"""WITH ${sqlDescLeg("l_quantity", "q")},
+         |${sqlDescLeg("l_discount", "d")},
+         |one AS (SELECT * FROM qa, qp, da, dp)
+         |SELECT * FROM (
+         |  SELECT 0 AS ord, 'count' AS stat, q_count AS quantity, d_count AS discount FROM one
+         |  UNION ALL SELECT 1, 'mean', q_mean, d_mean FROM one
+         |  UNION ALL SELECT 2, 'std', q_std, d_std FROM one
+         |  UNION ALL SELECT 3, 'min', q_min, d_min FROM one
+         |  UNION ALL SELECT 4, '25%', q_p25, d_p25 FROM one
+         |  UNION ALL SELECT 5, '50%', q_p50, d_p50 FROM one
+         |  UNION ALL SELECT 6, '75%', q_p75, d_p75 FROM one
+         |  UNION ALL SELECT 7, 'max', q_max, d_max FROM one
+         |) ORDER BY ord""".stripMargin,
+    "q_nlargest" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15""".stripMargin,
+    "q_cum_ops" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) OVER w AS DOUBLE) AS run_sum,
+        |  max(o_totalprice) OVER w AS run_max,
+        |  min(o_totalprice) OVER w AS run_min
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_clip" ->
+      s"""SELECT l_returnflag,
+         |  ${Q.sqlDsum("GREATEST(LEAST(l_extendedprice, 50000.0), 5000.0)")} AS sum_clipped,
+         |  CAST(sum(CASE WHEN l_extendedprice < 5000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+         |  CAST(sum(CASE WHEN l_extendedprice > 50000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_duplicated" ->
+      """SELECT l_partkey, l_suppkey,
+        |  count(*) OVER (PARTITION BY l_partkey, l_suppkey) > 1 AS is_dup
+        |FROM lineitem ORDER BY l_partkey, l_suppkey""".stripMargin,
+    "q_nunique" ->
+      """SELECT source, count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT n_chars) AS n_lengths, count(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_idxmax" ->
+      """WITH mx AS (SELECT lang, n_chars AS max_chars, doc_id AS idxmax FROM (
+        |    SELECT lang, n_chars, doc_id, row_number() OVER (
+        |      PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |mn AS (SELECT lang, n_chars AS min_chars, doc_id AS idxmin FROM (
+        |    SELECT lang, n_chars, doc_id, row_number() OVER (
+        |      PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS rn
+        |    FROM documents) WHERE rn = 1)
+        |SELECT mx.lang, max_chars, idxmax, min_chars, idxmin
+        |FROM mx JOIN mn ON mx.lang = mn.lang ORDER BY mx.lang""".stripMargin,
+    "q_cut_bins" ->
+      s"""SELECT CAST(LEAST(7, GREATEST(0,
+         |    FLOOR((c_acctbal + 1000.0) / 1375.0))) AS INTEGER) AS bin,
+         |  count(*) AS n_cust,
+         |  ${Q.sqlDsum("c_acctbal")} AS bal_sum,
+         |  min(c_acctbal) AS bal_min, max(c_acctbal) AS bal_max
+         |FROM customer GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_qcut_bins" ->
+      """WITH h AS (SELECT p_size AS v, count(*) AS cnt FROM part GROUP BY 1),
+        |c AS (SELECT v, cnt,
+        |    CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS n FROM h),
+        |b AS (SELECT v, cnt,
+        |    CAST(LEAST(3, (cum - cnt) * 4 // n) AS INTEGER) AS bucket FROM c)
+        |SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n_parts,
+        |  min(v) AS size_min, max(v) AS size_max
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_get_dummies" -> {
+      val cases = (0 to 4).map(r =>
+        s"CAST(CASE WHEN n_regionkey = $r THEN 1 ELSE 0 END AS INTEGER) AS reg_$r")
+        .mkString(",\n  ")
+      s"""SELECT n_nationkey, n_name,
+         |  $cases
+         |FROM nation ORDER BY n_nationkey""".stripMargin
+    },
+    "q_crosstab" -> {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val cells = langs.map(l =>
+        s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS $l")
+        .mkString(",\n  ")
+      s"""SELECT source,
+         |  $cells,
+         |  count(*) AS total
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+    "q_pct_change" ->
+      """SELECT user_id, event_id, value,
+        |  (value - prev) / nullif(prev, 0.0) AS pct
+        |FROM (SELECT user_id, event_id, value,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "q_concat_outer" ->
+      """SELECT 'cust' AS origin, c_custkey AS rid, c_acctbal AS bal,
+        |  c_mktsegment AS segment, CAST(NULL AS INTEGER) AS nationkey
+        |FROM customer
+        |UNION ALL
+        |SELECT 'supp', s_suppkey, s_acctbal, NULL, CAST(s_nationkey AS INTEGER)
+        |FROM supplier
+        |ORDER BY origin, rid""".stripMargin,
+    "q_rank_pct" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drank,
+        |  percent_rank() OVER w AS prank
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin)
+}
