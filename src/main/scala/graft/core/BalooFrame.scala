@@ -251,6 +251,72 @@ final class BalooFrame(val df: DataFrame, val indexCols: Seq[String]) {
   def setIndex(cols: String*): BalooFrame = new BalooFrame(df, cols)
   def resetIndex(): BalooFrame = new BalooFrame(df, Nil)
 
+  // ---- pandas-API breadth beyond the reference (SURVEY §2.9 ext) ----
+
+  /** `describe()` — count/mean/std/min/25%/50%/75%/max per numeric
+    * column, ONE aggregation pass + stack (the [[agg]] matrix shape).
+    * Quartiles use Spark's exact `percentile` here; at 100 TB swap for
+    * `approx_percentile` or, for bounded domains, the exact
+    * histogram-CDF selection (`queries/PandasExt.qDescribe`).
+    */
+  def describe(): DataFrame = {
+    require(numericDataCols.nonEmpty, "no numeric data columns to describe")
+    val stats = Seq("count", "mean", "std", "min", "25%", "50%", "75%", "max")
+    val exprs = for (a <- stats; c <- numericDataCols) yield (a match {
+      case "count" => count(col(c))
+      case "mean" => avg(col(c))
+      case "std" => stddev_samp(col(c))
+      case "min" => min(col(c))
+      case "25%" => expr(s"percentile(`$c`, 0.25)")
+      case "50%" => expr(s"percentile(`$c`, 0.5)")
+      case "75%" => expr(s"percentile(`$c`, 0.75)")
+      case "max" => max(col(c))
+    }).cast("double").as(s"${a}__$c")
+    val one = df.agg(exprs.head, exprs.tail: _*)
+    val stackArgs = stats.map(a =>
+      (s"'$a'" +: numericDataCols.map(c => s"`${a}__$c`")).mkString(", ")).mkString(", ")
+    one.selectExpr(
+      s"stack(${stats.size}, $stackArgs) AS (stat, ${numericDataCols.map(c => s"`$c`").mkString(", ")})")
+  }
+
+  /** `nlargest`/`nsmallest` — TakeOrderedAndProject top-k, index as the
+    * deterministic tie-break; never a global sort.
+    */
+  def nlargest(n: Int, by: String): BalooFrame =
+    new BalooFrame(
+      df.orderBy(col(by).desc +: keep(indexCols).map(_.asc): _*).limit(n), indexCols)
+  def nsmallest(n: Int, by: String): BalooFrame =
+    new BalooFrame(
+      df.orderBy(col(by).asc +: keep(indexCols).map(_.asc): _*).limit(n), indexCols)
+
+  /** `clip(lo, hi)` over every numeric column — map-only saturation. */
+  def clip(lo: Double, hi: Double): BalooFrame =
+    mapNumeric(c => greatest(least(c, lit(hi)), lit(lo)))
+
+  /** `nunique()` — one exact-distinct aggregate row over the data
+    * columns.
+    */
+  def nunique(): DataFrame = {
+    require(dataCols.nonEmpty, "no data columns")
+    val exprs = dataCols.map(c => countDistinct(col(c)).as(c))
+    df.agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** `duplicated(subset, keep=False)` — bool Series flagging every row
+    * whose subset-key multiplicity exceeds 1. Key-count hash aggregate
+    * joined back on the key (one shared partitioning, AQE broadcasts
+    * the count side when small) — sort-free, unlike the window
+    * spelling.
+    */
+  def duplicated(subset: Seq[String]): BalooSeries = {
+    require(indexCols.nonEmpty, "duplicated requires an index")
+    val cnts = df.groupBy(subset.map(col): _*).agg(count(lit(1)).as("__kc"))
+    new BalooSeries(
+      df.select(keep(indexCols ++ subset): _*).join(cnts, subset)
+        .select(keep(indexCols) :+ (col("__kc") > 1L).as("duplicated"): _*),
+      indexCols, "duplicated")
+  }
+
   /** Data column names (`frame.py:183`) — index excluded, like the
     * reference's `columns`.
     */

@@ -159,6 +159,87 @@ final class BalooSeries(val df: DataFrame, val indexCols: Seq[String], val name:
 
   def str: BalooStr = new BalooStr(this)
 
+  // ---- pandas-API breadth beyond the reference (SURVEY §2.9 ext) ----
+
+  /** `value_counts()` — counts descending, value ascending on ties.
+    * One hash aggregate; output is domain-sized.
+    */
+  def valueCounts(): DataFrame =
+    df.groupBy(name)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col(name).asc)
+
+  /** `clip(lo, hi)` — two codegen'd saturations in the projection. */
+  def clip(lo: Double, hi: Double): BalooSeries =
+    rebuild(greatest(least(col_, lit(hi)), lit(lo)))
+
+  /** `nunique()` — exact distinct count (one aggregate; swap in
+    * `approx_count_distinct` at scales where HLL error is acceptable).
+    */
+  def nunique(): Long =
+    df.agg(countDistinct(col_).as("n")).head().getLong(0)
+
+  /** `cumsum`/`cummax`/`cummin` under the index order — GLOBAL running
+    * aggregates via the distributed two-phase scan
+    * ([[graft.operators.Scan]]), never a single-partition window. For
+    * exact float cumsums, `astype("decimal(28,4)")` first (Q.scala
+    * playbook); the scan itself is type-preserving.
+    */
+  def cumsum(): BalooSeries = cum("sum")
+  def cummax(): BalooSeries = cum("max")
+  def cummin(): BalooSeries = cum("min")
+  private def cum(how: String): BalooSeries = {
+    require(indexCols.nonEmpty, s"cum$how requires an index order")
+    val out = graft.operators.Scan.runningAgg(
+      df, indexCols.map(col), col_, how, "__cum")
+    new BalooSeries(
+      out.select(indexCols.map(col) :+ col("__cum").as(name): _*),
+      indexCols, name)
+  }
+
+  /** `shift(n)` — value from n positions earlier under the index order
+    * (negative n looks forward), NULL where no such position. Spelled
+    * as ordinal + equi self-join on `ord − n`: both sides shuffle on
+    * the ordinal (an equi hash join any cluster handles), instead of a
+    * global-order window.
+    */
+  def shift(n: Long = 1L): BalooSeries = {
+    require(indexCols.nonEmpty, "shift requires an index order")
+    val ord = graft.operators.Ordinal.withOrdinal(df, indexCols.map(col), "__ord")
+    val donor = ord.select((col("__ord") + n).as("__ord"), col(name).as("__shifted"))
+    new BalooSeries(
+      ord.join(donor, Seq("__ord"), "left")
+        .select(indexCols.map(col) :+ col("__shifted").as(name): _*),
+      indexCols, name)
+  }
+
+  /** `diff(n)` = x − shift(n) — one plan, the join from [[shift]] plus
+    * a subtraction; NULL for the first n positions like pandas.
+    */
+  def diff(n: Long = 1L): BalooSeries = {
+    require(indexCols.nonEmpty, "diff requires an index order")
+    val ord = graft.operators.Ordinal.withOrdinal(df, indexCols.map(col), "__ord")
+    val donor = ord.select((col("__ord") + n).as("__ord"), col(name).as("__prev"))
+    new BalooSeries(
+      ord.join(donor, Seq("__ord"), "left")
+        .select(indexCols.map(col) :+ (col(name) - col("__prev")).as(name): _*),
+      indexCols, name)
+  }
+
+  /** `pct_change()` — relative step under the index order; zero or
+    * missing previous value yields NULL (nullif guard, engine-neutral).
+    */
+  def pctChange(n: Long = 1L): BalooSeries = {
+    require(indexCols.nonEmpty, "pct_change requires an index order")
+    val ord = graft.operators.Ordinal.withOrdinal(df, indexCols.map(col), "__ord")
+    val donor = ord.select((col("__ord") + n).as("__ord"), col(name).as("__prev"))
+    new BalooSeries(
+      ord.join(donor, Seq("__ord"), "left")
+        .select(indexCols.map(col) :+
+          ((col(name) - col("__prev")) / nullif(col("__prev"), lit(0.0))).as(name): _*),
+      indexCols, name)
+  }
+
   def toDF: DataFrame = df
 }
 

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global prefix aggregates (running sum/max/min under a
+  * total order) — the engine behind pandas `cumsum`/`cummax`/`cummin`
+  * when the order spans the whole frame, not a group.
+  *
+  * The naive spelling, `sum(v).over(Window.orderBy(order))`, collapses
+  * the dataset into ONE partition — the same non-starter
+  * [[Ordinal.withOrdinal]] documents for row numbers. The classic
+  * two-phase scan fixes it the same way:
+  *
+  *   1. `repartitionByRange(order)` — partition i strictly precedes
+  *      partition i+1 in the total order (deterministic, seeded bounds);
+  *   2. ONE tiny per-partition aggregate (≤ #partitions rows) →
+  *      exclusive running offsets over the partition ids, broadcast back;
+  *   3. row result = offset(partition) ⊕ within-partition running
+  *      aggregate (a keyed window over `__pid` — never SinglePartition).
+  *
+  * Cost: one range exchange + one #partitions-row broadcast + one
+  * partition-local sort that the range layout already did. Every step
+  * is a DataFrame op — codegen survives, 1000 executors each scan their
+  * own slice.
+  *
+  * Determinism: `order` must be a total order. For floating sums,
+  * callers pass a decimal-cast value column (the Q.scala playbook) so
+  * offset+local addition is exact and layout-independent.
+  */
+object Scan {
+
+  /** One running aggregate per (value, how, name) triple, all computed
+    * over a SINGLE range layout and one offsets broadcast. `how` ∈
+    * {sum, max, min}.
+    */
+  def runningAggs(df: DataFrame, order: Seq[Column],
+      specs: Seq[(Column, String, String)]): DataFrame = {
+    require(specs.nonEmpty)
+    def aggF(how: String): Column => Column = how match {
+      case "sum" => sum(_)
+      case "max" => max(_)
+      case "min" => min(_)
+      case other => throw new IllegalArgumentException(s"unknown scan agg: $other")
+    }
+    // offset(first partition) is NULL (empty exclusive prefix): sum
+    // treats it as 0; max/min fall through to the local value alone
+    // (greatest/least skip NULL inputs).
+    def combine(how: String): (Column, Column) => Column = how match {
+      case "sum" => (off, loc) => coalesce(off, lit(0)) + loc
+      case "max" => (off, loc) => greatest(off, loc)
+      case "min" => (off, loc) => least(off, loc)
+    }
+    val vals = specs.zipWithIndex.map { case ((v, _, _), i) => v.as(s"__v$i") }
+    val ranged = df.select(col("*") +: vals: _*)
+      .repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val pagg = specs.zipWithIndex.map { case ((_, how, _), i) =>
+      aggF(how)(col(s"__v$i")).as(s"__pagg$i") }
+    val offs = specs.zipWithIndex.map { case ((_, how, _), i) =>
+      aggF(how)(col(s"__pagg$i")).over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1))
+        .as(s"__off$i") }
+    // ≤ #partitions rows: the Window.orderBy here is over the partition
+    // ids, bounded by cluster parallelism — the same documented shape as
+    // Ordinal's offsets frame.
+    val offsets = ranged.groupBy(col("__pid")).agg(pagg.head, pagg.tail: _*)
+      .select(col("__pid") +: offs: _*)
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = specs.zipWithIndex.foldLeft(
+      ranged.join(broadcast(offsets), "__pid")) {
+      case (d, ((_, how, name), i)) =>
+        d.withColumn(name,
+          combine(how)(col(s"__off$i"), aggF(how)(col(s"__v$i")).over(w)))
+    }
+    out.drop("__pid" +:
+      specs.indices.flatMap(i => Seq(s"__v$i", s"__off$i")): _*)
+  }
+
+  /** Single running aggregate — see [[runningAggs]]. */
+  def runningAgg(df: DataFrame, order: Seq[Column], value: Column,
+      how: String, name: String): DataFrame =
+    runningAggs(df, order, Seq((value, how, name)))
+}

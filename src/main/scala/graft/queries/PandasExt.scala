@@ -294,7 +294,52 @@ object PandasExt extends QueryModule {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  /** GLOBAL cumulative sum/max/min over the whole orders table in
+    * order-key order — the case pandas `cumsum` actually means, and the
+    * one Spark's window cannot do without collapsing to a single
+    * partition. Runs the distributed two-phase scan
+    * ([[graft.operators.Scan]]): range layout → #partitions-row offsets
+    * broadcast → partition-local windows. The running sum is carried in
+    * exact decimal (layout-independent, bit-identical to the oracle's
+    * sequential accumulation).
+    */
+  def qCumsumGlobal(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scan.runningAggs(
+      Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+      Seq(col("o_orderkey")),
+      Seq(
+        (col("o_totalprice").cast("decimal(28,4)"), "sum", "run_sum_dec"),
+        (col("o_totalprice"), "max", "run_max"),
+        (col("o_totalprice"), "min", "run_min")))
+      .withColumn("run_sum", col("run_sum_dec").cast("double"))
+      .drop("run_sum_dec")
+      .orderBy("o_orderkey")
+
+  /** `shift`/`diff`/`pct_change` through the Series API — positional
+    * lag under the GLOBAL index order, spelled as ordinal + equi
+    * self-join on `ord − 1` (hash join on the ordinal; no global-order
+    * window). The three series share the index and re-join on it.
+    */
+  def qShiftDiff(s: SparkSession, dir: String): DataFrame = {
+    def series() = new graft.core.BalooSeries(
+      Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+      Seq("o_orderkey"), "o_totalprice")
+    val shifted = series().shift(1).toDF
+      .withColumnRenamed("o_totalprice", "shifted")
+    val diffed = series().diff(1).toDF
+      .withColumnRenamed("o_totalprice", "diffed")
+    val pct = series().pctChange(1).toDF
+      .withColumnRenamed("o_totalprice", "pct")
+    Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      .join(shifted, "o_orderkey")
+      .join(diffed, "o_orderkey")
+      .join(pct, "o_orderkey")
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cumsum_global" -> (qCumsumGlobal(_, _)),
+    "q_shift_diff" -> (qShiftDiff(_, _)),
     "q_value_counts" -> (qValueCounts(_, _)),
     "q_describe" -> (qDescribe(_, _)),
     "q_nlargest" -> (qNlargest(_, _)),
@@ -324,6 +369,23 @@ object PandasExt extends QueryModule {
        |  min(CASE WHEN cum * 100 >= n * 75 THEN v END) AS ${p}_p75 FROM ${p}c)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_cumsum_global" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  max(o_totalprice) OVER w AS run_max,
+        |  min(o_totalprice) OVER w AS run_min,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) OVER w AS DOUBLE) AS run_sum
+        |FROM orders
+        |WINDOW w AS (ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_shift_diff" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  lag(o_totalprice) OVER w AS shifted,
+        |  o_totalprice - lag(o_totalprice) OVER w AS diffed,
+        |  (o_totalprice - lag(o_totalprice) OVER w)
+        |    / nullif(lag(o_totalprice) OVER w, 0.0) AS pct
+        |FROM orders WINDOW w AS (ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_value_counts" ->
       """SELECT lang, count(*) AS cnt FROM documents
         |GROUP BY lang ORDER BY cnt DESC, lang ASC""".stripMargin,

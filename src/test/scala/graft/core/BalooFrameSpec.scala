@@ -156,4 +156,34 @@ class BalooFrameSpec extends SparkSpec {
     assertFrame(r.select("pos", "idx"), Seq(
       Seq(0L, 2L), Seq(1L, 3L), Seq(2L, 4L), Seq(3L, 5L), Seq(4L, 6L)))
   }
+
+  test("pandas-ext: describe matrix — stats × numeric columns") {
+    val d = df1.describe().collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(d("count") == ((5.0, 5.0)))
+    assert(d("mean") == ((2.0, 3.0)))
+    assert(d("min") == ((0.0, 1.0)) && d("max") == ((4.0, 5.0)))
+    assert(d("50%") == ((2.0, 3.0)))
+    assert(math.abs(d("std")._1 - math.sqrt(2.5)) < 1e-12)
+  }
+
+  test("pandas-ext: nlargest/nsmallest/clip/nunique/duplicated") {
+    val top = df1.nlargest(2, "a").toDF.orderBy("idx")
+      .collect().map(_.getLong(1)).toSeq
+    assert(top == Seq(3L, 4L))
+    assert(df1.nsmallest(2, "a").toDF.orderBy("idx")
+      .collect().map(_.getLong(1)).toSeq == Seq(0L, 1L))
+    // float bounds upcast the i64 column, like pandas clip with floats
+    val clipped = df1.clip(1.0, 3.0).toDF.orderBy("idx")
+      .collect().map(_.getDouble(1)).toSeq
+    assert(clipped == Seq(1.0, 1.0, 2.0, 3.0, 3.0))
+    val nu = df1.nunique().collect().head
+    assert(nu.getLong(0) == 5L && nu.getLong(1) == 5L)
+    val dup = new BalooFrame(
+      Seq((0L, 1L, 1.0), (1L, 1L, 2.0), (2L, 2L, 3.0))
+        .toDF("idx", "k", "v"), Seq("idx"))
+      .duplicated(Seq("k"))
+    assert(dup.df.orderBy("idx").collect().map(_.getBoolean(1)).toSeq
+      == Seq(true, true, false))
+  }
 }

@@ -143,4 +143,36 @@ class BalooSeriesSpec extends SparkSpec {
     assert(vals(s.tail(2)) == Seq(80.0, 90.0))
     assert(vals(s.iloc(7L)) == Seq(70.0))
   }
+
+  test("pandas-ext: value_counts / clip / nunique") {
+    val s = new BalooSeries(
+      Seq((0L, 2L), (1L, 1L), (2L, 2L), (3L, 3L), (4L, 2L), (5L, 1L))
+        .toDF("idx", "v"), Seq("idx"), "v")
+    val vc = s.valueCounts().collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(vc.toSeq == Seq((2L, 3L), (1L, 2L), (3L, 1L)))
+    assert(vals(sI64.clip(2.0, 4.0)) == Seq(2.0, 2.0, 3.0, 4.0, 4.0))
+    assert(s.nunique() == 3L)
+  }
+
+  test("pandas-ext: cumsum/cummax/cummin under the index order") {
+    val s = new BalooSeries(
+      Seq((0L, 3.0), (1L, 1.0), (2L, 4.0), (3L, 1.0), (4L, 5.0))
+        .toDF("idx", "v"), Seq("idx"), "v")
+    assert(vals(s.cumsum()) == Seq(3.0, 4.0, 8.0, 9.0, 14.0))
+    assert(vals(s.cummax()) == Seq(3.0, 3.0, 4.0, 4.0, 5.0))
+    assert(vals(s.cummin()) == Seq(3.0, 1.0, 1.0, 1.0, 1.0))
+  }
+
+  test("pandas-ext: shift/diff/pct_change, null at the frontier") {
+    val s = new BalooSeries(
+      Seq((0L, 2.0), (1L, 4.0), (2L, 8.0)).toDF("idx", "v"), Seq("idx"), "v")
+    assert(vals(s.shift(1)) == Seq(null, 2.0, 4.0))
+    assert(vals(s.shift(-1)) == Seq(4.0, 8.0, null))
+    assert(vals(s.diff(1)) == Seq(null, 2.0, 4.0))
+    assert(vals(s.pctChange(1)) == Seq(null, 1.0, 1.0))
+    // zero previous value → NULL, not an engine-specific infinity
+    val z = new BalooSeries(
+      Seq((0L, 0.0), (1L, 5.0)).toDF("idx", "v"), Seq("idx"), "v")
+    assert(vals(z.pctChange(1)) == Seq(null, null))
+  }
 }
