@@ -240,7 +240,66 @@ final class BalooSeries(val df: DataFrame, val indexCols: Seq[String], val name:
       indexCols, name)
   }
 
+  /** `rolling(n)` — fixed-width trailing windows under the GLOBAL index
+    * order, pandas `min_periods = n` semantics (NULL until the window
+    * fills). See [[BalooRolling]] for the two scale-correct spellings.
+    */
+  def rolling(n: Int): BalooRolling = new BalooRolling(this, n)
+
   def toDF: DataFrame = df
+}
+
+/** Rolling aggregates over a global order — the op Spark's window can
+  * only express by collapsing to one partition. Two distributed
+  * spellings instead:
+  *
+  *   - sum/mean: PREFIX DIFFERENCE — rolling_sum(i) = P(i) − P(i−n)
+  *     where P is the inclusive running sum from the two-phase scan
+  *     ([[graft.operators.Scan]]); the lagged prefix arrives by an equi
+  *     self-join on the running row count. Exact (decimal-carried), two
+  *     exchanges total, independent of n.
+  *   - min/max: prefix difference doesn't invert, so each row DONATES
+  *     its value to the n positions it covers (a bounded
+  *     `explode(sequence)` — n-fold replication, the documented cost)
+  *     and a hash aggregate per position takes the extremum.
+  */
+final class BalooRolling(s: BalooSeries, n: Int) {
+  require(n >= 1, "window must be at least 1")
+  private def idx = s.indexCols.map(col)
+
+  private def sumFrame: DataFrame = {
+    val base = graft.operators.Scan.runningAggs(s.df, idx, Seq(
+      (s.col_.cast("decimal(28,4)"), "sum", "__psum"),
+      (lit(1L), "sum", "__rn")))
+    val donor = base.select((col("__rn") + n).as("__rn"),
+      col("__psum").as("__plag"))
+    base.join(donor, Seq("__rn"), "left")
+      .withColumn("__rsum", when(col("__rn") >= n,
+        col("__psum") - coalesce(col("__plag"), lit(0))))
+  }
+  def sum(): BalooSeries = new BalooSeries(
+    sumFrame.select(idx :+ col("__rsum").cast("double").as(s.name): _*),
+    s.indexCols, s.name)
+  def mean(): BalooSeries = new BalooSeries(
+    sumFrame.select(idx :+
+      (col("__rsum").cast("double") / lit(n)).as(s.name): _*),
+    s.indexCols, s.name)
+
+  private def extremeFrame(f: Column => Column): DataFrame = {
+    val ord = graft.operators.Ordinal.withOrdinal(s.df, idx, "__ord")
+    val donors = ord.select(
+      explode(expr(s"sequence(__ord, __ord + ${n - 1}L)")).as("__ord"),
+      s.col_.as("__dv"))
+    val ext = donors.groupBy("__ord").agg(f(col("__dv")).as("__ext"))
+    ord.join(ext, Seq("__ord"))
+      .withColumn("__r", when(col("__ord") >= (n - 1).toLong, col("__ext")))
+  }
+  def min(): BalooSeries = new BalooSeries(
+    extremeFrame(org.apache.spark.sql.functions.min)
+      .select(idx :+ col("__r").as(s.name): _*), s.indexCols, s.name)
+  def max(): BalooSeries = new BalooSeries(
+    extremeFrame(org.apache.spark.sql.functions.max)
+      .select(idx :+ col("__r").as(s.name): _*), s.indexCols, s.name)
 }
 
 /** The `.str` accessor — the reference's 11 byte-string ops

@@ -337,7 +337,48 @@ object PandasExt extends QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** Rolling 7-row sum/mean/min/max over the GLOBAL order-key order —
+    * pandas `rolling(7)` (min_periods full), distributed: ONE two-phase
+    * scan yields the inclusive prefix sum AND the running position;
+    * rolling_sum = prefix difference (exact decimal, an equi self-join
+    * on position − no global window, cost independent of n); min/max by
+    * each row donating to the n positions it covers (bounded explode →
+    * hash agg extremum per position). All joins are on the position —
+    * hash-partitionable at any scale.
+    */
+  def qRollingGlobal(s: SparkSession, dir: String): DataFrame = {
+    val n = 7
+    val base = graft.operators.Scan.runningAggs(
+      Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+      Seq(col("o_orderkey")),
+      Seq(
+        (col("o_totalprice").cast("decimal(28,4)"), "sum", "__psum"),
+        (lit(1L), "sum", "__rn")))
+    val lagDonor = base.select((col("__rn") + n).as("__rn"),
+      col("__psum").as("__plag"))
+    val extDonor = base.select(
+      explode(expr(s"sequence(__rn, __rn + ${n - 1}L)")).as("__rn"),
+      col("o_totalprice").as("__dv"))
+    val ext = extDonor.groupBy("__rn")
+      .agg(min("__dv").as("__mn"), max("__dv").as("__mx"))
+    base
+      .join(lagDonor, Seq("__rn"), "left")
+      .join(ext, Seq("__rn"))
+      .select(
+        col("o_orderkey"), col("o_totalprice"),
+        when(col("__rn") >= n,
+          (col("__psum") - coalesce(col("__plag"), lit(0))).cast("double"))
+          .as("roll_sum"),
+        when(col("__rn") >= n,
+          (col("__psum") - coalesce(col("__plag"), lit(0))).cast("double") / lit(n))
+          .as("roll_mean"),
+        when(col("__rn") >= n, col("__mn")).as("roll_min"),
+        when(col("__rn") >= n, col("__mx")).as("roll_max"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_global" -> (qRollingGlobal(_, _)),
     "q_cumsum_global" -> (qCumsumGlobal(_, _)),
     "q_shift_diff" -> (qShiftDiff(_, _)),
     "q_value_counts" -> (qValueCounts(_, _)),
@@ -369,6 +410,20 @@ object PandasExt extends QueryModule {
        |  min(CASE WHEN cum * 100 >= n * 75 THEN v END) AS ${p}_p75 FROM ${p}c)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_rolling_global" ->
+      """WITH b AS (SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn,
+        |    sum(CAST(o_totalprice AS DECIMAL(28,4))) OVER w AS s,
+        |    min(o_totalprice) OVER w AS mn,
+        |    max(o_totalprice) OVER w AS mx
+        |  FROM orders
+        |  WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN rn >= 7 THEN CAST(s AS DOUBLE) END AS roll_sum,
+        |  CASE WHEN rn >= 7 THEN CAST(s AS DOUBLE) / 7 END AS roll_mean,
+        |  CASE WHEN rn >= 7 THEN mn END AS roll_min,
+        |  CASE WHEN rn >= 7 THEN mx END AS roll_max
+        |FROM b ORDER BY o_orderkey""".stripMargin,
     "q_cumsum_global" ->
       """SELECT o_orderkey, o_totalprice,
         |  max(o_totalprice) OVER w AS run_max,

@@ -175,4 +175,16 @@ class BalooSeriesSpec extends SparkSpec {
       Seq((0L, 0.0), (1L, 5.0)).toDF("idx", "v"), Seq("idx"), "v")
     assert(vals(z.pctChange(1)) == Seq(null, null))
   }
+
+  test("pandas-ext: rolling(3) sum/mean/min/max, null until the window fills") {
+    val s = new BalooSeries(
+      Seq((0L, 3.0), (1L, 1.0), (2L, 4.0), (3L, 1.0), (4L, 5.0))
+        .toDF("idx", "v").repartition(3), Seq("idx"), "v")
+    assert(vals(s.rolling(3).sum()) == Seq(null, null, 8.0, 6.0, 10.0))
+    assert(vals(s.rolling(3).mean()) == Seq(null, null, 8.0 / 3, 2.0, 10.0 / 3))
+    assert(vals(s.rolling(3).min()) == Seq(null, null, 1.0, 1.0, 1.0))
+    assert(vals(s.rolling(3).max()) == Seq(null, null, 4.0, 4.0, 5.0))
+    // n=1 degenerates to the identity
+    assert(vals(s.rolling(1).sum()) == Seq(3.0, 1.0, 4.0, 1.0, 5.0))
+  }
 }
