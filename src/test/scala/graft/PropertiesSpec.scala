@@ -244,15 +244,30 @@ class PropertiesSpec extends SparkSpec {
       "q17" -> (() => queries.TpchDeep.q17SmallQty(spark, sf).collect().toSeq),
       "dsir" -> (() => queries.CorpusQuality.qDsirSelect(spark, sf).collect().toSeq),
       "bpe_encode" -> (() => queries.CorpusQuality.qBpeEncode(spark, sf).collect().toSeq),
-      "skew_stats" -> (() => queries.Pipelines.qSkewStats(spark, sf).collect().toSeq))
+      "skew_stats" -> (() => queries.Pipelines.qSkewStats(spark, sf).collect().toSeq),
+      // pandas-ext: the histogram-CDF selections (describe/qcut), the
+      // two-phase prefix scan (range layout must not leak into values),
+      // the rolling prefix-difference, and the ordinal-join lag family
+      "describe" -> (() => queries.PandasExt.qDescribe(spark, sf).collect().toSeq),
+      "qcut" -> (() => queries.PandasExt.qQcutBins(spark, sf).collect().toSeq),
+      "cumsum_global" -> (() => queries.PandasExt.qCumsumGlobal(spark, sf).collect().toSeq),
+      "rolling_global" -> (() => queries.PandasExt.qRollingGlobal(spark, sf).collect().toSeq),
+      "shift_diff" -> (() => queries.PandasExt.qShiftDiff(spark, sf).collect().toSeq))
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val baseline = qs.map { case (n, f) => n -> f() }.toMap
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "7")
+      // drop the memoized corpus artifacts so they REBUILD under the new
+      // partitioning — otherwise cache-backed queries would be trivially
+      // invariant and the artifact build itself would go untested
+      graft.Caches.clear(spark)
       qs.foreach { case (n, f) =>
         assert(f() == baseline(n), s"$n differs at 7 shuffle partitions")
       }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+      graft.Caches.clear(spark)
+    }
   }
 
   test("span hashes ≡ brute-force distinct window hashes, incl. non-ASCII") {
