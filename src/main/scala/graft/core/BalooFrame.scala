@@ -317,6 +317,34 @@ final class BalooFrame(val df: DataFrame, val indexCols: Seq[String]) {
       indexCols, "duplicated")
   }
 
+  /** `pivot_table(index, columns, values, aggfunc)` — ONE pivot hash
+    * aggregate over an EXPLICIT column domain (domain discovery is a
+    * second corpus scan at 100 TB; callers that truly need it can pass
+    * the result of a deliberate `distinct().collect()`).
+    */
+  def pivotTable(index: String, columns: String, values: String,
+      domain: Seq[Any], aggFunc: String = "sum"): BalooFrame = {
+    val aggc = aggFunc match {
+      case "sum" => sum(col(values))
+      case "min" => min(col(values))
+      case "max" => max(col(values))
+      case "count" => count(col(values))
+      case "mean" => avg(col(values))
+      case other => throw new IllegalArgumentException(s"unknown aggfunc: $other")
+    }
+    new BalooFrame(
+      df.groupBy(col(index)).pivot(columns, domain).agg(aggc), Seq(index))
+  }
+
+  /** `melt(id_vars, value_vars)` — wide→long, ONE Expand over a single
+    * scan (never a UNION-ALL rescan per measure).
+    */
+  def melt(idVars: Seq[String], valueVars: Seq[String],
+      varName: String = "variable", valueName: String = "value"): BalooFrame =
+    new BalooFrame(
+      df.unpivot(idVars.map(col).toArray, valueVars.map(col).toArray,
+        varName, valueName), idVars)
+
   /** Data column names (`frame.py:183`) — index excluded, like the
     * reference's `columns`.
     */
@@ -372,4 +400,29 @@ final class BalooGroupBy(frame: BalooFrame, by: Seq[String]) {
   def size(): BalooFrame =
     new BalooFrame(
       frame.df.groupBy(by.map(col): _*).agg(count(lit(1)).as("size")), by)
+
+  /** pandas `groupby(k).agg({'a': 'sum', 'b': 'mean', …})` — a DIFFERENT
+    * aggregate per column, still ONE partial+final hash aggregate pass
+    * (Spark fuses the expression list; no per-column re-scan).
+    */
+  def agg(how: Map[String, String]): BalooFrame = {
+    require(how.nonEmpty, "empty aggregation map")
+    how.keys.foreach(c => require(frame.df.columns.contains(c), s"KeyError: $c"))
+    val aggs = how.toSeq.sortBy(_._1).map { case (c, a) =>
+      (a match {
+        case "sum" => org.apache.spark.sql.functions.sum(col(c))
+        case "prod" => graft.functions.GraftFunctions.prod(col(c))
+        case "min" => org.apache.spark.sql.functions.min(col(c))
+        case "max" => org.apache.spark.sql.functions.max(col(c))
+        case "count" => count(col(c))
+        case "mean" => avg(col(c))
+        case "var" => var_samp(col(c))
+        case "std" => stddev_samp(col(c))
+        case "nunique" => countDistinct(col(c))
+        case other => throw new IllegalArgumentException(s"unknown agg: $other")
+      }).as(c)
+    }
+    new BalooFrame(
+      frame.df.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*), by)
+  }
 }

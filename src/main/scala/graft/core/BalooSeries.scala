@@ -246,6 +246,77 @@ final class BalooSeries(val df: DataFrame, val indexCols: Seq[String], val name:
     */
   def rolling(n: Int): BalooRolling = new BalooRolling(this, n)
 
+  /** `where(mask, other)` — keep the value where the index-aligned bool
+    * mask holds, else `other` (NULL default, like pandas NaN);
+    * `mask(cond, other)` is the complement. Same aligned-zip plan as
+    * series arithmetic.
+    */
+  def where(cond: BalooSeries, other: Any = null): BalooSeries =
+    zip(cond, (v, c) => when(c, v).otherwise(lit(other)))
+  def mask(cond: BalooSeries, other: Any = null): BalooSeries =
+    zip(cond, (v, c) => when(!c, v).otherwise(lit(other)))
+
+  /** `isin(values)` / `between(lo, hi)` — membership and range masks,
+    * codegen'd in the projection (an IN list compiles to a hash set
+    * lookup; a LARGE membership set belongs in a broadcast semi-join —
+    * [[graft.queries.Fingerprints]]' decontamination pattern).
+    */
+  def isin(values: Seq[Any]): BalooSeries =
+    rebuild(col_.isin(values: _*))
+  def between(lo: Any, hi: Any): BalooSeries =
+    rebuild(col_ >= lit(lo) && col_ <= lit(hi))
+
+  /** `abs()` / `round(n)` — row-local, codegen'd. */
+  def abs(): BalooSeries = rebuild(org.apache.spark.sql.functions.abs(col_))
+  def round(scale: Int): BalooSeries =
+    rebuild(org.apache.spark.sql.functions.round(col_, scale))
+
+  /** `replace(mapping)` — value translation as a chained CASE (codegen'd
+    * for the literal-map case; a large mapping table becomes a broadcast
+    * left join instead).
+    */
+  def replace(mapping: Map[Any, Any]): BalooSeries =
+    rebuild(mapping.foldLeft(col_) { case (acc, (from, to)) =>
+      when(col_ === lit(from), lit(to)).otherwise(acc)
+    })
+
+  /** `mode()` — the most frequent value, smallest value on ties: one
+    * hash aggregate to (value, count), then a `max_by` with the
+    * deterministic tie-break. Never a global sort.
+    */
+  def mode(): DataFrame =
+    df.groupBy(col_.as("v"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+      .agg(max_by(col("v"), struct(col("cnt"), negate(col("v")))).as(name))
+
+  /** `rank(method='min')` / `rank(method='dense')` over the VALUES
+    * (pandas default ascending) — computed the way rank survives 100 TB:
+    * never a global row sort. One hash aggregate to the value histogram,
+    * the distributed prefix scan ([[graft.operators.Scan]]) over the
+    * histogram for min-rank (= rows strictly below + 1) or the
+    * distributed ordinal ([[graft.operators.Ordinal]]) for dense rank
+    * (= distinct values below + 1), then an equi-join back on the value.
+    */
+  def rank(method: String = "min"): BalooSeries = {
+    val hist = df.groupBy(col_.as("__v"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__cnt"))
+    val ranked = method match {
+      case "min" =>
+        graft.operators.Scan
+          .runningAgg(hist, Seq(col("__v")), col("__cnt"), "sum", "__incl")
+          .select(col("__v"), (col("__incl") - col("__cnt") + 1L).as("__rank"))
+      case "dense" =>
+        graft.operators.Ordinal.withOrdinal(hist, Seq(col("__v")), "__ord")
+          .select(col("__v"), (col("__ord") + 1L).as("__rank"))
+      case other =>
+        throw new IllegalArgumentException(s"unknown rank method: $other")
+    }
+    new BalooSeries(
+      df.join(ranked, col_ === col("__v"))
+        .select(indexCols.map(col) :+ col("__rank").as(name): _*),
+      indexCols, name)
+  }
+
   def toDF: DataFrame = df
 }
 

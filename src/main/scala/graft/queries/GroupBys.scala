@@ -152,7 +152,29 @@ object GroupBys extends QueryModule {
       .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** pandas `groupby(k).agg({'a': 'sum', 'b': 'nunique', …})` through
+    * the [[graft.core.BalooGroupBy.agg]] mixed-aggregate API — one
+    * fused hash-aggregate pass (the nunique leg adds its Expand). The
+    * summed column (l_quantity) is integer-valued, so the raw double
+    * sum is exact and order-independent; float-continuous sums belong
+    * in `Q.dsum` (see qGroupSum).
+    */
+  def qGroupAggMixed(s: SparkSession, dir: String): DataFrame =
+    new graft.core.BalooFrame(
+      Tables.lineitem(s, dir)
+        .select("l_returnflag", "l_quantity", "l_discount",
+          "l_extendedprice", "l_orderkey"), Nil)
+      .groupby("l_returnflag")
+      .agg(Map(
+        "l_quantity" -> "sum",
+        "l_discount" -> "nunique",
+        "l_extendedprice" -> "max",
+        "l_orderkey" -> "count"))
+      .toDF
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_group_agg_mixed" -> (qGroupAggMixed(_, _)),
     "q_rollup" -> (qRollup(_, _)),
     "q_cube" -> (qCube(_, _)),
     "q_count_distinct" -> (qCountDistinct(_, _)),
@@ -166,6 +188,13 @@ object GroupBys extends QueryModule {
     "q_group_mode" -> (qGroupMode(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_group_agg_mixed" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_discount) AS l_discount,
+        |  max(l_extendedprice) AS l_extendedprice,
+        |  count(l_orderkey) AS l_orderkey,
+        |  sum(l_quantity) AS l_quantity
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
          |  ${Q.sqlDsum("l_quantity")} AS sum_qty,

@@ -186,4 +186,36 @@ class BalooFrameSpec extends SparkSpec {
     assert(dup.df.orderBy("idx").collect().map(_.getBoolean(1)).toSeq
       == Seq(true, true, false))
   }
+
+  test("pandas-ext: groupby mixed-aggregate map, one pass") {
+    val f = new BalooFrame(
+      Seq((1L, 1.0, 10L), (1L, 3.0, 10L), (2L, 5.0, 20L))
+        .toDF("k", "a", "b"), Nil)
+    val r = f.groupby("k").agg(Map("a" -> "mean", "b" -> "nunique"))
+    assert(r.indexCols == Seq("k"))
+    val rows = r.toDF.orderBy("k").collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getLong(2))).toSeq
+    assert(rows == Seq((1L, 2.0, 1L), (2L, 5.0, 1L)))
+    intercept[IllegalArgumentException] {
+      f.groupby("k").agg(Map("a" -> "median")).toDF.collect()
+    }
+    intercept[IllegalArgumentException] {
+      f.groupby("k").agg(Map.empty[String, String])
+    }
+  }
+
+  test("pandas-ext: pivot_table and melt round the shape trip") {
+    val f = new BalooFrame(
+      Seq((1L, "x", 2.0), (1L, "y", 3.0), (2L, "x", 5.0))
+        .toDF("k", "c", "v"), Nil)
+    val piv = f.pivotTable("k", "c", "v", Seq("x", "y"))
+    assert(piv.indexCols == Seq("k"))
+    val rows = piv.toDF.orderBy("k").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows(0).getDouble(1) == 2.0 && rows(0).getDouble(2) == 3.0)
+    assert(rows(1).getDouble(1) == 5.0 && rows(1).isNullAt(2))
+    val melted = piv.melt(Seq("k"), Seq("x", "y"))
+    assert(melted.toDF.columns.toSeq == Seq("k", "variable", "value"))
+    assert(melted.toDF.count() == 4)
+  }
 }

@@ -187,4 +187,35 @@ class BalooSeriesSpec extends SparkSpec {
     // n=1 degenerates to the identity
     assert(vals(s.rolling(1).sum()) == Seq(3.0, 1.0, 4.0, 1.0, 5.0))
   }
+
+  test("pandas-ext: isin/between/abs/round/replace masks and maps") {
+    val s = new BalooSeries(
+      Seq((0L, -2.5), (1L, 1.4), (2L, 3.6), (3L, -1.4)).toDF("idx", "v"),
+      Seq("idx"), "v")
+    assert(vals(s.isin(Seq(1.4, 3.6))) == Seq(false, true, true, false))
+    assert(vals(s.between(-2.0, 2.0)) == Seq(false, true, false, true))
+    assert(vals(s.abs()) == Seq(2.5, 1.4, 3.6, 1.4))
+    assert(vals(s.round(0)) == Seq(-3.0, 1.0, 4.0, -1.0))
+    assert(vals(s.replace(Map(1.4 -> 99.0))) == Seq(-2.5, 99.0, 3.6, -1.4))
+  }
+
+  test("pandas-ext: where/mask keep-or-replace under the aligned mask") {
+    val s = new BalooSeries(
+      Seq((0L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("idx", "v"), Seq("idx"), "v")
+    val cond = s > 1.5
+    assert(vals(s.where(cond)) == Seq(null, 2.0, 3.0))
+    assert(vals(s.where(cond, -1.0)) == Seq(-1.0, 2.0, 3.0))
+    assert(vals(s.mask(cond)) == Seq(1.0, null, null))
+  }
+
+  test("pandas-ext: mode and value ranks (min + dense), pandas tie rules") {
+    val s = new BalooSeries(
+      Seq((0L, 30L), (1L, 10L), (2L, 30L), (3L, 20L), (4L, 10L), (5L, 40L))
+        .toDF("idx", "v").repartition(3), Seq("idx"), "v")
+    // counts: 10→2, 30→2, 20→1, 40→1; tie between 10 and 30 → smallest
+    assert(s.mode().head().getLong(0) == 10L)
+    // values 10,10,20,30,30,40 → min-rank 1,1,3,4,4,6; dense 1,1,2,3,3,4
+    assert(vals(s.rank("min")) == Seq(4L, 1L, 4L, 3L, 1L, 6L))
+    assert(vals(s.rank("dense")) == Seq(3L, 1L, 3L, 2L, 1L, 4L))
+  }
 }
