@@ -881,7 +881,31 @@ object Fingerprints extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Contamination ATTRIBUTION — the per-pair complement of
+    * [[qDecontaminate]]'s removal verdict: WHICH eval document leaked
+    * into which training document, with the shared-shingle count as
+    * evidence strength. The report an eval owner reads before deciding
+    * whether a hit is true leakage or a boilerplate collision (pairs
+    * with 1–2 shared shingles are noise; the threshold here is 3).
+    * Shape: two reads of the materialized posting index, the eval side
+    * (benchmark-sized) broadcasts into the equi-join on the hash, and
+    * the pair aggregate shuffles only (train, eval, count) triples —
+    * output bounded by true overlap, never |train| × |eval|.
+    */
+  def qContaminationPairs(s: SparkSession, dir: String): DataFrame = {
+    val idx = postings(s, dir)
+    val evalSide = idx.filter(col("doc_id") < 20)
+      .select(col("h"), col("doc_id").as("eval_id"))
+    idx.filter(col("doc_id") >= 20)
+      .select(col("h"), col("doc_id").as("train_id"))
+      .join(broadcast(evalSide), "h")
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("train_id", "eval_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_contamination_pairs" -> (qContaminationPairs(_, _)),
     "q_removal_reasons" -> (qRemovalReasons(_, _)),
     "q_lsh_precision" -> (qLshPrecision(_, _)),
     "q_corpus_clean" -> (qCorpusClean(_, _)),
@@ -1015,6 +1039,15 @@ object Fingerprints extends QueryModule {
        |ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_contamination_pairs" ->
+      s"""WITH shingled AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
+         |dh AS (SELECT doc_id, list_distinct($sqlHs) AS dh FROM shingled),
+         |tr AS (SELECT doc_id AS train_id, unnest(dh) AS h FROM dh WHERE doc_id >= 20),
+         |ev AS (SELECT doc_id AS eval_id, unnest(dh) AS h FROM dh WHERE doc_id < 20),
+         |p AS (SELECT train_id, eval_id, count(*) AS n_shared
+         |  FROM tr JOIN ev USING (h) GROUP BY train_id, eval_id)
+         |SELECT train_id, eval_id, n_shared FROM p
+         |WHERE n_shared >= 3 ORDER BY train_id, eval_id""".stripMargin,
     "q_decontaminate" -> sqlDecontaminate,
     "q_decontaminate_bloom" -> sqlDecontaminate,
     "q_corpus_clean" ->
