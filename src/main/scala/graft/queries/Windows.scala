@@ -398,7 +398,46 @@ object Windows extends QueryModule {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Interval UNION per user — the sweep-line pattern: each event opens
+    * a 30 s activity interval [ts, ts+30s]; overlapping intervals merge
+    * into islands and the answer is the total covered time (the
+    * "actual active seconds" metric sessionization's gap rule can't
+    * express, because islands merge on OVERLAP, not adjacency).
+    *
+    * Distributed shape: one user-keyed exchange carries BOTH windows —
+    * the exclusive running max of interval ends (what the sweep line
+    * has covered so far) and the running island count (cumsum of
+    * new-island flags). All arithmetic on integer epoch-MICROseconds
+    * (the session-zone micros both engines read identically) — exact
+    * everywhere. Per-user history sorts within its partition; no global
+    * order anywhere.
+    */
+  def qIntervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val span = 30L * 1000000L
+    val wPrev = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("end_us", col("us") + span)
+      .withColumn("max_end_before", max("end_us").over(wPrev))
+      .withColumn("new_island",
+        when(col("max_end_before").isNull
+          || col("us") > col("max_end_before"), 1L).otherwise(0L))
+      .withColumn("island", sum("new_island").over(wRun))
+      .groupBy("user_id", "island")
+      .agg(min("us").as("i_start"), max("end_us").as("i_end"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered_us"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_union" -> (qIntervalUnion(_, _)),
     "q_cohort_retention" -> (qCohortRetention(_, _)),
     "q_sessionize" -> (qSessionize(_, _)),
     "q_range_join" -> (qRangeJoin(_, _)),
@@ -425,6 +464,28 @@ object Windows extends QueryModule {
       |  CAST(ts AS TIMESTAMP) AS ts FROM events""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_interval_union" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + 30000000 AS end_us
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, us, end_us,
+        |    max(end_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_end_before
+        |  FROM e),
+        |f AS (SELECT user_id, us, end_us,
+        |    CASE WHEN max_end_before IS NULL OR us > max_end_before
+        |      THEN 1 ELSE 0 END AS new_island,
+        |    event_id FROM m),
+        |i AS (SELECT user_id, us, end_us,
+        |    sum(new_island) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |g AS (SELECT user_id, island, min(us) AS i_start, max(end_us) AS i_end
+        |  FROM i GROUP BY user_id, island)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(i_end - i_start) AS BIGINT) AS covered_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_cohort_retention" ->
       s"""WITH e AS (SELECT user_id,
          |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -12,6 +12,36 @@ class ResampleRankSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("interval union: sweep-line islands reconcile with brute force") {
+    import org.apache.spark.sql.functions._
+    val span = 30L * 1000000L
+    val got = Windows.qIntervalUnion(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    // brute-force per user: merge sorted intervals in driver code
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    evs.foreach { case (u, starts) =>
+      var islands = 0; var covered = 0L
+      var curStart = -1L; var curEnd = -1L
+      starts.foreach { t =>
+        if (curEnd < 0 || t > curEnd) {
+          if (curEnd >= 0) { covered += curEnd - curStart; islands += 1 }
+          curStart = t; curEnd = t + span
+        } else curEnd = math.max(curEnd, t + span)
+      }
+      covered += curEnd - curStart; islands += 1
+      assert(got(u) == ((islands.toLong, covered)), s"user $u")
+    }
+    // structural sanity: covered time never exceeds events × span and
+    // never undershoots a single span
+    got.values.foreach { case (n, c) =>
+      assert(n >= 1L && c >= span)
+    }
+  }
+
   test("resample grid is dense per user and forward-fill is total") {
     val r = Windows.qEventsResample(spark, sf).collect()
     assert(r.nonEmpty)
