@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus statistics & sparse-vector similarity — three beyond-reference
+  * operators a training-data pipeline runs between cleaning and mixing:
+  * distribution-drift gating (two-sample Kolmogorov–Smirnov), per-group
+  * feature standardization, and sparse bag-of-words document similarity
+  * over an inverted index.
+  *
+  * Numerics follow the Q.scala playbook: every comparison that decides a
+  * row's fate or rank happens in exact integer arithmetic (cross-
+  * multiplied rationals, integer-quantized ratios); doubles appear only
+  * in final presentation columns derived from exact integers by IEEE-
+  * exact ops (one division, one sqrt), so DuckDB replays bit-identically.
+  */
+object CorpusStats extends QueryModule {
+
+  /** df-cut bound for the sparse-similarity feature space: shingle
+    * hashes present in more than [[MaxDf]] documents are boilerplate-
+    * like (low cosine information, O(df²) pair cost) and are dropped
+    * from pair generation; df = 1 features cannot produce a pair. The
+    * cut is the standard inverted-index guard that keeps the self-join
+    * fan-out per posting list bounded — the feature-selection analog of
+    * the lossless PPJoin prefix filter the Jaccard leg uses.
+    */
+  private val MaxDf = 50
+  private val SimTopK = 20
+
+  /** Top-[[SimTopK]] most similar document pairs by set cosine (Ochiai
+    * coefficient, |A∩B|/√(|A||B|)) over the df-cut shingle space — the
+    * classic sparse-vector top-k similarity JOIN, distinct from the
+    * threshold-Jaccard dedup leg: ranking, not gating, and a cosine
+    * norm, so long docs aren't penalized quadratically. Reads the SAME
+    * materialized posting index as the whole dedup suite (one build per
+    * corpus); one inverted-index self-join on the feature hash (each
+    * posting list ≤ [[MaxDf]] docs ⇒ O(Σ df²) bounded, never doc×doc),
+    * dot products and norms as exact integer hash aggregates, and the
+    * ranking key an integer-quantized cos²: simq = ⌊10⁶·dot²/(nfa·nfb)⌋
+    * — monotone in cosine, exact on both engines (no sqrt in any
+    * ordering decision; (simq, doc_a, doc_b) is a total order). Global
+    * top-k plans as TakeOrderedAndProject — no full sort of the pair
+    * set. At 100 TB the posting index is a bucketed table
+    * (Io.bucketedParquet by hash) and the same equi-join runs
+    * shuffle-free.
+    */
+  def qDocSimSparse(s: SparkSession, dir: String): DataFrame = {
+    val posts = Fingerprints.postings(s, dir).select("doc_id", "h")
+    val kept = posts.join(
+      posts.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= MaxDf)
+        .select("h"),
+      Seq("h"))
+    // binary feature vectors: norm² = kept-feature count per doc
+    val norms = kept.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val dots = kept.select(col("h"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("nf").as("nfa")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("nf").as("nfb")), Seq("doc_b"))
+      .withColumn("simq", expr("(dot * dot * 1000000L) DIV (nfa * nfb)"))
+      .select("doc_a", "doc_b", "dot", "simq")
+      .orderBy(col("simq").desc, col("doc_a"), col("doc_b"))
+      .limit(SimTopK)
+  }
+
+  /** Drift-gate source pair: the two largest sources of the corpus. */
+  private val SrcA = "src0"
+  private val SrcB = "src1"
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the doc-
+    * length distributions of two sources — the gate a pipeline runs
+    * before admitting a new crawl snapshot ("has the length profile
+    * shifted?"). Exact integer form: D = max|F_A − F_B| becomes
+    * max|cumA·nB − cumB·nA| over the VALUE histogram (one conditional
+    * hash aggregate per distinct length, cumulated in one ordered
+    * window over histogram rows — bounded by the value range like
+    * q_length_quantiles, never corpus-sized), with the double division
+    * only in the final presentation scalar. One row out.
+    */
+  def qKsDrift(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(s, dir)
+      .filter(col("source").isin(SrcA, SrcB))
+      .groupBy("n_chars")
+      .agg(sum(when(col("source") === SrcA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === SrcB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .withColumn("na", sum(col("ca")).over(Window.partitionBy()))
+      .withColumn("nb", sum(col("cb")).over(Window.partitionBy()))
+      .groupBy("na", "nb")
+      .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("ks_num"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("ks_num"),
+        round(col("ks_num").cast("double") / (col("na") * col("nb")), 6).as("ks"))
+  }
+
+  /** Per-source z-score standardization of doc length — the feature-
+    * scaling verb (pandas `(x - mean) / std`) in its one-shuffle
+    * distributed form: a 20-row per-source moment aggregate (exact
+    * integer sums), broadcast back onto the scan, z computed map-only.
+    * All decisions exact: z = (x·n − Σx) / √(n·Σx² − (Σx)²) keeps both
+    * operands exact integers; the one sqrt and one division are IEEE-
+    * exactly-rounded on identical inputs, so round(z, 4) matches
+    * cross-engine (population σ; constant columns → z = 0).
+    */
+  def qStandardize(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.documents(s, dir).groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+      .withColumn("v", col("n") * col("s2") - col("s1") * col("s1"))
+    Tables.documents(s, dir)
+      .select("doc_id", "source", "n_chars")
+      .join(broadcast(m), Seq("source"))
+      .withColumn("z",
+        when(col("v") === 0L, lit(0.0))
+          .otherwise(round((col("n_chars") * col("n") - col("s1")).cast("double") /
+            sqrt(col("v").cast("double")), 4)))
+      .select("doc_id", "source", "n_chars", "z")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_sim_sparse" -> (qDocSimSparse(_, _)),
+    "q_ks_drift" -> (qKsDrift(_, _)),
+    "q_standardize" -> (qStandardize(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_doc_sim_sparse" ->
+      s"""WITH shingled AS (SELECT doc_id, ${Fingerprints.sqlShingles} AS sh FROM documents),
+         |posts AS (SELECT DISTINCT doc_id, unnest(${Fingerprints.sqlHs}) AS h
+         |  FROM shingled),
+         |kept AS (
+         |  SELECT posts.* FROM posts JOIN (
+         |    SELECT h FROM posts GROUP BY h
+         |    HAVING count(*) >= 2 AND count(*) <= $MaxDf) v USING (h)),
+         |norms AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+         |  FROM kept GROUP BY doc_id),
+         |dots AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS dot
+         |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, dot,
+         |  CAST((dot * dot * 1000000) // (na.nf * nb.nf) AS BIGINT) AS simq
+         |FROM dots
+         |JOIN norms na ON na.doc_id = doc_a
+         |JOIN norms nb ON nb.doc_id = doc_b
+         |ORDER BY simq DESC, doc_a, doc_b
+         |LIMIT $SimTopK""".stripMargin,
+    "q_ks_drift" ->
+      s"""WITH hist AS (
+         |  SELECT n_chars,
+         |    CAST(sum(CASE WHEN source = '$SrcA' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN source = '$SrcB' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM documents WHERE source IN ('$SrcA', '$SrcB')
+         |  GROUP BY n_chars),
+         |c AS (
+         |  SELECT
+         |    CAST(sum(ca) OVER (ORDER BY n_chars
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+         |    CAST(sum(cb) OVER (ORDER BY n_chars
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb,
+         |    CAST(sum(ca) OVER () AS BIGINT) AS na,
+         |    CAST(sum(cb) OVER () AS BIGINT) AS nb
+         |  FROM hist)
+         |SELECT na AS n_a, nb AS n_b,
+         |  max(abs(cuma * nb - cumb * na)) AS ks_num,
+         |  round(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE) / (na * nb), 6) AS ks
+         |FROM c GROUP BY na, nb""".stripMargin,
+    "q_standardize" ->
+      """WITH m AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS s1,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  CASE WHEN m.n * m.s2 - m.s1 * m.s1 = 0 THEN 0.0
+        |    ELSE round(CAST(d.n_chars * m.n - m.s1 AS DOUBLE) /
+        |      sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)), 4) END AS z
+        |FROM documents d JOIN m ON d.source = m.source
+        |ORDER BY d.doc_id""".stripMargin)
+}

@@ -770,6 +770,42 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** Per-cluster admission quota for the balance resample. */
+  private val BalCap = 25
+
+  /** Cluster-balanced resampling (semantic diversity quota): cap every
+    * semantic cluster's contribution to the training mix at [[BalCap]]
+    * members — the embedding-space analog of the source-mixture
+    * resample (CorpusQuality.qMixResample), aimed at the "one dominant
+    * mode swamps the batch" failure of web-scale corpora. Assignment is
+    * the same broadcast-argmax `max_by` hash-agg plan as the IVF list
+    * assignment (no sort window); admission within a cluster ranks by a
+    * content-stable md5 bucket (vec_id tie-break) — deterministic under
+    * re-runs and corpus growth, like every sampling decision in this
+    * repo — via one per-cluster rank window (parallelism = #clusters,
+    * per-cluster top-k state is rank-bounded). Output: the admitted
+    * members with their cluster, admission rank, and the cluster's
+    * pre-cap size for telemetry.
+    */
+  def qClusterBalance(s: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(s, dir)
+    val cents = emb.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("n2").as("cn2"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", qcos(G.dotl(col("qv"), col("cv")), col("n2"), col("cn2")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tb"))).as("cid"))
+      .withColumn("bkt", expr(
+        "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1000000"))
+    val w = Window.partitionBy("cid").orderBy(col("bkt"), col("vec_id"))
+    assigned
+      .withColumn("c_size", count(lit(1)).over(Window.partitionBy("cid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= BalCap)
+      .select("cid", "vec_id", "rn", "c_size")
+      .orderBy("cid", "rn")
+  }
+
   /** Block-grid size for exact all-pairs: K(K+1)/2 join cells. */
   private val K = 16
 
@@ -956,6 +992,7 @@ object Similarity extends QueryModule {
     "q_dedup_embed_lsh" -> (qDedupEmbedLsh(_, _)),
     "q_dedup_embed_hybrid" -> (qDedupEmbedHybrid(_, _)),
     "q_dedup_semantic" -> (qDedupSemantic(_, _)),
+    "q_cluster_balance" -> (qClusterBalance(_, _)),
     "q_embed_centroids" -> (qEmbedCentroids(_, _)),
     "q_kmeans_iter" -> (qKmeansIter(_, _)),
     "q_knn_graph" -> (qKnnGraph(_, _)),
@@ -1243,6 +1280,28 @@ object Similarity extends QueryModule {
          |  (d.vec_id IS NOT NULL) AS dropped
          |FROM assigned a LEFT JOIN drp d ON a.vec_id = d.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+    "q_cluster_balance" ->
+      s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2 FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, qv AS cv, n2 AS cn2 FROM e
+         |  WHERE vec_id < $IvfK),
+         |scored AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${sqlQcos("e.qv", "c.cv", "e.n2", "c.cn2")} AS ccos
+         |  FROM e, cents c),
+         |ranked AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid ASC) AS rn
+         |  FROM scored),
+         |assigned AS (SELECT vec_id, cid,
+         |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bkt
+         |  FROM ranked WHERE rn = 1),
+         |adm AS (SELECT cid, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY cid
+         |      ORDER BY bkt, vec_id) AS INTEGER) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS c_size
+         |  FROM assigned)
+         |SELECT cid, vec_id, rn, c_size FROM adm
+         |WHERE rn <= $BalCap ORDER BY cid, rn""".stripMargin,
     "q_kmeans_iter" ->
       s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2 FROM embeddings),
          |cents AS (SELECT vec_id AS cid, qv AS cv, n2 AS cn2 FROM e

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Invariant + brute-force parity specs for the corpus-statistics
+  * additions: KS drift, per-source standardization, sparse cosine
+  * similarity, and cluster-balanced resampling.
+  */
+class CorpusStatsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ks drift equals the brute-force two-sample statistic") {
+    val row = CorpusStats.qKsDrift(spark, dir).collect().head
+    val (na, nb, ksNum) = (row.getAs[Long]("n_a"), row.getAs[Long]("n_b"),
+      row.getAs[Long]("ks_num"))
+    // brute force: collect both samples, max over all thresholds
+    val docs = graft.Tables.documents(spark, dir)
+      .select("source", "n_chars").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_chars"))
+    val a = docs.filter(_._1 == "src0").map(_._2).sorted
+    val b = docs.filter(_._1 == "src1").map(_._2).sorted
+    assert(a.length.toLong == na && b.length.toLong == nb)
+    val thresholds = (a ++ b).distinct
+    val expect = thresholds.map { t =>
+      math.abs(a.count(_ <= t).toLong * nb - b.count(_ <= t).toLong * na)
+    }.max
+    assert(ksNum == expect)
+    val ks = row.getAs[Double]("ks")
+    assert(ks >= 0.0 && ks <= 1.0)
+  }
+
+  test("standardize: counts preserved, per-source z sums to ~0, order-preserving") {
+    val z = CorpusStats.qStandardize(spark, dir).collect()
+    val docs = graft.Tables.documents(spark, dir).count()
+    assert(z.length.toLong == docs)
+    z.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val zs = rows.map(_.getAs[Double]("z"))
+      assert(math.abs(zs.sum / zs.length) < 1e-3, s"$src mean z not ~0")
+      // monotone: larger n_chars within a source never gets a smaller z
+      val byLen = rows.sortBy(_.getAs[Long]("n_chars")).map(_.getAs[Double]("z"))
+      assert(byLen.zip(byLen.tail).forall { case (x, y) => x <= y }, s"$src z not monotone")
+    }
+  }
+
+  test("sparse doc similarity matches a brute-force set-cosine top-k") {
+    val got = CorpusStats.qDocSimSparse(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("dot"), r.getAs[Long]("simq")))
+    // brute force over the same posting index + df cut
+    val posts = Fingerprints.postings(spark, dir)
+      .select("doc_id", "h").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("h"))
+    val df = posts.groupBy(_._2).view.mapValues(_.length).toMap
+    val kept = posts.filter(p => df(p._2) >= 2 && df(p._2) <= 50)
+    val byDoc = kept.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ids = byDoc.keys.toSeq.sorted
+    val pairs = for {
+      i <- ids; j <- ids if i < j
+      dot = byDoc(i).intersect(byDoc(j)).size.toLong if dot > 0
+    } yield (i, j, dot, dot * dot * 1000000L / (byDoc(i).size.toLong * byDoc(j).size))
+    val expect = pairs.sortBy(p => (-p._4, p._1, p._2)).take(20)
+    assert(got.toSeq == expect)
+  }
+
+  test("cluster balance: quota respected, ranks contiguous, admission deterministic") {
+    val rows = Similarity.qClusterBalance(spark, dir).collect()
+    rows.groupBy(_.getAs[Long]("cid")).foreach { case (cid, members) =>
+      val rns = members.map(_.getAs[Int]("rn")).sorted
+      assert(rns.length <= 25, s"cluster $cid over quota")
+      assert(rns.toSeq == (1 to rns.length), s"cluster $cid ranks not contiguous")
+      val cs = members.map(_.getAs[Long]("c_size")).distinct
+      assert(cs.length == 1 && cs.head >= rns.length)
+    }
+    // deterministic under re-run
+    val again = Similarity.qClusterBalance(spark, dir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+}
