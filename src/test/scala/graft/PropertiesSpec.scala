@@ -252,7 +252,13 @@ class PropertiesSpec extends SparkSpec {
       "qcut" -> (() => queries.PandasExt.qQcutBins(spark, sf).collect().toSeq),
       "cumsum_global" -> (() => queries.PandasExt.qCumsumGlobal(spark, sf).collect().toSeq),
       "rolling_global" -> (() => queries.PandasExt.qRollingGlobal(spark, sf).collect().toSeq),
-      "shift_diff" -> (() => queries.PandasExt.qShiftDiff(spark, sf).collect().toSeq))
+      "shift_diff" -> (() => queries.PandasExt.qShiftDiff(spark, sf).collect().toSeq),
+      // corpus-stats: the df-cut inverted-index cosine top-k (posting
+      // artifact rebuild included via the memo clear below), the
+      // histogram-cumsum KS window, and the quota-capped cluster admit
+      "doc_sim" -> (() => queries.CorpusStats.qDocSimSparse(spark, sf).collect().toSeq),
+      "ks_drift" -> (() => queries.CorpusStats.qKsDrift(spark, sf).collect().toSeq),
+      "cluster_balance" -> (() => queries.Similarity.qClusterBalance(spark, sf).collect().toSeq))
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val baseline = qs.map { case (n, f) => n -> f() }.toMap
     try {
