@@ -15,7 +15,7 @@ object SparkEntry {
     Seq(Relational, Aggregations, GroupBys, Joins, Positional,
       Strings, MissingData, Dedup, TextAnalysis, Similarity, Fingerprints,
       UnaryMath, Windows, MultimodalQ, SetOps, IoQ, Sampling, Pipelines,
-      CorpusQuality, CorpusStats, Lakehouse, TpchDeep, PandasExt)
+      CorpusQuality, CorpusStats, Spectral, Lakehouse, TpchDeep, PandasExt)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed spectral / linear-algebra steps over the embedding
+  * corpus — the training half of PCA-style dimensionality reduction:
+  * the d×d Gram matrix Xᵀ X as ONE corpus pass (the only part that
+  * touches the data; shuffle and output are dims²-sized, independent
+  * of corpus rows — the "mergeable summary" shape every distributed
+  * PCA/SVD implementation reduces to), and a power-iteration step
+  * toward the dominant eigenvector computed entirely from that
+  * dims²-sized artifact (corpus never re-read — in production this
+  * half is a driver-side LAPACK call; expressing it relationally here
+  * keeps it oracle-checkable).
+  *
+  * Numerics: vectors quantize to 2⁸-scaled BIGINTs — coarser than the
+  * similarity family's 2²⁰ ON PURPOSE, so the CHAINED products of the
+  * power step (G·G·e₀ ~ n²·q⁴·d) stay inside int64 for the test
+  * corpora with headroom; every value both engines compare is an
+  * exact integer. At real scale the Gram accumulates in f64 (the
+  * eigen step is off-plan anyway) — exactness here is what makes the
+  * oracle bit-tight, not a production requirement.
+  */
+object Spectral extends QueryModule {
+
+  private val Dim = 64
+
+  /** 2⁸-scaled exact integer vectors (see object doc for why not 2²⁰). */
+  private val q8Expr =
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 256.0) AS BIGINT))"
+
+  /** Upper-triangle Gram matrix G[i,j] = Σ_v qv[i]·qv[j], i ≤ j —
+    * MATERIALIZED once per (session, corpus): both spectral queries
+    * read it, and at scale it is the written summary a PCA job ships
+    * to the driver. Build shape: two chained integer-`sequence`
+    * generators (never a transform-fed explode — the measured 15×
+    * interpreted-lambda cliff), the pair product codegen'd, ONE hash
+    * aggregate keyed (i,j) with map-side partials — d(d+1)/2 = 2080
+    * groups regardless of corpus size.
+    */
+  private[queries] def gram(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, dir, "gram8")(
+      Tables.embeddings(s, dir)
+        .select(expr(q8Expr).as("qv"))
+        .select(col("qv"), explode(expr(s"sequence(0, ${Dim - 1})")).as("i"))
+        .select(col("qv"), col("i"), explode(expr(s"sequence(i, ${Dim - 1})")).as("j"))
+        .select(col("i"), col("j"),
+          (expr("element_at(qv, i + 1)") * expr("element_at(qv, j + 1)")).as("p"))
+        .groupBy("i", "j").agg(sum(col("p")).as("g")))
+
+  def qGramMatrix(s: SparkSession, dir: String): DataFrame =
+    gram(s, dir).orderBy("i", "j")
+
+  /** One power-iteration step v₂ = G·(G·e₀) from the materialized
+    * Gram artifact: mirror the triangle to the full (symmetric)
+    * matrix in-plan, take column 0 as v₁, then one broadcast join +
+    * hash aggregate for the matrix-vector product — every row count
+    * involved is d or d², never corpus-sized. Output carries v₁ and
+    * v₂ per dimension (exact integers; the caller normalizes — the
+    * eigenvector direction is v₂/‖v₂‖).
+    */
+  def qPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val tri = gram(s, dir)
+    val full = tri.select(col("i"), col("j"), col("g"))
+      .union(tri.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("g")))
+    val v1 = full.filter(col("j") === 0)
+      .select(col("i").as("k"), col("g").as("v1"))
+    full.join(broadcast(v1), col("j") === col("k"))
+      .groupBy("i").agg(sum(col("g") * col("v1")).as("v2"))
+      .join(broadcast(v1.select(col("k").as("i"), col("v1"))), Seq("i"))
+      .select("i", "v1", "v2")
+      .orderBy("i")
+  }
+
+  override def prewarm(s: SparkSession, dir: String): Unit = {
+    gram(s, dir).count(); ()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gram_matrix" -> (qGramMatrix(_, _)),
+    "q_pca_power" -> (qPcaPower(_, _)))
+
+  private val sqlQ8 =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 256.0) AS BIGINT))"
+
+  private val sqlGramCtes =
+    s"""WITH e AS (SELECT $sqlQ8 AS qv FROM embeddings),
+       |tri AS (
+       |  SELECT CAST(ti.i AS INTEGER) AS i, CAST(tj.j AS INTEGER) AS j,
+       |    CAST(sum(qv[ti.i + 1] * qv[tj.j + 1]) AS BIGINT) AS g
+       |  FROM e, range(0, $Dim) ti(i), range(0, $Dim) tj(j)
+       |  WHERE tj.j >= ti.i
+       |  GROUP BY ti.i, tj.j)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_gram_matrix" ->
+      s"""$sqlGramCtes
+         |SELECT i, j, g FROM tri ORDER BY i, j""".stripMargin,
+    "q_pca_power" ->
+      s"""$sqlGramCtes,
+         |fullm AS (
+         |  SELECT i, j, g FROM tri
+         |  UNION ALL
+         |  SELECT j AS i, i AS j, g FROM tri WHERE i <> j),
+         |v1 AS (SELECT i AS k, g AS v1 FROM fullm WHERE j = 0),
+         |v2 AS (
+         |  SELECT fullm.i, CAST(sum(fullm.g * v1.v1) AS BIGINT) AS v2
+         |  FROM fullm JOIN v1 ON fullm.j = v1.k
+         |  GROUP BY fullm.i)
+         |SELECT v2.i, CAST(v1.v1 AS BIGINT) AS v1, v2.v2
+         |FROM v2 JOIN v1 ON v1.k = v2.i
+         |ORDER BY v2.i""".stripMargin)
+}

@@ -258,7 +258,11 @@ class PropertiesSpec extends SparkSpec {
       // histogram-cumsum KS window, and the quota-capped cluster admit
       "doc_sim" -> (() => queries.CorpusStats.qDocSimSparse(spark, sf).collect().toSeq),
       "ks_drift" -> (() => queries.CorpusStats.qKsDrift(spark, sf).collect().toSeq),
-      "cluster_balance" -> (() => queries.Similarity.qClusterBalance(spark, sf).collect().toSeq))
+      "cluster_balance" -> (() => queries.Similarity.qClusterBalance(spark, sf).collect().toSeq),
+      // spectral: the dims²-group Gram aggregate and the artifact-fed
+      // power step (the memo clear below forces the gram rebuild too)
+      "gram" -> (() => queries.Spectral.qGramMatrix(spark, sf).collect().toSeq),
+      "pca_power" -> (() => queries.Spectral.qPcaPower(spark, sf).collect().toSeq))
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val baseline = qs.map { case (n, f) => n -> f() }.toMap
     try {
