@@ -128,9 +128,39 @@ object CorpusStats extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Per-group least-squares trend (OLS slope/intercept of event value
+    * over time) — "is the error rate drifting?" telemetry as one hash
+    * aggregate: x = epoch day, y = value in exact cents, all five
+    * moments (n, Σx, Σy, Σxy, Σx²) exact integer sums, so
+    * slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) divides two exact int64
+    * scalars (IEEE-exactly-rounded, identical cross-engine) and the
+    * intercept reuses the unrounded slope in the same expression shape
+    * on both engines. The catastrophic cancellation that makes naive
+    * float OLS moments unusable is a non-issue in integer arithmetic —
+    * the subtraction is exact. One shuffle of 5 group rows; regression
+    * over 10¹² events costs one scan.
+    */
+  def qGroupOls(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000L").as("x"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    m.withColumn("sl", (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .select(col("event_type"), col("n"), col("sx"), col("sy"),
+        round(col("sl"), 6).as("slope"),
+        round((col("sy").cast("double") - col("sl") * col("sx").cast("double")) /
+          col("n").cast("double"), 4).as("intercept"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_sim_sparse" -> (qDocSimSparse(_, _)),
     "q_ks_drift" -> (qKsDrift(_, _)),
+    "q_group_ols" -> (qGroupOls(_, _)),
     "q_standardize" -> (qStandardize(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -176,6 +206,22 @@ object CorpusStats extends QueryModule {
          |  max(abs(cuma * nb - cumb * na)) AS ks_num,
          |  round(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE) / (na * nb), 6) AS ks
          |FROM c GROUP BY na, nb""".stripMargin,
+    "q_group_ols" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM (SELECT event_type,
+        |      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS x,
+        |      CAST(round(value * 100) AS BIGINT) AS y
+        |    FROM events)
+        |  GROUP BY event_type),
+        |s AS (SELECT *, CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS sl FROM m)
+        |SELECT event_type, n, sx, sy, round(sl, 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) - sl * CAST(sx AS DOUBLE)) /
+        |    CAST(n AS DOUBLE), 4) AS intercept
+        |FROM s ORDER BY event_type""".stripMargin,
     "q_standardize" ->
       """WITH m AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n,

@@ -374,6 +374,44 @@ object TextAnalysis extends QueryModule {
   private val bigramIdxExpr =
     "CASE WHEN size(words) < 2 THEN array() ELSE sequence(0, size(words) - 2) END"
 
+  /** Minimum pair support for PMI ranking (the standard guard against
+    * PMI's rare-pair bias: a hapax pair maximizes the ratio).
+    */
+  private val PmiMinSupport = 5L
+  private val PmiTopK = 20
+
+  /** Top-[[PmiTopK]] collocations by pointwise mutual information —
+    * the association complement of [[qHeavyHitters]] (which ranks by
+    * raw frequency, PMI ranks by lift over independence). All ranking
+    * decisions exact: with N = total bigram events, cl/cr the left/
+    * right marginals, the PMI order is the order of c_ab·N/(cl·cr),
+    * ranked as the integer-quantized r = ⌊10⁶·c_ab·N/(cl·cr)⌋ with a
+    * (w1, w2) tie-break — no log in any comparison (log is monotone).
+    * Shape: one bigram hash agg (map-side partials; shuffle = distinct
+    * pairs), two vocabulary-sized marginal aggregates joined back
+    * (broadcast at any realistic vocab), scalar N attached by a 1-row
+    * cross join, top-k as TakeOrderedAndProject.
+    */
+  def qCollocationsPmi(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("words"))
+      .select(col("words"), explode(expr(bigramIdxExpr)).as("i"))
+      .select(expr("words[i]").as("w1"), expr("words[i + 1]").as("w2"))
+    val pairs = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val left = pairs.groupBy("w1").agg(sum(col("c_ab")).as("cl"))
+    val right = pairs.groupBy("w2").agg(sum(col("c_ab")).as("cr"))
+    val n = pairs.agg(sum(col("c_ab")).as("n_bg"))
+    pairs
+      .join(broadcast(left), Seq("w1"))
+      .join(broadcast(right), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .filter(col("c_ab") >= PmiMinSupport)
+      .withColumn("r", expr("(c_ab * n_bg * 1000000L) DIV (cl * cr)"))
+      .select("w1", "w2", "c_ab", "cl", "cr", "r")
+      .orderBy(col("r").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
+
   /** Corpus-wide heavy hitters (frequent bigram collocations) via the
     * TWO-PHASE pigeonhole pattern — the way to find every term above a
     * support threshold at 100 TB WITHOUT shuffling the long tail:
@@ -433,6 +471,7 @@ object TextAnalysis extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> (qHeavyHitters(_, _)),
+    "q_collocations_pmi" -> (qCollocationsPmi(_, _)),
     "q_quality_classifier" -> (qQualityClassifier(_, _)),
     "q_text_charclass" -> (qTextCharclass(_, _)),
     "q_text_tfidf" -> (qTextTfidf(_, _)),
@@ -483,6 +522,20 @@ object TextAnalysis extends QueryModule {
         |SELECT bg, cnt FROM c
         |WHERE cnt * 1000 > (SELECT count(*) FROM b)
         |ORDER BY cnt DESC, bg""".stripMargin,
+    "q_collocations_pmi" ->
+      s"""WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |b AS (SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+         |  FROM d, LATERAL unnest(generate_series(0, len(ws) - 2)) AS t(i)),
+         |p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM b GROUP BY w1, w2),
+         |lm AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS cl FROM p GROUP BY w1),
+         |rm AS (SELECT w2, CAST(sum(c_ab) AS BIGINT) AS cr FROM p GROUP BY w2),
+         |n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bg FROM p)
+         |SELECT p.w1, p.w2, p.c_ab, lm.cl, rm.cr,
+         |  CAST((p.c_ab * n.n_bg * 1000000) // (lm.cl * rm.cr) AS BIGINT) AS r
+         |FROM p JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN n
+         |WHERE p.c_ab >= $PmiMinSupport
+         |ORDER BY r DESC, w1, w2
+         |LIMIT $PmiTopK""".stripMargin,
     "q_quality_classifier" ->
       """WITH s AS (SELECT doc_id,
         |    len(string_split(text, ' ')) AS n_tokens,

@@ -262,7 +262,11 @@ class PropertiesSpec extends SparkSpec {
       // spectral: the dims²-group Gram aggregate and the artifact-fed
       // power step (the memo clear below forces the gram rebuild too)
       "gram" -> (() => queries.Spectral.qGramMatrix(spark, sf).collect().toSeq),
-      "pca_power" -> (() => queries.Spectral.qPcaPower(spark, sf).collect().toSeq))
+      "pca_power" -> (() => queries.Spectral.qPcaPower(spark, sf).collect().toSeq),
+      // exact-moment analytics: the five-moment OLS aggregate and the
+      // marginal-joined PMI lift ranking
+      "group_ols" -> (() => queries.CorpusStats.qGroupOls(spark, sf).collect().toSeq),
+      "collocations" -> (() => queries.TextAnalysis.qCollocationsPmi(spark, sf).collect().toSeq))
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val baseline = qs.map { case (n, f) => n -> f() }.toMap
     try {

@@ -63,6 +63,43 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.toSeq == expect)
   }
 
+  test("group OLS equals brute-force least squares on collected points") {
+    val got = CorpusStats.qGroupOls(spark, dir).collect()
+    val pts = graft.Tables.events(spark, dir)
+      .selectExpr("event_type", "unix_micros(ts) DIV 86400000000L AS x",
+        "CAST(round(value * 100) AS BIGINT) AS y").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("x"), r.getAs[Long]("y")))
+    got.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val g = pts.filter(_._1 == et)
+      val n = g.length.toLong
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxy = g.map(p => p._2 * p._3).sum; val sxx = g.map(p => p._2 * p._2).sum
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("sx") == sx && r.getAs[Long]("sy") == sy)
+      val sl = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      assert(math.abs(r.getAs[Double]("slope") - sl) < 1e-6)
+      val ic = (sy.toDouble - sl * sx.toDouble) / n.toDouble
+      assert(math.abs(r.getAs[Double]("intercept") - ic) < 1e-4)
+    }
+  }
+
+  test("PMI collocations equal the brute-force quantized-lift top-k") {
+    val got = TextAnalysis.qCollocationsPmi(spark, dir).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c_ab"), r.getAs[Long]("r")))
+    val bgs = graft.Tables.documents(spark, dir)
+      .select("text").collect().map(_.getString(0))
+      .flatMap { t => val w = t.split(" ", -1); w.zip(w.drop(1)) }
+    val cAb = bgs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cl = bgs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cr = bgs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = bgs.length.toLong
+    val expect = cAb.toSeq.collect {
+      case ((a, b), c) if c >= 5 => (a, b, c, c * n * 1000000L / (cl(a) * cr(b)))
+    }.sortBy(p => (-p._4, p._1, p._2)).take(20)
+    assert(got.toSeq == expect)
+  }
+
   test("cluster balance: quota respected, ranks contiguous, admission deterministic") {
     val rows = Similarity.qClusterBalance(spark, dir).collect()
     rows.groupBy(_.getAs[Long]("cid")).foreach { case (cid, members) =>
