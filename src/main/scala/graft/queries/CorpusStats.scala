@@ -157,10 +157,43 @@ object CorpusStats extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Quantile normalization across sources — the batch-effect
+    * correction op: replace each doc's length by the GLOBAL value at
+    * its within-source quantile, so every source's distribution maps
+    * onto the corpus profile (what [[qKsDrift]] measures, this
+    * repairs). All integer: within-source rank r by one keyed window,
+    * target global position p = ⌈r·N/n_s⌉ by exact ceil-division, and
+    * the global value at position p read off the VALUE HISTOGRAM's
+    * cumulative ranges (hash agg + cumsum over histogram rows — the
+    * q_length_quantiles pattern) via a broadcast interval join: the
+    * histogram is value-range-bounded, so the join is |docs| × |hist|
+    * with a tiny broadcast side — the q_range_join shape, never a
+    * corpus×corpus sort. Deterministic cross-engine at every step.
+    */
+  def qQuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+    val ranked = docs
+      .withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy("n_chars", "doc_id")).cast("long"))
+      .withColumn("n_s", count(lit(1)).over(Window.partitionBy("source")))
+    val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("n_chars").as("gv"), (col("cum") - col("cnt")).as("lo"), col("cum"))
+    val n = docs.count() // corpus row count: one scalar, the only driver value
+    ranked
+      .withColumn("p", expr(s"(r * ${n}L + n_s - 1L) DIV n_s"))
+      .join(broadcast(hist), col("p") > col("lo") && col("p") <= col("cum"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("gv").as("qn"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_sim_sparse" -> (qDocSimSparse(_, _)),
     "q_ks_drift" -> (qKsDrift(_, _)),
     "q_group_ols" -> (qGroupOls(_, _)),
+    "q_quantile_norm" -> (qQuantileNorm(_, _)),
     "q_standardize" -> (qStandardize(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -222,6 +255,27 @@ object CorpusStats extends QueryModule {
         |  round((CAST(sy AS DOUBLE) - sl * CAST(sx AS DOUBLE)) /
         |    CAST(n AS DOUBLE), 4) AS intercept
         |FROM s ORDER BY event_type""".stripMargin,
+    "q_quantile_norm" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+        |hist AS (
+        |  SELECT n_chars AS gv,
+        |    CAST(sum(count(*)) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - count(*) AS BIGINT) AS lo,
+        |    CAST(sum(count(*)) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM documents GROUP BY n_chars)
+        |SELECT ranked.doc_id, ranked.source, ranked.n_chars, hist.gv AS qn
+        |FROM ranked, n, hist
+        |WHERE (ranked.r * n.nn + ranked.n_s - 1) // ranked.n_s > hist.lo
+        |  AND (ranked.r * n.nn + ranked.n_s - 1) // ranked.n_s <= hist.cum
+        |ORDER BY ranked.doc_id""".stripMargin,
     "q_standardize" ->
       """WITH m AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n,

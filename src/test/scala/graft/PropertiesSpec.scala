@@ -266,7 +266,10 @@ class PropertiesSpec extends SparkSpec {
       // exact-moment analytics: the five-moment OLS aggregate and the
       // marginal-joined PMI lift ranking
       "group_ols" -> (() => queries.CorpusStats.qGroupOls(spark, sf).collect().toSeq),
-      "collocations" -> (() => queries.TextAnalysis.qCollocationsPmi(spark, sf).collect().toSeq))
+      "collocations" -> (() => queries.TextAnalysis.qCollocationsPmi(spark, sf).collect().toSeq),
+      // the rank-remap interval join: per-source window + histogram
+      // cumsum + broadcast range join must be layout-independent
+      "quantile_norm" -> (() => queries.CorpusStats.qQuantileNorm(spark, sf).collect().toSeq))
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val baseline = qs.map { case (n, f) => n -> f() }.toMap
     try {

@@ -100,6 +100,30 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.toSeq == expect)
   }
 
+  test("quantile normalization equals brute-force rank remap and preserves order") {
+    val got = CorpusStats.qQuantileNorm(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("qn")))
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+    val globalSorted = docs.map(_._3).sorted
+    val n = docs.length.toLong
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      val ns = g.length.toLong
+      g.sortBy(d => (d._3, d._1)).zipWithIndex.map { case (d, idx) =>
+        val p = ((idx + 1) * n + ns - 1) / ns
+        (d._1, d._2, d._3, globalSorted((p - 1).toInt))
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == expect)
+    // within a source, normalization preserves the length order
+    got.groupBy(_._2).values.foreach { g =>
+      val s = g.sortBy(r => (r._3, r._1)).map(_._4)
+      assert(s.zip(s.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("cluster balance: quota respected, ranks contiguous, admission deterministic") {
     val rows = Similarity.qClusterBalance(spark, dir).collect()
     rows.groupBy(_.getAs[Long]("cid")).foreach { case (cid, members) =>
