@@ -189,7 +189,37 @@ object CorpusStats extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Categorical association audit (source × lang contingency): per
+    * cell the observed count, the expected count under independence,
+    * and the χ² contribution — the "is language mix uniform across
+    * sources?" data-quality check, the categorical sibling of
+    * [[qKsDrift]]. Exact integer throughout: expected×10⁶ =
+    * ⌊r·c·10⁶/N⌋, and the cell statistic ⌊(N·o − r·c)²·10⁶/(N·r·c)⌋
+    * with the square carried in DECIMAL(38,0) (exact up to 38 digits;
+    * DuckDB mirrors in native int128). One cells-sized hash aggregate
+    * + two broadcast marginal joins; the cell space is
+    * |sources|×|langs|, independent of corpus rows.
+    */
+  def qChi2Assoc(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cells = docs.groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    val rm = docs.groupBy("source").agg(count(lit(1)).as("r"))
+    val cm = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+    val n = docs.agg(count(lit(1)).as("nn"))
+    cells
+      .join(broadcast(rm), Seq("source"))
+      .join(broadcast(cm), Seq("lang"))
+      .crossJoin(broadcast(n))
+      .withColumn("e6", expr("(r * c * 1000000L) DIV nn"))
+      .withColumn("chi6", expr(
+        """CAST((CAST((nn * o - r * c) AS DECIMAL(38,0))
+          |  * (nn * o - r * c) * 1000000) DIV (nn * r * c) AS BIGINT)""".stripMargin))
+      .select("source", "lang", "o", "e6", "chi6")
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chi2_assoc" -> (qChi2Assoc(_, _)),
     "q_doc_sim_sparse" -> (qDocSimSparse(_, _)),
     "q_ks_drift" -> (qKsDrift(_, _)),
     "q_group_ols" -> (qGroupOls(_, _)),
@@ -197,6 +227,21 @@ object CorpusStats extends QueryModule {
     "q_standardize" -> (qStandardize(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_chi2_assoc" ->
+      """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY source, lang),
+        |rm AS (SELECT source, CAST(count(*) AS BIGINT) AS r
+        |  FROM documents GROUP BY source),
+        |cm AS (SELECT lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY lang),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents)
+        |SELECT cells.source, cells.lang, cells.o,
+        |  CAST((rm.r * cm.c * 1000000) // n.nn AS BIGINT) AS e6,
+        |  CAST(((n.nn * cells.o - rm.r * cm.c)
+        |    * (n.nn * cells.o - rm.r * cm.c) * 1000000)
+        |    // (n.nn * rm.r * cm.c) AS BIGINT) AS chi6
+        |FROM cells JOIN rm USING (source) JOIN cm USING (lang) CROSS JOIN n
+        |ORDER BY cells.source, cells.lang""".stripMargin,
     "q_doc_sim_sparse" ->
       s"""WITH shingled AS (SELECT doc_id, ${Fingerprints.sqlShingles} AS sh FROM documents),
          |posts AS (SELECT DISTINCT doc_id, unnest(${Fingerprints.sqlHs}) AS h

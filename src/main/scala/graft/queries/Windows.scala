@@ -299,6 +299,34 @@ object Windows extends QueryModule {
     * aggregation reuse the same partitioning), no global ordering
     * anywhere. Gap math in exact epoch-microsecond integers.
     */
+  /** Top paths to keep in the sequence-mining report. */
+  private val PathTopK = 15
+
+  /** Event-sequence mining: the most frequent 3-step event-type paths
+    * across all user streams — the exploratory complement of
+    * [[qEventFunnel]] (which checks ONE fixed sequence, this discovers
+    * which sequences happen). Per-user lead windows build the
+    * trigrams (parallelism = users, state = 2 rows — no per-user
+    * collect_list materialization, which would blow up on a power
+    * user), then one hash aggregate keyed by the ≤|types|³ paths with
+    * both raw occurrences and distinct-user support, top-k off a
+    * TakeOrderedAndProject. Ties broken on the full path — total
+    * order. countDistinct plans as Catalyst's expand + two-level agg;
+    * the key space stays types³-bounded regardless of event volume.
+    */
+  def qEventPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("e1"))
+      .withColumn("e2", lead("e1", 1).over(w))
+      .withColumn("e3", lead("e1", 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_occ").desc, col("e1"), col("e2"), col("e3"))
+      .limit(PathTopK)
+  }
+
   def qSessionize(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -450,6 +478,7 @@ object Windows extends QueryModule {
     "q_asof_tolerance" -> (qAsofTolerance(_, _)),
     "q_json_extract" -> (qJsonExtract(_, _)),
     "q_event_funnel" -> (qEventFunnel(_, _)),
+    "q_event_paths" -> (qEventPaths(_, _)),
     "q_event_anomaly" -> (qEventAnomaly(_, _)),
     "q_window_rank" -> (qWindowRank(_, _)),
     "q_window_moving" -> (qWindowMoving(_, _)),
@@ -648,6 +677,19 @@ object Windows extends QueryModule {
          |  max(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k,
          |  ${Q.sqlDsum("CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS sum_k
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_event_paths" ->
+      s"""WITH t AS (
+         |  SELECT user_id, event_type AS e1,
+         |    lead(event_type, 1) OVER w AS e2,
+         |    lead(event_type, 2) OVER w AS e3
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT e1, e2, e3, count(*) AS n_occ,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+         |GROUP BY e1, e2, e3
+         |ORDER BY n_occ DESC, e1, e2, e3
+         |LIMIT $PathTopK""".stripMargin,
     "q_event_funnel" ->
       """WITH fv AS (SELECT user_id, min(ts) AS t_view FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),

@@ -269,7 +269,11 @@ class PropertiesSpec extends SparkSpec {
       "collocations" -> (() => queries.TextAnalysis.qCollocationsPmi(spark, sf).collect().toSeq),
       // the rank-remap interval join: per-source window + histogram
       // cumsum + broadcast range join must be layout-independent
-      "quantile_norm" -> (() => queries.CorpusStats.qQuantileNorm(spark, sf).collect().toSeq))
+      "quantile_norm" -> (() => queries.CorpusStats.qQuantileNorm(spark, sf).collect().toSeq),
+      // trigram path mining (per-user lead windows + expand agg) and
+      // the decimal-carried contingency statistic
+      "event_paths" -> (() => queries.Windows.qEventPaths(spark, sf).collect().toSeq),
+      "chi2" -> (() => queries.CorpusStats.qChi2Assoc(spark, sf).collect().toSeq))
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val baseline = qs.map { case (n, f) => n -> f() }.toMap
     try {

@@ -124,6 +124,45 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("chi2 association equals brute-force contingency arithmetic") {
+    val got = CorpusStats.qChi2Assoc(spark, dir).collect()
+    val docs = graft.Tables.documents(spark, dir)
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = docs.length.toLong
+    val rm = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cm = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cells = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.length == cells.size)
+    got.foreach { r =>
+      val (src, lg) = (r.getAs[String]("source"), r.getAs[String]("lang"))
+      val o = cells((src, lg))
+      assert(r.getAs[Long]("o") == o)
+      assert(r.getAs[Long]("e6") == rm(src) * cm(lg) * 1000000L / n)
+      val a = BigInt(n * o - rm(src) * cm(lg))
+      assert(BigInt(r.getAs[Long]("chi6")) == a * a * 1000000 / (BigInt(n) * rm(src) * cm(lg)))
+    }
+  }
+
+  test("event paths equal brute-force trigram mining") {
+    val got = Windows.qEventPaths(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getAs[Long]("n_occ"), r.getAs[Long]("n_users")))
+    val evs = graft.Tables.events(spark, dir)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val tris = evs.groupBy(_._1).toSeq.flatMap { case (uid, g) =>
+      val seq = g.sortBy(e => (e._2, e._3)).map(_._4)
+      seq.sliding(3).filter(_.length == 3).map(t => (uid, (t(0), t(1), t(2))))
+    }
+    val expect = tris.groupBy(_._2).toSeq.map { case (p, occ) =>
+      (p._1, p._2, p._3, occ.length.toLong, occ.map(_._1).distinct.length.toLong)
+    }.sortBy(p => (-p._4, p._1, p._2, p._3)).take(15)
+    assert(got.toSeq == expect)
+  }
+
   test("cluster balance: quota respected, ranks contiguous, admission deterministic") {
     val rows = Similarity.qClusterBalance(spark, dir).collect()
     rows.groupBy(_.getAs[Long]("cid")).foreach { case (cid, members) =>
