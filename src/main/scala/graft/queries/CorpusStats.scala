@@ -47,15 +47,38 @@ object CorpusStats extends QueryModule {
     * (Io.bucketedParquet by hash) and the same equi-join runs
     * shuffle-free.
     */
+  /** The df-cut feature index and per-doc norms — MATERIALIZED once
+    * per (session, corpus) like every derived artifact: the similarity
+    * query reads the index on BOTH sides of its self-join plus the
+    * norm attachment, and without the memo each consumer branch
+    * re-runs the df aggregate + filter join over the full posting
+    * index (measured ~3× the query's real cost at sf0.1). At 100 TB
+    * this is a written table bucketed by h, exactly like the posting
+    * index it derives from.
+    */
+  private def simIndex(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, dir, "docsim_kept") {
+      val posts = Fingerprints.postings(s, dir).select("doc_id", "h")
+      posts.join(
+        posts.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= MaxDf)
+          .select("h"),
+        Seq("h"))
+    }
+
+  private def simNorms(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, dir, "docsim_norms")(
+      // binary feature vectors: norm² = kept-feature count per doc
+      simIndex(s, dir).groupBy("doc_id").agg(count(lit(1)).as("nf")))
+
+  override def prewarm(s: SparkSession, dir: String): Unit = {
+    simIndex(s, dir).count()
+    simNorms(s, dir).count(); ()
+  }
+
   def qDocSimSparse(s: SparkSession, dir: String): DataFrame = {
-    val posts = Fingerprints.postings(s, dir).select("doc_id", "h")
-    val kept = posts.join(
-      posts.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= MaxDf)
-        .select("h"),
-      Seq("h"))
-    // binary feature vectors: norm² = kept-feature count per doc
-    val norms = kept.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val kept = simIndex(s, dir)
+    val norms = simNorms(s, dir)
     val dots = kept.select(col("h"), col("doc_id").as("doc_a"))
       .join(kept.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
