@@ -311,7 +311,16 @@ object PandasExt extends QueryModule {
           (col("o_totalprice").cast("decimal(28,4)"), "sum", "__psum"),
           (lit(1L), "sum", "__rn"),
           (col("o_totalprice"), "max", "__rmax"),
-          (col("o_totalprice"), "min", "__rmin")))
+          (col("o_totalprice"), "min", "__rmin"),
+          // exact-cents first and second moments for rolling variance:
+          // y fits long over any window; y² accumulates in DECIMAL(28,0)
+          // (scale 0 ⇒ both engines SINGLE-round the same exact integer
+          // at the one double conversion — the Q.dvar 2^53 caveat is a
+          // scaled-decimal hazard and does not apply)
+          (expr("CAST(round(o_totalprice * 100) AS BIGINT)"), "sum", "__psc"),
+          (expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) " +
+            "* CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(28,0))"),
+            "sum", "__ps2")))
     }
 
   override def prewarm(s: SparkSession, dir: String): Unit = {
@@ -395,8 +404,45 @@ object PandasExt extends QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** Rolling 7-row sample variance/std over the GLOBAL order — pandas
+    * `rolling(7).std()`, distributed by the same prefix-difference
+    * trick as [[qRollingGlobal]]: window moments come from TWO prefix
+    * differences of the shared artifact (Σy and Σy² in exact cents /
+    * cents², the latter carried in DECIMAL(28,0)), the variance
+    * numerator n·Σy² − (Σy)² is exact integer arithmetic (the float
+    * cancellation hazard of running-moment rolling variance is gone by
+    * construction), and the single double conversion single-rounds the
+    * same exact integer on both engines. One lag-donor equi join on
+    * the running position — no global window, cost independent of n.
+    */
+  def qRollingStd(s: SparkSession, dir: String): DataFrame = {
+    val n = 7
+    val base = prefixBase(s, dir)
+    val lagDonor = base.select((col("__rn") + n).as("__rn"),
+      col("__psc").as("__clag"), col("__ps2").as("__s2lag"))
+    base
+      .join(lagDonor, Seq("__rn"), "left")
+      .withColumn("__s1", col("__psc") - coalesce(col("__clag"), lit(0L)))
+      .withColumn("__s2", col("__ps2") - coalesce(col("__s2lag"), expr("CAST(0 AS DECIMAL(28,0))")))
+      // the exact integer variance numerator n·Σy² − (Σy)² (cents²);
+      // published as-is — rounding its 1e10-magnitude double quotient
+      // at 1e-4 is NOT cross-engine-safe (BigDecimal HALF_UP vs libc
+      // rounding diverge in the last decimal once |v|·10⁴ nears 2^53),
+      // while the std's ~1e5 magnitude is squarely inside the r4 grain
+      .withColumn("__vnum",
+        (col("__s2") * n - col("__s1").cast("decimal(28,0)") * col("__s1")))
+      .select(
+        col("o_orderkey"), col("o_totalprice"),
+        when(col("__rn") >= n,
+          round(sqrt(col("__vnum").cast("double") / lit(n.toDouble * (n - 1))) / 100.0, 4))
+          .as("roll_std"),
+        when(col("__rn") >= n, col("__vnum").cast("long")).as("var_num"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rolling_global" -> (qRollingGlobal(_, _)),
+    "q_rolling_std" -> (qRollingStd(_, _)),
     "q_cumsum_global" -> (qCumsumGlobal(_, _)),
     "q_shift_diff" -> (qShiftDiff(_, _)),
     "q_value_counts" -> (qValueCounts(_, _)),
@@ -441,6 +487,23 @@ object PandasExt extends QueryModule {
         |  CASE WHEN rn >= 7 THEN CAST(s AS DOUBLE) / 7 END AS roll_mean,
         |  CASE WHEN rn >= 7 THEN mn END AS roll_min,
         |  CASE WHEN rn >= 7 THEN mx END AS roll_max
+        |FROM b ORDER BY o_orderkey""".stripMargin,
+    "q_rolling_std" ->
+      """WITH y AS (SELECT o_orderkey, o_totalprice,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS yc FROM orders),
+        |b AS (SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn,
+        |    sum(yc) OVER w AS s1,
+        |    sum(yc * yc) OVER w AS s2
+        |  FROM y
+        |  WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN rn >= 7
+        |    THEN round(sqrt(CAST(s2 * 7 - s1 * s1 AS DOUBLE) / 42.0) / 100.0, 4)
+        |  END AS roll_std,
+        |  CASE WHEN rn >= 7
+        |    THEN CAST(s2 * 7 - s1 * s1 AS BIGINT)
+        |  END AS var_num
         |FROM b ORDER BY o_orderkey""".stripMargin,
     "q_cumsum_global" ->
       """SELECT o_orderkey, o_totalprice,

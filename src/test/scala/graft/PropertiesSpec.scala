@@ -273,7 +273,9 @@ class PropertiesSpec extends SparkSpec {
       // trigram path mining (per-user lead windows + expand agg) and
       // the decimal-carried contingency statistic
       "event_paths" -> (() => queries.Windows.qEventPaths(spark, sf).collect().toSeq),
-      "chi2" -> (() => queries.CorpusStats.qChi2Assoc(spark, sf).collect().toSeq))
+      "chi2" -> (() => queries.CorpusStats.qChi2Assoc(spark, sf).collect().toSeq),
+      // the two-moment prefix difference (exact cents² in decimal)
+      "rolling_std" -> (() => queries.PandasExt.qRollingStd(spark, sf).collect().toSeq))
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val baseline = qs.map { case (n, f) => n -> f() }.toMap
     try {

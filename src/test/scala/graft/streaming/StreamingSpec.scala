@@ -170,6 +170,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming histogram + batch finisher reproduces the batch KS drift statistic") {
+    import org.apache.spark.sql.functions.{abs, col, lit, max, sum, when, round}
+    import org.apache.spark.sql.expressions.Window
+    val sf = "/root/testdata/sf0.001"
+    val docsPath = s"$sf/documents.parquet"
+    val batchDocs = spark.read.parquet(docsPath)
+    val watchDir = tmpDir("ks_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(docsPath),
+      java.nio.file.Paths.get(watchDir, "documents.parquet"))
+    // the stateful half runs IN the stream: a value histogram is a
+    // complete-mode aggregate with state = distinct values (bounded by
+    // the value range, not the stream length) — the standing drift
+    // monitor a pipeline keeps per source pair
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(watchDir)
+    val q = stream.filter(col("source").isin("src0", "src1"))
+      .groupBy("n_chars")
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("cb"))
+      .writeStream.format("memory").queryName("ks_hist")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "availableNow drain timed out")
+      // the finisher (cumsum + max over HISTOGRAM rows) is a batch
+      // query over the standing sink table — the streaming analog of
+      // q_ks_drift's presentation half
+      val w = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = spark.table("ks_hist")
+        .withColumn("cuma", sum(col("ca")).over(w))
+        .withColumn("cumb", sum(col("cb")).over(w))
+        .withColumn("na", sum(col("ca")).over(Window.partitionBy()))
+        .withColumn("nb", sum(col("cb")).over(Window.partitionBy()))
+        .groupBy("na", "nb")
+        .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("ks_num"))
+        .select(col("na").as("n_a"), col("nb").as("n_b"), col("ks_num"),
+          round(col("ks_num").cast("double") / (col("na") * col("nb")), 6).as("ks"))
+        .collect().map(_.toSeq).toSeq
+      val want = graft.queries.CorpusStats.qKsDrift(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"stream-fed KS $got != batch $want")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with in-window views only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[StreamOps.Event]
