@@ -241,7 +241,27 @@ object CorpusStats extends QueryModule {
       .orderBy("source", "lang")
   }
 
+  /** Source-concentration telemetry: Herfindahl–Hirschman index over
+    * the source shares, the max share, and the effective source count
+    * (1/HHI) — the one-row "is the corpus dominated by a handful of
+    * crawls?" gauge read before mixture re-weighting. Integer-exact:
+    * shares never materialize as floats — HHI·10⁶ = ⌊Σc²·10⁶/N²⌋,
+    * max share·10⁶ = ⌊max(c)·10⁶/N⌋, effective count·10³ =
+    * ⌊N²·10³/Σc²⌋. Two tiny hash aggregates (sources-sized, then one
+    * row); the corpus is scanned once.
+    */
+  def qSourceHhi(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("c")).as("n_docs"),
+        max(col("c")).as("mx"), sum(col("c") * col("c")).as("s2"))
+      .select(col("n_sources"), col("n_docs"),
+        expr("(mx * 1000000L) DIV n_docs").as("max_share_ppm"),
+        expr("(s2 * 1000000L) DIV (n_docs * n_docs)").as("hhi_ppm"),
+        expr("(n_docs * n_docs * 1000L) DIV s2").as("eff_sources_milli"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_hhi" -> (qSourceHhi(_, _)),
     "q_chi2_assoc" -> (qChi2Assoc(_, _)),
     "q_doc_sim_sparse" -> (qDocSimSparse(_, _)),
     "q_ks_drift" -> (qKsDrift(_, _)),
@@ -250,6 +270,19 @@ object CorpusStats extends QueryModule {
     "q_standardize" -> (qStandardize(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_source_hhi" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |    CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(max(c) AS BIGINT) AS mx,
+        |    CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM c)
+        |SELECT n_sources, n_docs,
+        |  CAST((mx * 1000000) // n_docs AS BIGINT) AS max_share_ppm,
+        |  CAST((s2 * 1000000) // (n_docs * n_docs) AS BIGINT) AS hhi_ppm,
+        |  CAST((n_docs * n_docs * 1000) // s2 AS BIGINT) AS eff_sources_milli
+        |FROM a""".stripMargin,
     "q_chi2_assoc" ->
       """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
         |  FROM documents GROUP BY source, lang),

@@ -124,6 +124,23 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("source HHI equals brute-force share arithmetic and bounds hold") {
+    val r = CorpusStats.qSourceHhi(spark, dir).collect().head
+    val counts = graft.Tables.documents(spark, dir)
+      .select("source").collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = counts.values.sum
+    val s2 = counts.values.map(c => c * c).sum
+    assert(r.getAs[Long]("n_sources") == counts.size.toLong)
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(r.getAs[Long]("max_share_ppm") == counts.values.max * 1000000L / n)
+    assert(r.getAs[Long]("hhi_ppm") == s2 * 1000000L / (n * n))
+    assert(r.getAs[Long]("eff_sources_milli") == n * n * 1000L / s2)
+    // bounds: uniform → hhi = 1/k; monopoly → 1. Effective ≤ actual.
+    assert(r.getAs[Long]("hhi_ppm") >= 1000000L / counts.size - 1)
+    assert(r.getAs[Long]("eff_sources_milli") <= counts.size * 1000L)
+  }
+
   test("chi2 association equals brute-force contingency arithmetic") {
     val got = CorpusStats.qChi2Assoc(spark, dir).collect()
     val docs = graft.Tables.documents(spark, dir)
