@@ -260,7 +260,39 @@ object CorpusStats extends QueryModule {
         expr("(s2 * 1000000L) DIV (n_docs * n_docs)").as("hhi_ppm"),
         expr("(n_docs * n_docs * 1000L) DIV s2").as("eff_sources_milli"))
 
+  /** Robust per-source location/scale: the (lower) median and the
+    * median absolute deviation — the outlier-immune siblings of
+    * [[qStandardize]]'s mean/std, computed WITHOUT any per-group row
+    * sort: each phase is a (source, value) histogram + cumulative
+    * window over histogram rows (value-range-bounded, the
+    * q_length_quantiles discipline) with the median picked by integer
+    * rank test (smallest value whose cum ≥ ⌈n/2⌉ — percentile_disc
+    * semantics, exact on both engines). Phase two rebuilds the
+    * histogram over |x − median| after a broadcast join of the tiny
+    * medians table. Two corpus scans, shuffles histogram-sized.
+    */
+  def qRobustStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("source", "n_chars")
+    def lowerMedian(values: DataFrame, vcol: String, out: String): DataFrame = {
+      val h = values.groupBy("source", vcol).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy("source").orderBy(vcol)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n_s", sum(col("cnt")).over(Window.partitionBy("source")))
+      h.filter(expr("cum >= (n_s + 1) DIV 2"))
+        .groupBy("source").agg(min(col(vcol)).as(out), max(col("n_s")).as(s"${out}_n"))
+    }
+    val med = lowerMedian(docs, "n_chars", "med")
+    val devs = docs.join(broadcast(med.select("source", "med")), Seq("source"))
+      .select(col("source"), abs(col("n_chars") - col("med")).as("dev"))
+    val mad = lowerMedian(devs, "dev", "mad")
+    med.select(col("source"), col("med_n").as("n"), col("med"))
+      .join(mad.select("source", "mad"), Seq("source"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_robust_stats" -> (qRobustStats(_, _)),
     "q_source_hhi" -> (qSourceHhi(_, _)),
     "q_chi2_assoc" -> (qChi2Assoc(_, _)),
     "q_doc_sim_sparse" -> (qDocSimSparse(_, _)),
@@ -270,6 +302,32 @@ object CorpusStats extends QueryModule {
     "q_standardize" -> (qStandardize(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_robust_stats" ->
+      """WITH h1 AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY source, n_chars),
+        |c1 AS (SELECT source, n_chars,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_s
+        |  FROM h1),
+        |med AS (SELECT source, CAST(min(n_chars) AS BIGINT) AS med,
+        |    CAST(max(n_s) AS BIGINT) AS n
+        |  FROM c1 WHERE cum >= (n_s + 1) // 2 GROUP BY source),
+        |dev AS (SELECT d.source, abs(d.n_chars - med.med) AS dv
+        |  FROM documents d JOIN med ON d.source = med.source),
+        |h2 AS (SELECT source, dv, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM dev GROUP BY source, dv),
+        |c2 AS (SELECT source, dv,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY dv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_s
+        |  FROM h2),
+        |mad AS (SELECT source, CAST(min(dv) AS BIGINT) AS mad
+        |  FROM c2 WHERE cum >= (n_s + 1) // 2 GROUP BY source)
+        |SELECT med.source, med.n, med.med, mad.mad
+        |FROM med JOIN mad ON med.source = mad.source
+        |ORDER BY med.source""".stripMargin,
     "q_source_hhi" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS c
         |  FROM documents GROUP BY source),

@@ -141,6 +141,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("eff_sources_milli") <= counts.size * 1000L)
   }
 
+  test("robust stats equal brute-force lower-median and MAD") {
+    val got = CorpusStats.qRobustStats(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n"),
+        r.getAs[Long]("med"), r.getAs[Long]("mad")))
+    val docs = graft.Tables.documents(spark, dir)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_chars")))
+    def lowerMed(xs: Seq[Long]): Long = xs.sorted.apply(((xs.length + 1) / 2) - 1)
+    val expect = docs.groupBy(_._1).toSeq.map { case (src, g) =>
+      val vals = g.map(_._2).toSeq
+      val m = lowerMed(vals)
+      (src, vals.length.toLong, m, lowerMed(vals.map(v => math.abs(v - m))))
+    }.sortBy(_._1)
+    assert(got.toSeq == expect)
+  }
+
   test("chi2 association equals brute-force contingency arithmetic") {
     val got = CorpusStats.qChi2Assoc(spark, dir).collect()
     val docs = graft.Tables.documents(spark, dir)
