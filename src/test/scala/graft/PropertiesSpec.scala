@@ -275,7 +275,9 @@ class PropertiesSpec extends SparkSpec {
       "event_paths" -> (() => queries.Windows.qEventPaths(spark, sf).collect().toSeq),
       "chi2" -> (() => queries.CorpusStats.qChi2Assoc(spark, sf).collect().toSeq),
       // the two-moment prefix difference (exact cents² in decimal)
-      "rolling_std" -> (() => queries.PandasExt.qRollingStd(spark, sf).collect().toSeq))
+      "rolling_std" -> (() => queries.PandasExt.qRollingStd(spark, sf).collect().toSeq),
+      // the two-phase histogram median (rank test over keyed cumsums)
+      "robust_stats" -> (() => queries.CorpusStats.qRobustStats(spark, sf).collect().toSeq))
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val baseline = qs.map { case (n, f) => n -> f() }.toMap
     try {
