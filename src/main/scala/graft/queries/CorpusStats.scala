@@ -105,7 +105,11 @@ object CorpusStats extends QueryModule {
     * hash aggregate per distinct length, cumulated in one ordered
     * window over histogram rows — bounded by the value range like
     * q_length_quantiles, never corpus-sized), with the double division
-    * only in the final presentation scalar. One row out.
+    * only in the final presentation scalar. One row out when both
+    * sources are present; an absent source makes the statistic
+    * undefined — the presentation `ks` is NULL (never an engine-
+    * dependent Inf/NaN from the zero denominator), and with BOTH
+    * sources absent the histogram is empty and zero rows come out.
     */
   def qKsDrift(s: SparkSession, dir: String): DataFrame = {
     val hist = Tables.documents(s, dir)
@@ -123,7 +127,9 @@ object CorpusStats extends QueryModule {
       .groupBy("na", "nb")
       .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("ks_num"))
       .select(col("na").as("n_a"), col("nb").as("n_b"), col("ks_num"),
-        round(col("ks_num").cast("double") / (col("na") * col("nb")), 6).as("ks"))
+        when(col("na") * col("nb") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("ks_num").cast("double") /
+            (col("na") * col("nb")), 6)).as("ks"))
   }
 
   /** Per-source z-score standardization of doc length — the feature-
@@ -171,8 +177,14 @@ object CorpusStats extends QueryModule {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-    m.withColumn("sl", (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+    // Degenerate group (all events on one epoch day): the denominator
+    // n·Σx² − (Σx)² is exactly 0 and the slope is undefined — NULL on
+    // both engines, never an engine-dependent Inf/NaN. The intercept
+    // inherits the NULL through arithmetic propagation.
+    m.withColumn("sl",
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0L, lit(null))
+          .otherwise((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")))
       .select(col("event_type"), col("n"), col("sx"), col("sy"),
         round(col("sl"), 6).as("slope"),
         round((col("sy").cast("double") - col("sl") * col("sx").cast("double")) /
@@ -218,8 +230,10 @@ object CorpusStats extends QueryModule {
     * sources?" data-quality check, the categorical sibling of
     * [[qKsDrift]]. Exact integer throughout: expected×10⁶ =
     * ⌊r·c·10⁶/N⌋, and the cell statistic ⌊(N·o − r·c)²·10⁶/(N·r·c)⌋
-    * with the square carried in DECIMAL(38,0) (exact up to 38 digits;
-    * DuckDB mirrors in native int128). One cells-sized hash aggregate
+    * with the square carried in DECIMAL(38,0) on the Spark side and
+    * HUGEINT (int128) in the oracle — plain BIGINT would overflow the
+    * squared deviation × 10⁶ once the corpus passes ~10⁷ docs, and
+    * DuckDB throws rather than promoting. One cells-sized hash aggregate
     * + two broadcast marginal joins; the cell space is
     * |sources|×|langs|, independent of corpus rows.
     */
@@ -351,7 +365,7 @@ object CorpusStats extends QueryModule {
         |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents)
         |SELECT cells.source, cells.lang, cells.o,
         |  CAST((rm.r * cm.c * 1000000) // n.nn AS BIGINT) AS e6,
-        |  CAST(((n.nn * cells.o - rm.r * cm.c)
+        |  CAST((CAST(n.nn * cells.o - rm.r * cm.c AS HUGEINT)
         |    * (n.nn * cells.o - rm.r * cm.c) * 1000000)
         |    // (n.nn * rm.r * cm.c) AS BIGINT) AS chi6
         |FROM cells JOIN rm USING (source) JOIN cm USING (lang) CROSS JOIN n
@@ -396,7 +410,9 @@ object CorpusStats extends QueryModule {
          |  FROM hist)
          |SELECT na AS n_a, nb AS n_b,
          |  max(abs(cuma * nb - cumb * na)) AS ks_num,
-         |  round(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE) / (na * nb), 6) AS ks
+         |  CASE WHEN na * nb = 0 THEN NULL
+         |    ELSE round(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+         |      / (na * nb), 6) END AS ks
          |FROM c GROUP BY na, nb""".stripMargin,
     "q_group_ols" ->
       """WITH m AS (
@@ -408,8 +424,9 @@ object CorpusStats extends QueryModule {
         |      CAST(round(value * 100) AS BIGINT) AS y
         |    FROM events)
         |  GROUP BY event_type),
-        |s AS (SELECT *, CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    CAST(n * sxx - sx * sx AS DOUBLE) AS sl FROM m)
+        |s AS (SELECT *, CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n * sxx - sx * sx AS DOUBLE) END AS sl FROM m)
         |SELECT event_type, n, sx, sy, round(sl, 6) AS slope,
         |  round((CAST(sy AS DOUBLE) - sl * CAST(sx AS DOUBLE)) /
         |    CAST(n AS DOUBLE), 4) AS intercept

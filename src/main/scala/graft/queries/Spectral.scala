@@ -68,8 +68,15 @@ object Spectral extends QueryModule {
         .select(col("j").as("i"), col("i").as("j"), col("g")))
     val v1 = full.filter(col("j") === 0)
       .select(col("i").as("k"), col("g").as("v1"))
+    // The g·v1 products grow ~ d·(n·q²)² — quadratic in corpus rows —
+    // so the accumulation is carried in DECIMAL(38,0) (HUGEINT in the
+    // oracle): past ~10⁶ embeddings a BIGINT intermediate silently
+    // wraps on non-ANSI Spark while DuckDB throws. The final cast back
+    // to BIGINT is exact for the test corpora (headroom documented in
+    // the object doc) and fails loudly (NULL), never silently, beyond.
     full.join(broadcast(v1), col("j") === col("k"))
-      .groupBy("i").agg(sum(col("g") * col("v1")).as("v2"))
+      .groupBy("i")
+      .agg(sum(col("g").cast("decimal(38,0)") * col("v1")).cast("long").as("v2"))
       .join(broadcast(v1.select(col("k").as("i"), col("v1"))), Seq("i"))
       .select("i", "v1", "v2")
       .orderBy("i")
@@ -107,7 +114,8 @@ object Spectral extends QueryModule {
          |  SELECT j AS i, i AS j, g FROM tri WHERE i <> j),
          |v1 AS (SELECT i AS k, g AS v1 FROM fullm WHERE j = 0),
          |v2 AS (
-         |  SELECT fullm.i, CAST(sum(fullm.g * v1.v1) AS BIGINT) AS v2
+         |  SELECT fullm.i,
+         |    CAST(sum(CAST(fullm.g AS HUGEINT) * v1.v1) AS BIGINT) AS v2
          |  FROM fullm JOIN v1 ON fullm.j = v1.k
          |  GROUP BY fullm.i)
          |SELECT v2.i, CAST(v1.v1 AS BIGINT) AS v1, v2.v2

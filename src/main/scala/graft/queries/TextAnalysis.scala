@@ -406,7 +406,13 @@ object TextAnalysis extends QueryModule {
       .join(broadcast(right), Seq("w2"))
       .crossJoin(broadcast(n))
       .filter(col("c_ab") >= PmiMinSupport)
-      .withColumn("r", expr("(c_ab * n_bg * 1000000L) DIV (cl * cr)"))
+      // c_ab·N·10⁶ passes int64 once the corpus holds ~10⁹ bigrams with
+      // a frequent pair, where non-ANSI Spark would silently wrap (and
+      // corrupt the top-k order) while the oracle throws — so the rank
+      // numerator is carried in DECIMAL(38,0) (HUGEINT in the oracle)
+      // and only the quantized quotient comes back to BIGINT.
+      .withColumn("r", expr(
+        "CAST((CAST(c_ab AS DECIMAL(38,0)) * n_bg * 1000000) DIV (cl * cr) AS BIGINT)"))
       .select("w1", "w2", "c_ab", "cl", "cr", "r")
       .orderBy(col("r").desc, col("w1"), col("w2"))
       .limit(PmiTopK)
@@ -531,7 +537,8 @@ object TextAnalysis extends QueryModule {
          |rm AS (SELECT w2, CAST(sum(c_ab) AS BIGINT) AS cr FROM p GROUP BY w2),
          |n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bg FROM p)
          |SELECT p.w1, p.w2, p.c_ab, lm.cl, rm.cr,
-         |  CAST((p.c_ab * n.n_bg * 1000000) // (lm.cl * rm.cr) AS BIGINT) AS r
+         |  CAST((CAST(p.c_ab AS HUGEINT) * n.n_bg * 1000000)
+         |    // (lm.cl * rm.cr) AS BIGINT) AS r
          |FROM p JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN n
          |WHERE p.c_ab >= $PmiMinSupport
          |ORDER BY r DESC, w1, w2
