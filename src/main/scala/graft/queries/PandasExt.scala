@@ -372,25 +372,42 @@ object PandasExt extends QueryModule {
     * scan yields the inclusive prefix sum AND the running position;
     * rolling_sum = prefix difference (exact decimal, an equi self-join
     * on position − no global window, cost independent of n); min/max by
-    * each row donating to the n positions it covers (bounded explode →
-    * hash agg extremum per position). All joins are on the position —
+    * the BLOCK DECOMPOSITION (van Herk/Gil–Werman — the
+    * [[graft.core.BalooRolling]] spelling): cut the positions into
+    * blocks of n, any trailing n-window spans ≤ 2 blocks, so the
+    * extremum is ext(current block's prefix-ext, previous block's
+    * suffix-ext from position i−n+1). Both scans are windows KEYED by
+    * block id; the cross-block half is one more equi join on the
+    * position — zero replication (round 6 donated each row n-fold
+    * through `explode(sequence)`). All joins are on the position —
     * hash-partitionable at any scale.
     */
   def qRollingGlobal(s: SparkSession, dir: String): DataFrame = {
     val n = 7
-    // three reads of the SAME cached artifact — without the memo each
+    // every leg reads the SAME cached artifact — without the memo each
     // DataFrame reference would re-run the whole two-phase scan
     val base = prefixBase(s, dir)
     val lagDonor = base.select((col("__rn") + n).as("__rn"),
       col("__psum").as("__plag"))
-    val extDonor = base.select(
-      explode(expr(s"sequence(__rn, __rn + ${n - 1}L)")).as("__rn"),
-      col("o_totalprice").as("__dv"))
-    val ext = extDonor.groupBy("__rn")
-      .agg(min("__dv").as("__mn"), max("__dv").as("__mx"))
-    base
+    val wPre = Window.partitionBy("__blk").orderBy("__rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSuf = Window.partitionBy("__blk").orderBy(col("__rn").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scanned = base
+      .withColumn("__blk", expr(s"(__rn - 1) DIV $n"))
+      .withColumn("__pmn", min("o_totalprice").over(wPre))
+      .withColumn("__pmx", max("o_totalprice").over(wPre))
+      .withColumn("__smn", min("o_totalprice").over(wSuf))
+      .withColumn("__smx", max("o_totalprice").over(wSuf))
+    // row at position j donates its previous-block suffix-ext to the
+    // row n−1 positions later (whose window starts at j)
+    val sufDonor = scanned.select((col("__rn") + (n - 1).toLong).as("__rn"),
+      col("__smn").as("__xmn"), col("__smx").as("__xmx"))
+    // p = n−1 ⇒ the window IS one whole block: prefix-ext alone
+    val blockEnd = expr(s"(__rn - 1) % $n") === (n - 1).toLong
+    scanned
       .join(lagDonor, Seq("__rn"), "left")
-      .join(ext, Seq("__rn"))
+      .join(sufDonor, Seq("__rn"), "left")
       .select(
         col("o_orderkey"), col("o_totalprice"),
         when(col("__rn") >= n,
@@ -399,8 +416,12 @@ object PandasExt extends QueryModule {
         when(col("__rn") >= n,
           (col("__psum") - coalesce(col("__plag"), lit(0))).cast("double") / lit(n))
           .as("roll_mean"),
-        when(col("__rn") >= n, col("__mn")).as("roll_min"),
-        when(col("__rn") >= n, col("__mx")).as("roll_max"))
+        when(col("__rn") >= n,
+          when(blockEnd, col("__pmn")).otherwise(least(col("__pmn"), col("__xmn"))))
+          .as("roll_min"),
+        when(col("__rn") >= n,
+          when(blockEnd, col("__pmx")).otherwise(greatest(col("__pmx"), col("__xmx"))))
+          .as("roll_max"))
       .orderBy("o_orderkey")
   }
 

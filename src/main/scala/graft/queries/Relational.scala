@@ -149,10 +149,45 @@ object Relational extends QueryModule {
       .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
   }
 
+  /** Frame-level comparisons, isna, and df⊕list through the REAL
+    * [[graft.core.BalooFrame]] API (reference `BinaryOps` mixin,
+    * `generic.py:51-91`, dispatched by `frame.py:260-289`): `df < s` /
+    * `df >= s` produce bool frames that DROP string data columns
+    * (`_drop_str_columns`, asserted by `test_frame.py::test_comparison`),
+    * `df.isna()` the NULL mask (sentinel −999 there, SQL NULL here —
+    * SURVEY §1.3), and the list forms of `-`, `/`, `**` apply one scalar
+    * per numeric column positionally. The four derived frames re-join on
+    * the UNIQUE o_orderkey index (lineitem's (orderkey, linenumber) is
+    * not unique in this testdata) — the alignment semantics every frame
+    * op preserves. The `**` leg squares an integer-valued column with a
+    * round(,0) (the q_pow_cols libm rule); the `/` and exponent-1.0
+    * legs are IEEE-exactly-rounded, so no rounding needed.
+    */
+  def qFrameCompare(s: SparkSession, dir: String): DataFrame = {
+    val idx = Seq("o_orderkey")
+    val base = new graft.core.BalooFrame(
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_totalprice").as("price"),
+        expr("nullif(o_custkey % 5, 0)").as("ia"), col("o_orderstatus")),
+      idx)
+    val lt = base < 4.0
+    val ge = base >= 4.0
+    val na = base.isna()
+    val listed = ((base - Seq(0.5, 1.0)) / Seq(2.0, 1.0)) ** Seq(1.0, 2.0)
+    lt.df.select(col("o_orderkey"),
+        col("price").as("price_lt"), col("ia").as("ia_lt"))
+      .join(ge.df.select(col("o_orderkey"), col("ia").as("ia_ge")), idx)
+      .join(na.df.select(col("o_orderkey"), col("ia").as("ia_isna")), idx)
+      .join(listed.df.select(col("o_orderkey"),
+        col("price").as("price_norm"), round(col("ia"), 0).as("ia_sq")), idx)
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _)),
     "q_filter" -> (qFilter(_, _)),
     "q_proj" -> (qProj(_, _)),
+    "q_frame_compare" -> (qFrameCompare(_, _)),
     "q_scalar_ops" -> (qScalarOps(_, _)),
     "q_bool_ops" -> (qBoolOps(_, _)),
     "q_sort" -> (qSort(_, _)),
@@ -181,6 +216,16 @@ object Relational extends QueryModule {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin,
+    "q_frame_compare" ->
+      """SELECT o_orderkey,
+        |  o_totalprice < 4.0 AS price_lt,
+        |  nullif(o_custkey % 5, 0) < 4.0 AS ia_lt,
+        |  nullif(o_custkey % 5, 0) >= 4.0 AS ia_ge,
+        |  nullif(o_custkey % 5, 0) IS NULL AS ia_isna,
+        |  pow((o_totalprice - 0.5) / 2.0, 1.0) AS price_norm,
+        |  round(pow((nullif(o_custkey % 5, 0) - 1.0) / 1.0, 2.0), 0) AS ia_sq
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     "q_scalar_ops" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_extendedprice * 2.0 AS price_x2,

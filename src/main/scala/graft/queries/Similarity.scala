@@ -806,8 +806,21 @@ object Similarity extends QueryModule {
       .orderBy("cid", "rn")
   }
 
-  /** Block-grid size for exact all-pairs: K(K+1)/2 join cells. */
-  private val K = 16
+  /** Exact all-pairs scale policy: the result is K-independent (every
+    * unordered pair meets in exactly one cell for ANY grid size), so K
+    * exists only to bound per-task work — and a FIXED K stops doing
+    * that the moment the corpus grows (round-6 review's one standing
+    * perf-weak). Pinned here instead: K grows so one block holds at
+    * most [[BlockRows]] vectors, keeping each of the K(K+1)/2 cells at
+    * ≤ BlockRows² dot products — task memory and skew stay bounded at
+    * any corpus size, with parallelism growing as the work does. The
+    * O(n²) total work is the inherent price of the zero-margin exact
+    * contract (the hybrid is the primary path; this leg is the ground
+    * truth that proves the hybrid lossless).
+    */
+  private val BlockRows = 4096L
+  private def gridK(n: Long): Int =
+    math.max(16L, (n + BlockRows - 1L) / BlockRows).toInt
 
   /** Embedding-cosine near-duplicate pairs: ALL pairs with cos ≥ 0.40
     * (exact — see the scale-design note in the object doc for why LSH
@@ -815,9 +828,11 @@ object Similarity extends QueryModule {
     * join: each vector lands in block `vec_id % K`; the left side
     * replicates to cells (blk, j≥blk), the right to cells (i≤blk, blk),
     * so every unordered pair meets in EXACTLY ONE of the K(K+1)/2
-    * cells. One equi-join on the cell id, codegen'd long dot per pair.
+    * cells. One equi-join on the cell id, codegen'd long dot per pair;
+    * K from [[gridK]] (the corpus count reads off the cached artifact).
     */
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val K = gridK(quantized(s, dir).count())
     val emb = quantized(s, dir).withColumn("blk", pmod(col("vec_id"), lit(K)))
     val a = emb
       .withColumn("j", explode(expr(s"sequence(blk, ${K - 1})")))

@@ -82,13 +82,81 @@ object Spectral extends QueryModule {
       .orderBy("i")
   }
 
+  /** The mirrored full (symmetric) Gram matrix — d² rows off the
+    * memoized triangle.
+    */
+  private def fullGram(s: SparkSession, dir: String): DataFrame = {
+    val tri = gram(s, dir)
+    tri.select(col("i"), col("j"), col("g"))
+      .union(tri.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("g")))
+  }
+
+  /** Integer re-quantization between power rounds: q = sign(v) ·
+    * ⌊|v|·2⁸ / max|v|⌋ — the normalization that keeps the iterate's
+    * magnitude FIXED across rounds (raw G·G·G·e₀ grows as ~(n·q²)³ and
+    * leaves int64 immediately), while staying an exact integer both
+    * engines compute identically (abs keeps the floor division on
+    * non-negatives, where Spark `DIV` ≡ DuckDB `//`; on negatives one
+    * truncates and the other floors). The direction the eigen-iteration
+    * converges to is scale-invariant, so quantizing is just a coarser
+    * float normalization.
+    */
+  private def quantize(v: DataFrame): DataFrame = {
+    val m = v.agg(greatest(max(abs(col("v"))), lit(1L)).as("vmax"))
+    v.crossJoin(broadcast(m))
+      .select(col("k"),
+        (expr("CAST(sign(v) AS BIGINT)") *
+          expr("(abs(v) * 256L) DIV vmax")).as("q"))
+  }
+
+  /** Power iteration run to (telemetered) convergence: THREE unrolled
+    * G·v rounds from the memoized Gram artifact, re-quantized between
+    * rounds ([[quantize]]) and lineage-cut with `localCheckpoint` per
+    * round (the walk_mass BSP pattern — each round's plan reads a
+    * 64-row checkpoint, not the whole unrolled chain). Output: the
+    * quantized iterate after each round plus the round-3 Rayleigh
+    * quotient ρ = qᵀGq/qᵀq (quantized to ‰, numerator carried in
+    * DECIMAL(38,0)/HUGEINT) — the convergence gauge: successive ρ
+    * values stabilize at the dominant eigenvalue, and SpectralSpec
+    * asserts both brute-force parity and the monotone Rayleigh growth
+    * the iteration guarantees on a PSD matrix. Every frame involved is
+    * d- or d²-sized; the corpus is only touched by the Gram build.
+    */
+  def qPcaPower2(s: SparkSession, dir: String): DataFrame = {
+    val full = fullGram(s, dir)
+    def matvec(q: DataFrame): DataFrame =
+      full.join(broadcast(q), col("j") === col("k"))
+        .groupBy("i")
+        .agg(sum(col("g").cast("decimal(38,0)") * col("q")).cast("long").as("v"))
+        .select(col("i").as("k"), col("v"))
+    val v1 = full.filter(col("j") === 0).select(col("i").as("k"), col("g").as("v"))
+    val q1 = quantize(v1).localCheckpoint()
+    val q2 = quantize(matvec(q1)).localCheckpoint()
+    val q3 = quantize(matvec(q2)).localCheckpoint()
+    val num = full
+      .join(broadcast(q3.select(col("k").as("i"), col("q").as("qa"))), Seq("i"))
+      .join(broadcast(q3.select(col("k").as("j"), col("q").as("qb"))), Seq("j"))
+      .agg(sum(col("qa").cast("decimal(38,0)") * col("g") * col("qb")).as("rn"))
+    val den = q3.agg(sum(col("q") * col("q")).as("rd"))
+    q1.select(col("k").as("i"), col("q").as("q1"))
+      .join(q2.select(col("k").as("i"), col("q").as("q2")), Seq("i"))
+      .join(q3.select(col("k").as("i"), col("q").as("q3")), Seq("i"))
+      .crossJoin(broadcast(num)).crossJoin(broadcast(den))
+      .select(col("i"), col("q1"), col("q2"), col("q3"),
+        when(col("rd") === 0L, lit(null).cast("long"))
+          .otherwise(expr("CAST((rn * 1000) DIV rd AS BIGINT)")).as("rho_milli"))
+      .orderBy("i")
+  }
+
   override def prewarm(s: SparkSession, dir: String): Unit = {
     gram(s, dir).count(); ()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gram_matrix" -> (qGramMatrix(_, _)),
-    "q_pca_power" -> (qPcaPower(_, _)))
+    "q_pca_power" -> (qPcaPower(_, _)),
+    "q_pca_power2" -> (qPcaPower2(_, _)))
 
   private val sqlQ8 =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 256.0) AS BIGINT))"
@@ -106,6 +174,34 @@ object Spectral extends QueryModule {
     "q_gram_matrix" ->
       s"""$sqlGramCtes
          |SELECT i, j, g FROM tri ORDER BY i, j""".stripMargin,
+    "q_pca_power2" ->
+      s"""$sqlGramCtes,
+         |fullm AS (
+         |  SELECT i, j, g FROM tri
+         |  UNION ALL
+         |  SELECT j AS i, i AS j, g FROM tri WHERE i <> j),
+         |v1 AS (SELECT i AS k, g AS v FROM fullm WHERE j = 0),
+         |q1 AS (SELECT k, CAST(sign(v) AS BIGINT) * ((abs(v) * 256)
+         |    // greatest((SELECT max(abs(v)) FROM v1), 1)) AS q FROM v1),
+         |v2 AS (SELECT fullm.i AS k,
+         |    CAST(sum(CAST(fullm.g AS HUGEINT) * q1.q) AS BIGINT) AS v
+         |  FROM fullm JOIN q1 ON fullm.j = q1.k GROUP BY fullm.i),
+         |q2 AS (SELECT k, CAST(sign(v) AS BIGINT) * ((abs(v) * 256)
+         |    // greatest((SELECT max(abs(v)) FROM v2), 1)) AS q FROM v2),
+         |v3 AS (SELECT fullm.i AS k,
+         |    CAST(sum(CAST(fullm.g AS HUGEINT) * q2.q) AS BIGINT) AS v
+         |  FROM fullm JOIN q2 ON fullm.j = q2.k GROUP BY fullm.i),
+         |q3 AS (SELECT k, CAST(sign(v) AS BIGINT) * ((abs(v) * 256)
+         |    // greatest((SELECT max(abs(v)) FROM v3), 1)) AS q FROM v3),
+         |num AS (SELECT sum(CAST(a.q AS HUGEINT) * fullm.g * b.q) AS rn
+         |  FROM fullm JOIN q3 a ON a.k = fullm.i JOIN q3 b ON b.k = fullm.j),
+         |den AS (SELECT CAST(sum(q * q) AS BIGINT) AS rd FROM q3)
+         |SELECT q1.k AS i, q1.q AS q1, q2.q AS q2, q3.q AS q3,
+         |  CASE WHEN den.rd = 0 THEN NULL
+         |    ELSE CAST((num.rn * 1000) // den.rd AS BIGINT) END AS rho_milli
+         |FROM q1 JOIN q2 ON q2.k = q1.k JOIN q3 ON q3.k = q1.k
+         |CROSS JOIN num CROSS JOIN den
+         |ORDER BY i""".stripMargin,
     "q_pca_power" ->
       s"""$sqlGramCtes,
          |fullm AS (

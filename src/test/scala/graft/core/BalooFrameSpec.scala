@@ -66,6 +66,53 @@ class BalooFrameSpec extends SparkSpec {
       Seq(5L, 6.0, 8.0), Seq(6L, 8.0, 10.0)))
   }
 
+  test("frame comparison vs scalar drops string cols (test_frame.py::test_comparison)") {
+    // df_small analog: a f32, b i64, c str — `df < 3` keeps only a, b as bools
+    val dfSmall = new BalooFrame(
+      Seq((0L, 1.0f, 1L, "a"), (1L, 2.0f, 2L, "Abc"), (2L, 3.0f, 3L, "goosfraba"),
+        (3L, 4.0f, 4L, "   dC  "), (4L, 5.0f, 5L, "secrETariat"))
+        .toDF("idx", "a", "b", "c"), Seq("idx"))
+    val out = (dfSmall < 3.0).toDF.orderBy("idx")
+    assertCols(out, Seq("idx", "a", "b")) // string col c dropped
+    assertFrame(out, Seq(
+      Seq(0L, true, true), Seq(1L, true, true), Seq(2L, false, false),
+      Seq(3L, false, false), Seq(4L, false, false)))
+    // the other comparison dunders share the dispatch
+    assertFrame((dfSmall >= 3.0).toDF.orderBy("idx").select("a"),
+      Seq(Seq(false), Seq(false), Seq(true), Seq(true), Seq(true)))
+    assertFrame((dfSmall === 3.0).toDF.orderBy("idx").select("b"),
+      Seq(Seq(false), Seq(false), Seq(true), Seq(false), Seq(false)))
+    assertFrame((dfSmall =!= 3.0).toDF.orderBy("idx").select("b"),
+      Seq(Seq(true), Seq(true), Seq(false), Seq(true), Seq(true)))
+  }
+
+  test("frame isna/notna masks NULLs per non-string column (test_frame.py::test_isna)") {
+    // reference fixture uses −999 sentinels; ours is SQL NULL (SURVEY §1.3)
+    val df = new BalooFrame(
+      Seq((0L, Some(0.0f), Some(4L)), (1L, Some(1.0f), None), (2L, None, None),
+        (3L, Some(2.0f), Some(6L)), (4L, None, Some(6L)))
+        .toDF("idx", "a", "b"), Seq("idx"))
+    assertFrame(df.isna().toDF.orderBy("idx"), Seq(
+      Seq(0L, false, false), Seq(1L, false, true), Seq(2L, true, true),
+      Seq(3L, false, false), Seq(4L, true, false)))
+    assertFrame(df.notna().toDF.orderBy("idx"), Seq(
+      Seq(0L, true, true), Seq(1L, true, false), Seq(2L, false, false),
+      Seq(3L, true, true), Seq(4L, false, true)))
+  }
+
+  test("df ⊕ list applies one scalar per numeric column for all five dunders") {
+    // generic.py:78-91 / frame.py:270-289: +, -, *, /, ** all dispatch
+    // through _element_wise_operation with list support
+    assertFrame((df1 - Seq(1.0, 2.0)).toDF.orderBy("idx").limit(2), Seq(
+      Seq(2L, -1.0, -1.0), Seq(3L, 0.0, 0.0)))
+    assertFrame((df1 / Seq(2.0, 0.5)).toDF.orderBy("idx").limit(2), Seq(
+      Seq(2L, 0.0, 2.0), Seq(3L, 0.5, 4.0)))
+    assertFrame((df1 ** Seq(2.0, 1.0)).toDF.orderBy("idx").limit(2), Seq(
+      Seq(2L, 0.0, 1.0), Seq(3L, 1.0, 2.0)))
+    // arity mismatch fails fast, as the reference raises ValueError
+    intercept[IllegalArgumentException](df1 - Seq(1.0))
+  }
+
   test("astype per-column map") {
     val out = df1.astype(Map("b" -> "long")).toDF.orderBy("idx")
     assertFrame(out, Seq(

@@ -42,6 +42,39 @@ class SpectralSpec extends SparkSpec {
     }
   }
 
+  test("3-round power iteration matches brute force; Rayleigh quotient grows") {
+    val g = bruteGram(bruteVectors())
+    def quant(v: Array[Long]): Array[Long] = {
+      val vmax = math.max(v.map(math.abs).max, 1L)
+      v.map(x => math.signum(x) * (math.abs(x) * 256L / vmax))
+    }
+    def matvec(q: Array[Long]): Array[Long] =
+      Array.tabulate(64)(i =>
+        (0 until 64).map(j => BigInt(g(i)(j)) * q(j)).sum.toLong)
+    val q1 = quant(Array.tabulate(64)(i => g(i)(0)))
+    val q2 = quant(matvec(q1))
+    val q3 = quant(matvec(q2))
+    def rayleighMilli(q: Array[Long]): Long = {
+      var num = BigInt(0)
+      for (i <- 0 until 64; j <- 0 until 64) num += BigInt(q(i)) * g(i)(j) * q(j)
+      val den = q.map(x => BigInt(x) * x).sum
+      ((num * 1000) / den).toLong
+    }
+    val got = Spectral.qPcaPower2(spark, dir).collect()
+    assert(got.length == 64)
+    got.foreach { r =>
+      val i = r.getAs[Int]("i")
+      assert(r.getAs[Long]("q1") == q1(i), s"q1[$i]")
+      assert(r.getAs[Long]("q2") == q2(i), s"q2[$i]")
+      assert(r.getAs[Long]("q3") == q3(i), s"q3[$i]")
+      assert(r.getAs[Long]("rho_milli") == rayleighMilli(q3), "rho")
+    }
+    // convergence gauge: on a PSD matrix the Rayleigh quotient of the
+    // power iterate is non-decreasing round over round
+    assert(rayleighMilli(q1) <= rayleighMilli(q2))
+    assert(rayleighMilli(q2) <= rayleighMilli(q3))
+  }
+
   test("power step equals brute-force G·(G·e0)") {
     val g = bruteGram(bruteVectors())
     val v1 = Array.tabulate(64)(i => g(i)(0))
