@@ -123,10 +123,12 @@ object Bench {
       val name = m.getClass.getSimpleName.stripSuffix("$")
       val out = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, (String, Double)]]()
       val t = new Thread(() => {
-        // One scheduler pool per thread: FAIR mode round-robins across
-        // pools, but WITHIN a pool (incl. the default) jobs are FIFO —
-        // same-pool concurrent jobs would head-of-line block each other.
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"prep-$name")
+        // Prep threads share the DEFAULT pool on purpose: within a pool
+        // jobs run FIFO, which lets the critical-path chain (the posting
+        // index every other module waits on) hog the executor early with
+        // the independent builds backfilling — per-thread FAIR pools
+        // here measurably slowed the wall (+7 s at sf0.1) by splitting
+        // resources away from the chain everything blocks on.
         val t0 = System.nanoTime()
         try {
           m.prewarm(spark, sfDir)

@@ -72,11 +72,13 @@ object CorpusStats extends QueryModule {
       simIndex(s, dir).groupBy("doc_id").agg(count(lit(1)).as("nf")))
 
   override def prewarm(s: SparkSession, dir: String): Unit = {
+    // the streaming drain first: it does NOT depend on the posting
+    // index, so it overlaps the Fingerprints chain instead of queueing
+    // behind the simIndex's wait on it (the drain is the monitor's
+    // standing state, not any single query's cost)
+    qKsDriftStream(s, dir).count()
     simIndex(s, dir).count()
-    simNorms(s, dir).count()
-    // run the streaming drain in prep: the monitor's standing state,
-    // not any single query's cost
-    qKsDriftStream(s, dir).count(); ()
+    simNorms(s, dir).count(); ()
   }
 
   def qDocSimSparse(s: SparkSession, dir: String): DataFrame = {
