@@ -15,7 +15,8 @@ object SparkEntry {
     Seq(Relational, Aggregations, GroupBys, Joins, Positional,
       Strings, MissingData, Dedup, TextAnalysis, Similarity, Fingerprints,
       UnaryMath, Windows, MultimodalQ, SetOps, IoQ, Sampling, Pipelines,
-      CorpusQuality, CorpusStats, Spectral, Lakehouse, TpchDeep, PandasExt)
+      CorpusQuality, CorpusStats, Spectral, Lakehouse, TpchDeep, PandasExt,
+      StreamingQ)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

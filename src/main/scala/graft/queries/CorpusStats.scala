@@ -157,39 +157,12 @@ object CorpusStats extends QueryModule {
     * continuously and the finisher is the cheap read.
     */
   def qKsDriftStream(s: SparkSession, dir: String): DataFrame =
-    ksFinisher(graft.Caches.memo(s, dir, "ks_stream_hist") {
-      import java.nio.file.{Files, Paths}
-      val docsPath = s"$dir/documents.parquet"
-      val schema = s.read.parquet(docsPath).schema
-      // file-source contract: a watch DIRECTORY (the corpus file/parts
-      // hard-copied into a temp dir — tiny next to the data itself; a
-      // production stream watches the landing dir directly)
-      val watch = Files.createTempDirectory("graft_ks_stream")
-      watch.toFile.deleteOnExit()
-      val src = Paths.get(docsPath)
-      if (Files.isDirectory(src)) {
-        val it = Files.list(src).iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.endsWith(".parquet"))
-            Files.copy(p, watch.resolve(p.getFileName.toString))
-        }
-      } else Files.copy(src, watch.resolve("documents.parquet"))
-      val qname = "ks_hist_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = s.readStream.schema(schema).parquet(watch.toString)
-        .filter(col("source").isin(SrcA, SrcB))
+    ksFinisher(graft.streaming.StreamDrain.drained(
+      s, dir, "ks_stream_hist", "documents")(
+      _.filter(col("source").isin(SrcA, SrcB))
         .groupBy("n_chars")
         .agg(sum(when(col("source") === SrcA, 1L).otherwise(0L)).as("ca"),
-          sum(when(col("source") === SrcB, 1L).otherwise(0L)).as("cb"))
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try require(q.awaitTermination(300000),
-        "availableNow drain of the drift histogram timed out")
-      finally q.stop()
-      s.table(qname)
-    })
+          sum(when(col("source") === SrcB, 1L).otherwise(0L)).as("cb"))))
 
   /** Per-source z-score standardization of doc length — the feature-
     * scaling verb (pandas `(x - mean) / std`) in its one-shuffle

@@ -488,7 +488,7 @@ object Windows extends QueryModule {
 
   // DuckDB reads ts as TIMESTAMP_NS; CAST to TIMESTAMP truncates to the
   // same micros Spark's events loader derives (ts_ns DIV 1000).
-  private val evSql =
+  private[queries] val evSql =
     """SELECT event_id, user_id, event_type, value,
       |  CAST(ts AS TIMESTAMP) AS ts FROM events""".stripMargin
 

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Drive a streaming plan over a corpus table and hand back its standing
+  * result table — the bridge that lets STREAMING operators answer the
+  * driver's batch correctness gate (same oracle SQL as their batch
+  * twins, so batch↔stream equivalence is a CHECKED claim, not a spec
+  * assertion).
+  *
+  * Shape: file source over a temp watch dir holding the corpus
+  * file/parts (the landing-dir stand-in; a production stream watches
+  * the real landing dir), the caller's transform, complete-mode drain
+  * through an `availableNow` trigger into a memory sink. The drained
+  * table is memoized per (session, corpus, kind) via [[graft.Caches]] —
+  * in production the monitor runs continuously and consumers read its
+  * sink; here the one drain IS that standing state. Complete mode on
+  * purpose: an append-mode windowed aggregate holds back windows the
+  * final watermark has not passed, so end-of-stream results would be a
+  * strict subset of batch — the wrong thing to hash against a batch
+  * oracle. State stays bounded by the aggregate's key space (value
+  * range / window count), which is the operator author's contract.
+  */
+object StreamDrain {
+
+  /** @param kind   cache key + memory-sink name prefix
+    * @param table  corpus table name (reads `dir/table.parquet`)
+    * @param build  the streaming transform (must be a streamable
+    *               complete-mode aggregate)
+    */
+  def drained(s: SparkSession, dir: String, kind: String, table: String)(
+      build: DataFrame => DataFrame): DataFrame =
+    graft.Caches.memo(s, dir, kind) {
+      val srcPath = s"$dir/$table.parquet"
+      val schema = s.read.parquet(srcPath).schema
+      val watch = Files.createTempDirectory(s"graft_stream_$kind")
+      watch.toFile.deleteOnExit()
+      val src = Paths.get(srcPath)
+      if (Files.isDirectory(src)) {
+        val it = Files.list(src).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet"))
+            Files.copy(p, watch.resolve(p.getFileName.toString))
+        }
+      } else Files.copy(src, watch.resolve(s"$table.parquet"))
+      val qname = kind + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = build(s.readStream.schema(schema).parquet(watch.toString))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(300000),
+        s"availableNow drain of $kind timed out")
+      finally q.stop()
+      s.table(qname)
+    }
+}

@@ -21,13 +21,19 @@ object StreamOps {
 
   /** Tumbling event-time window aggregation with a watermark —
     * the streaming twin of `graft.queries.Windows.qWindowTumbling`.
+    * The value sum accumulates in DECIMAL(28,4) (cast back to double on
+    * output): streaming state folds incrementally in arrival order, so
+    * a raw double sum would be order-dependent and never hash-match the
+    * batch twin's oracle — the same Q.dsum discipline every batch sum
+    * follows.
     */
   def tumblingCounts(events: DataFrame,
       watermark: String = "10 minutes", window_ : String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n"), col("sum_value"))
 
