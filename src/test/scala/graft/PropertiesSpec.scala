@@ -277,7 +277,15 @@ class PropertiesSpec extends SparkSpec {
       // the two-moment prefix difference (exact cents² in decimal)
       "rolling_std" -> (() => queries.PandasExt.qRollingStd(spark, sf).collect().toSeq),
       // the two-phase histogram median (rank test over keyed cumsums)
-      "robust_stats" -> (() => queries.CorpusStats.qRobustStats(spark, sf).collect().toSeq))
+      "robust_stats" -> (() => queries.CorpusStats.qRobustStats(spark, sf).collect().toSeq),
+      // round-7: the block-decomposition rolling extrema (block-keyed
+      // windows + position joins), the re-quantized 3-round power
+      // iteration (integer floor-divisions must not see layout), the
+      // frame-API compare/isna/list legs, and the size-scaled exact
+      // all-pairs grid (K from the artifact count)
+      "pca_power2" -> (() => queries.Spectral.qPcaPower2(spark, sf).collect().toSeq),
+      "frame_compare" -> (() => queries.Relational.qFrameCompare(spark, sf).collect().toSeq),
+      "dedup_embed" -> (() => queries.Similarity.qDedupEmbed(spark, sf).collect().toSeq))
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val baseline = qs.map { case (n, f) => n -> f() }.toMap
     try {

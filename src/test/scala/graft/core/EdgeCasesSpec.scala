@@ -26,6 +26,21 @@ class EdgeCasesSpec extends SparkSpec {
     assert(row.isNullAt(0) && row.getLong(1) == 0L)
   }
 
+  test("empty/degenerate frame comparisons keep schema; all-string frame compares to index-only") {
+    // empty frame: bool schema out, zero rows
+    val lt = (empty < 1.0).toDF
+    assert(lt.columns.toSeq == Seq("idx", "a", "b") && lt.count() == 0)
+    assert(lt.schema.fields.filter(_.name != "idx")
+      .forall(_.dataType.typeName == "boolean"))
+    assert((empty.isna()).toDF.count() == 0)
+    // a frame whose data columns are ALL strings: comparison drops them
+    // all (reference _drop_str_columns), leaving just the index
+    val allStr = new BalooFrame(
+      Seq((1L, "x"), (2L, "y")).toDF("idx", "s"), Seq("idx"))
+    assert((allStr < 1.0).toDF.columns.toSeq == Seq("idx"))
+    assert((allStr < 1.0).toDF.count() == 2)
+  }
+
   test("empty frame: join with non-empty yields empty inner, full right") {
     val nonEmpty = new BalooFrame(
       Seq((1L, 9L, 1.0)).toDF("idx", "a", "b"), Seq("idx"))
