@@ -231,8 +231,14 @@ object Bench {
           .getBytes("UTF-8"))
     } catch { case _: Throwable => }
 
-    // Compact line: short keys, 2-decimal seconds, slowest first; fold
-    // the smallest entries into _other if the line would overflow.
+    // Compact line: short keys, 2-decimal seconds, slowest first. ONLY
+    // the sequentially-timed (heavy) entries print individually — their
+    // numbers are clean and comparable round over round; pooled entries
+    // are contention-inflated by design (a 0.4 s query can read 1.6 s
+    // inside the pool), so surfacing them per-name would read as phantom
+    // regressions. The pool folds into _other/_other_n (per-query pool
+    // numbers live in the detail file), and the self-sizing fallback
+    // still folds heavy tail entries if the line would overflow.
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)/*$".r.findFirstMatchIn(sfDir).map(_.group(1))
     val sfJson = sfNum.getOrElse {
       "\"" + sfDir.flatMap {
@@ -249,12 +255,17 @@ object Bench {
     val failedJson =
       if (failedSeq.isEmpty) ""
       else failedSeq.sorted.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    val entries = results
+    val pooledSum = lightResults.toArray(Array.empty[(String, Double)])
+      .collect { case (_, v) if v >= 0 => v }.sum
+    val pooledN = lightResults.size()
+    val entries = heavyResults
       .map { case (k, v) => (k.stripPrefix("q_"), v) }
       .sortBy { case (_, v) => -v }
     def line(shown: Seq[(String, Double)], restN: Int, restSum: Double): String = {
       val qs = shown.map { case (k, v) => "\"" + k + "\":" + f2(v) } ++
-        (if (restN > 0) Seq("\"_other\":" + f2(restSum), "\"_other_n\":" + restN)
+        (if (restN + pooledN > 0)
+          Seq("\"_other\":" + f2(restSum + pooledSum),
+            "\"_other_n\":" + (restN + pooledN))
          else Nil)
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","q_sum":${f2(qSum)},""" +
         s""""seq_wall":${f2(heavyWall)},"pool_wall":${f2(lightWall)},"pool":$poolSize,""" +
