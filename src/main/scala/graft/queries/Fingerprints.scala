@@ -758,7 +758,7 @@ object Fingerprints extends QueryModule {
   /** Contamination overlap threshold: ≥ this many distinct shared
     * shingle hashes with the benchmark set ⇒ the doc is removed.
     */
-  private val DecontamT = 5
+  private[queries] val DecontamT = 5
 
   /** Benchmark decontamination — remove training documents that overlap
     * an evaluation set (here the deterministic stand-in: docs with
@@ -1023,7 +1023,7 @@ object Fingerprints extends QueryModule {
     * pure prefilter (no false negatives + exact confirm), so both
     * queries provably produce this same result set.
     */
-  private def sqlDecontaminate: String =
+  private[queries] def sqlDecontaminate: String =
     s"""WITH shingled AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
        |dh AS (SELECT doc_id, list_distinct($sqlHs) AS dh FROM shingled),
        |bench AS (SELECT list(DISTINCT h) AS bl FROM (

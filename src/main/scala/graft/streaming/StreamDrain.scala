@@ -27,10 +27,15 @@ object StreamDrain {
 
   /** @param kind   cache key + memory-sink name prefix
     * @param table  corpus table name (reads `dir/table.parquet`)
-    * @param build  the streaming transform (must be a streamable
-    *               complete-mode aggregate)
+    * @param mode   "complete" for aggregates (default — see object doc),
+    *               "append" for STATELESS transforms and streaming
+    *               dedup: those emit rows the moment they pass, nothing
+    *               is held back by a watermark, so the drained table is
+    *               the full batch-equivalent result
+    * @param build  the streaming transform
     */
-  def drained(s: SparkSession, dir: String, kind: String, table: String)(
+  def drained(s: SparkSession, dir: String, kind: String, table: String,
+      mode: String = "complete")(
       build: DataFrame => DataFrame): DataFrame =
     graft.Caches.memo(s, dir, kind) {
       val srcPath = s"$dir/$table.parquet"
@@ -49,7 +54,7 @@ object StreamDrain {
       val qname = kind + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = build(s.readStream.schema(schema).parquet(watch.toString))
         .writeStream.format("memory").queryName(qname)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try require(q.awaitTermination(300000),
