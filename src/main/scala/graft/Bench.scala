@@ -160,7 +160,10 @@ object Bench {
       val ok = (1 until reps).forall { _ =>
         try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       }
-      (name, fn, if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue)
+      // per-run seconds: with reps > 2 the loop above runs several
+      // warmups, and classifying on their SUM would promote everything
+      val denom = math.max(1, reps - 1)
+      (name, fn, if (ok) (System.nanoTime() - t0) / 1e9 / denom else Double.MaxValue)
     }
     val heavyNames = warm.sortBy(-_._3)
       .filter(w => w._3 >= HeavyFloorSec || w._3 == Double.MaxValue)

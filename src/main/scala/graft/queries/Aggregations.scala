@@ -159,8 +159,11 @@ object Aggregations extends QueryModule {
     * partials (shuffle = one 15-value row per partition), then the 6
     * correlations are pure driver-free double arithmetic on that row —
     * the textbook corr = (n·Σxy − Σx·Σy)/(√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²))
-    * spelled identically in the oracle so the doubles match bitwise
-    * (same discipline as the grouped-moments queries). At 100 TB this
+    * spelled identically in the oracle, rounded at 1e-6: once the
+    * second-moment sums pass 2^53 (sf0.1+) the decimal→double CAST
+    * itself differs by an ulp between engines (single rounding vs
+    * DuckDB's significand/10^scale double rounding), so raw quotients
+    * stop being bitwise-comparable. At 100 TB this
     * is a single scan; nothing grows with n but the partial count.
     */
   private val CorrCols = Seq(
@@ -188,9 +191,16 @@ object Aggregations extends QueryModule {
     def varTerm(a: String) =
       sqrt(col("nd") * col(s"d_$a$a") - col(s"d_$a") * col(s"d_$a"))
     val offDiag = pairs.filter { case (a, b) => a != b }
+    // round(·, 6): the decimal sums pass 2^53 at sf0.1+, where the
+    // decimal→double cast itself diverges by an ulp between engines
+    // (Spark single-rounds via BigDecimal; DuckDB divides the int128
+    // significand by 10^scale in floating point — a double rounding),
+    // so the raw quotients are no longer bitwise-comparable. A
+    // correlation at 1e-6 grain is square in the repo's rounding rule
+    // (|v|·10⁶ ≤ 10⁶ ≪ 2^53).
     val corrs = aggd.select(offDiag.map { case (a, b) =>
-      ((col("nd") * col(s"d_$a$b") - col(s"d_$a") * col(s"d_$b")) /
-        (varTerm(a) * varTerm(b))).as(s"c_$a$b")
+      round((col("nd") * col(s"d_$a$b") - col(s"d_$a") * col(s"d_$b")) /
+        (varTerm(a) * varTerm(b)), 6).as(s"c_$a$b")
     }: _*)
     val stackArgs = offDiag.map { case (a, b) =>
       val (na, nb) = (CorrCols.find(_._2 == a).get._1, CorrCols.find(_._2 == b).get._1)
@@ -254,8 +264,9 @@ object Aggregations extends QueryModule {
     } yield (a, b)
     def src(a: String) = CorrCols.find(_._2 == a).get._1
     // DECIMAL(19,4) (vs Spark's (18,4)) forces DuckDB's int128 multiply
-    // path — both engines' decimal intermediates are EXACT either way,
-    // so the final double casts still match bitwise.
+    // path — both engines' decimal intermediates are EXACT either way;
+    // the final double casts can differ by an ulp past 2^53 (see the
+    // Spark-side comment), absorbed by the shared round(·, 6).
     val momentSums = (
       CorrCols.map { case (c, a) =>
         s"sum(CAST($c AS DECIMAL(19,4))) AS s_$a" } ++
@@ -269,7 +280,7 @@ object Aggregations extends QueryModule {
     def varT(a: String) = s"sqrt(nd * d_$a$a - d_$a * d_$a)"
     val rows = pairs.filter { case (a, b) => a != b }.map { case (a, b) =>
       s"SELECT '${src(a)}' AS col_x, '${src(b)}' AS col_y,\n" +
-        s"|    (nd * d_$a$b - d_$a * d_$b) / (${varT(a)} * ${varT(b)}) AS corr FROM d"
+        s"|    round((nd * d_$a$b - d_$a * d_$b) / (${varT(a)} * ${varT(b)}), 6) AS corr FROM d"
     }.mkString("\n|  UNION ALL\n|  ")
     s"""WITH s AS (SELECT count(*) AS n,
        |    $momentSums

@@ -59,7 +59,10 @@ class HeavyHittersCorrSpec extends SparkSpec {
     val li = graft.Tables.lineitem(spark, sf)
     got.keys.foreach { case (a, b) =>
       val want = li.agg(corr(col(a), col(b))).collect()(0).getDouble(0)
-      assert(math.abs(got((a, b)) - want) < 1e-9,
+      // the query publishes round(corr, 6) — the cross-engine grain for
+      // wide-decimal→double casts past 2^53 — so agreement with the
+      // unrounded estimator is to half that grain
+      assert(math.abs(got((a, b)) - want) <= 5e-7,
         s"corr($a,$b): ${got((a, b))} vs Spark's $want")
     }
     // correlation is bounded; the synthetic generator draws the four

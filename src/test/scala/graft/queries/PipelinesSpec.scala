@@ -167,6 +167,13 @@ class PipelinesSpec extends SparkSpec {
   }
 
   test("posting-index append maintenance: idempotent, side caches evicted") {
+    // Reset the artifact chain first: an earlier suite in this shared
+    // session (PlanGuardSpec builds every registered query's plan, and
+    // building qDedupIndexAppend executes the merge) may already have
+    // committed the append — which would send the first run below down
+    // the empty-increment no-op path with zero evictions. clearAll puts
+    // the session back at the pre-append state regardless of suite order.
+    graft.Caches.clearAll()
     @volatile var evictions = 0
     graft.Caches.onClear(_ => evictions += 1)
     val first = Fingerprints.qDedupIndexAppend(spark, sf).collect().toSeq
