@@ -48,12 +48,26 @@ object Caches {
   private val sideCaches =
     new java.util.concurrent.CopyOnWriteArrayList[Option[SparkSession] => Unit]()
 
+  // Caches derived from RAW CORPUS TABLES only (not from replaceable
+  // artifacts — e.g. FrozenLayout's range layouts): these stay valid
+  // across replace() and are evicted only on clear()/clearAll().
+  private val invalidateOnly =
+    new java.util.concurrent.CopyOnWriteArrayList[Option[SparkSession] => Unit]()
+
   /** Register a side-cache eviction hook, run on [[clear]] (with the
-    * session) and [[clearAll]] (with None = evict everything).
-    * Idempotent callbacks only; registered once per module
-    * (object-init time).
+    * session), [[clearAll]] (with None = evict everything), AND every
+    * [[replace]] — anything DERIVED from a replaceable artifact must
+    * re-derive when the artifact changes. Idempotent callbacks only;
+    * registered once per module (object-init time).
     */
   def onClear(f: Option[SparkSession] => Unit): Unit = { sideCaches.add(f); () }
+
+  /** Register an eviction hook for caches derived from the raw corpus
+    * only: fired by [[clear]]/[[clearAll]] (corpus or session
+    * invalidation) but NOT by [[replace]] (an artifact append does not
+    * change the underlying tables these caches read).
+    */
+  def onInvalidate(f: Option[SparkSession] => Unit): Unit = { invalidateOnly.add(f); () }
 
   /** Memoize `build` (persisted MEMORY_AND_DISK) under
     * (session, dir, kind). The first caller builds; concurrent callers
@@ -109,6 +123,7 @@ object Caches {
     // per clear/memo cycle (clear is idempotent, but the listener bus
     // would bloat).
     sideCaches.forEach(f => f(Some(s)))
+    invalidateOnly.forEach(f => f(Some(s)))
   }
 
   /** Unpersist and drop everything (explicit invalidation hook — e.g.
@@ -118,6 +133,7 @@ object Caches {
     entries.values().forEach(h => h.peek.foreach(_.unpersist(false)))
     entries.clear()
     sideCaches.forEach(f => f(None))
+    invalidateOnly.forEach(f => f(None))
     // `hooked` intentionally survives — see clear().
   }
 }

@@ -35,17 +35,10 @@ object Ordinal {
   def withOrdinal(df: DataFrame, order: Seq[Column], name: String = "ord"): DataFrame = {
     // Range layout first; partition i then strictly precedes i+1 in the
     // total order, so a per-partition offset + local row_number is a
-    // correct global ordinal. The layout is localCheckpoint-FROZEN
-    // because it has two consumers (the offsets aggregate and the main
-    // windowed branch) and RangePartitioner's sampled bounds are only
-    // consistent across executions when exchange reuse happens to fire
-    // — Scan.runningAggs measured the two branches disagreeing at sf0.1
-    // under a persist() wrapper, overlapping the ordinals. One frozen
-    // materialization = both consumers provably share boundaries (the
-    // written-layout-table production analog).
-    val ranged = df.repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    // correct global ordinal. The layout is frozen and shared through
+    // [[FrozenLayout]] — see there for why two consumers of a SAMPLED
+    // range exchange need one materialization, and why it is memoized.
+    val ranged = FrozenLayout.freeze(df, order)
     // Tiny aggregation: one row per partition → running offsets.
     val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(

@@ -80,19 +80,10 @@ object Scan {
     val vals = specs.zipWithIndex.map { case ((v, _, _), i) => v.as(s"__v$i") }
     // The range layout is consumed TWICE (the per-partition offsets
     // aggregate and the main windowed branch), and correctness requires
-    // both to see the SAME partition boundaries. RangePartitioner
-    // SAMPLES its bounds, and whether two physical executions of this
-    // subplan agree depends on exchange reuse — which is not guaranteed
-    // (measured: at sf0.1 under a persist() wrapper the two branches got
-    // different bounds, baking overlapping ordinals into the cached
-    // artifact; invisible at sf0.01 where the sample covers the data).
-    // localCheckpoint freezes ONE materialized layout both consumers
-    // read — the in-session analog of writing the range-layout table
-    // once, which is what a 100 TB pipeline does here anyway.
-    val ranged = df.select(col("*") +: vals: _*)
-      .repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    // both to see the SAME partition boundaries — the layout is frozen
+    // and shared through [[FrozenLayout]] (see there for the measured
+    // divergence under a persist() wrapper and the memoization rationale).
+    val ranged = FrozenLayout.freeze(df.select(col("*") +: vals: _*), order)
     val pagg = specs.zipWithIndex.map { case ((_, how, _), i) =>
       aggF(how)(col(s"__v$i")).as(s"__pagg$i") }
     val offs = specs.zipWithIndex.map { case ((_, how, _), i) =>
