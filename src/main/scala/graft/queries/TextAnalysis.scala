@@ -418,6 +418,65 @@ object TextAnalysis extends QueryModule {
       .limit(PmiTopK)
   }
 
+  private val Bm25Terms = Seq("customer", "join", "window")
+  private val Bm25TopK = 10
+
+  /** BM25-shaped retrieval scoring: top-[[Bm25TopK]] documents for a
+    * fixed [[Bm25Terms]] conjunctive-ish query — the ranking half of a
+    * search index over the corpus (the tf·idf probe above reports
+    * per-doc salient terms; this ranks DOCS for a query, with BM25's
+    * saturation and length normalization, k1=1.2, b=0.75).
+    *
+    * Cross-engine exactness: no `ln` in any comparison (libm vs JVM
+    * differ in the last ulp, which flips ranks on near-ties). The IDF
+    * is carried as the exact rational (N−df+½)/(df+½) =
+    * (2N−2df+1)/(2df+1) — per-term rank-equivalent to the log form
+    * (log is monotone; the cross-term sum weights rare terms harder
+    * than log-BM25, documented as this operator's scoring function).
+    * The per-term factor tf(k1+1)/(tf + k1(1−b+b·len·N/TL)) clears its
+    * denominators by 10·TL, giving the integer micro-score
+    *
+    *   s = ⌊10⁶·(2N−2df+1)·22·tf·TL / ((2df+1)·(10·TL·tf+3·TL+9·len·N))⌋
+    *
+    * carried in DECIMAL(38,0) (HUGEINT in the oracle): at web scale
+    * (N~10¹⁰ docs, TL~10¹³ tokens) the numerator peaks ~10³³ — inside
+    * DECIMAL(38,0), far past int64 where non-ANSI Spark would silently
+    * wrap. Doc scores are exact integer SUMS of per-term micro-scores,
+    * so the top-k order is reproducible bit-for-bit on any engine.
+    *
+    * Scale shape: the query-term IN-list filters the exploded tokens
+    * BEFORE any shuffle (only query-term occurrences leave the scan —
+    * shuffle ∝ hits, not corpus); df is a |query|-row aggregate
+    * broadcast back; N/TL one scalar row cross-joined; per-doc lengths
+    * are map-only; top-k is TakeOrderedAndProject. A standing inverted
+    * index (the posting-artifact pattern) replaces the token scan when
+    * the query rate amortizes the build — same plan from the join on.
+    */
+  def qBm25Search(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val hits = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+    val tf = hits.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = hits.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tot = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tl"))
+    tf.join(broadcast(dfreq), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("s_micro", expr(
+        """CAST((CAST(2*n_docs - 2*df + 1 AS DECIMAL(38,0)) * 22 * tf * tl
+          |       * 1000000)
+          |  DIV (CAST(2*df + 1 AS DECIMAL(38,0))
+          |       * (10*tl*tf + 3*tl + 9*dl*n_docs)) AS BIGINT)""".stripMargin))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum(col("s_micro")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
   /** Corpus-wide heavy hitters (frequent bigram collocations) via the
     * TWO-PHASE pigeonhole pattern — the way to find every term above a
     * support threshold at 100 TB WITHOUT shuffling the long tail:
@@ -478,6 +537,7 @@ object TextAnalysis extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> (qHeavyHitters(_, _)),
     "q_collocations_pmi" -> (qCollocationsPmi(_, _)),
+    "q_bm25_search" -> (qBm25Search(_, _)),
     "q_quality_classifier" -> (qQualityClassifier(_, _)),
     "q_text_charclass" -> (qTextCharclass(_, _)),
     "q_text_tfidf" -> (qTextTfidf(_, _)),
@@ -495,6 +555,30 @@ object TextAnalysis extends QueryModule {
   private val stopSql = inList(stopwords)
 
   val oracleSql: Map[String, String] = Map(
+    "q_bm25_search" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents),
+         |  lens AS (SELECT doc_id,
+         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |    FROM documents),
+         |  tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |      CAST(sum(dl) AS BIGINT) AS tl FROM lens),
+         |  hits AS (SELECT doc_id, term FROM tok
+         |    WHERE term IN ${inList(Bm25Terms)}),
+         |  tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |    FROM hits GROUP BY doc_id, term),
+         |  dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |    FROM hits GROUP BY term)
+         |SELECT doc_id, count(*) AS n_hit,
+         |  CAST(sum(CAST((CAST(2*n_docs - 2*df + 1 AS HUGEINT) * 22 * tf * tl
+         |            * 1000000)
+         |      // (CAST(2*df + 1 AS HUGEINT)
+         |          * (10*tl*tf + 3*tl + 9*dl*n_docs)) AS BIGINT))
+         |    AS BIGINT) AS score
+         |FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id), tot
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id
+         |LIMIT $Bm25TopK""".stripMargin,
     "q_gopher_rules" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
          |  FROM documents),

