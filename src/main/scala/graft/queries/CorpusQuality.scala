@@ -110,6 +110,48 @@ object CorpusQuality extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM familiarity — the sequence-structure complement of
+    * [[qTextUnigramScore]] and the log-free stand-in for perplexity
+    * filtering (CCNet-style: score each document under a corpus LM,
+    * gate on the score): mean add-one-smoothed transition probability
+    * over a document's bigrams, p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V).
+    * Each probability is rational, quantized as the integer
+    * micro-probability ⌊10⁹·(c_ab+1)/(cl+V)⌋ — one DECIMAL(38,0) DIV
+    * (HUGEINT in the oracle; c_ab·10⁹ passes int64 once a bigram
+    * repeats ~10¹⁰ times at web scale) — and summed per doc as exact
+    * integers, so the score is bit-identical on any engine (a log-prob
+    * formulation would differ in libm's last ulp). A doc needs ≥ 2
+    * tokens to have bigrams; shorter docs drop out (same rows both
+    * engines, documented).
+    *
+    * Scale: one bigram hash agg (shuffle = distinct pairs) + a
+    * vocabulary-sized left-marginal aggregate derived from it; the
+    * occurrence⋈counts joins shuffle on the pair/word keys (AQE
+    * broadcasts when the count side fits); V rides in as a broadcast
+    * scalar; the per-doc sum is a doc-keyed hash agg.
+    */
+  def qTextBigramScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bg = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("ws"),
+        explode(expr("sequence(0, size(ws) - 2)")).as("i"))
+      .select(col("doc_id"), expr("ws[i]").as("w1"), expr("ws[i + 1]").as("w2"))
+    val pairs = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val left = pairs.groupBy("w1").agg(sum(col("c_ab")).as("cl"))
+    val vsize = docs.select(explode(split(col("text"), " ")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    bg.join(pairs, Seq("w1", "w2"))
+      .join(left, Seq("w1"))
+      .crossJoin(broadcast(vsize))
+      .withColumn("m", expr(
+        "CAST((CAST(c_ab + 1 AS DECIMAL(38,0)) * 1000000000) DIV (cl + v) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("m")).as("score"))
+      .withColumn("mean_micro", expr("score DIV n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** Temperature-scaled source mixture (α = 0.5): sampling weight per
     * source ∝ √count, plus the per-source document budget out of
     * [[MixBudget]]. The √count doubles are quantized to integer
@@ -600,6 +642,7 @@ object CorpusQuality extends QueryModule {
     "q_text_repetition" -> (qTextRepetition(_, _)),
     "q_text_boilerplate" -> (qTextBoilerplate(_, _)),
     "q_text_unigram_score" -> (qTextUnigramScore(_, _)),
+    "q_text_bigram_score" -> (qTextBigramScore(_, _)),
     "q_text_entropy" -> (qTextEntropy(_, _)),
     "q_mix_weights" -> (qMixWeights(_, _)),
     "q_mix_resample" -> (qMixResample(_, _)),
@@ -696,6 +739,25 @@ object CorpusQuality extends QueryModule {
         |  CAST(sum(vocab.cw) AS DOUBLE) / (count(*) * any_value(tot.ct)) AS familiarity
         |FROM toks JOIN vocab ON toks.w = vocab.w, tot
         |GROUP BY toks.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_bigram_score" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2
+        |  FROM d, LATERAL unnest(generate_series(0, len(ws) - 2)) AS t(i)),
+        |p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM bg GROUP BY w1, w2),
+        |lm AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS cl FROM p GROUP BY w1),
+        |vs AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+        |m AS (SELECT doc_id,
+        |    CAST((CAST(c_ab + 1 AS HUGEINT) * 1000000000) // (cl + v) AS BIGINT)
+        |      AS m
+        |  FROM bg JOIN p USING (w1, w2) JOIN lm USING (w1), vs)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(m) AS BIGINT) AS score,
+        |  CAST(sum(m) AS BIGINT) // count(*) AS mean_micro
+        |FROM m
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
     "q_epoch_schedule" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,

@@ -176,6 +176,32 @@ class CorpusQualitySpec extends SparkSpec {
     }
   }
 
+  test("bigram-LM micro-scores reproduce an exact BigInt brute force") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ").toSeq)
+    val bigrams = docs.flatMap { case (id, ws) =>
+      ws.sliding(2).collect { case Seq(a, b) => (id, a, b) } }
+    val cAb = bigrams.groupBy(t => (t._2, t._3)).view.mapValues(g => BigInt(g.length)).toMap
+    val cl = bigrams.groupBy(_._2).view.mapValues(g => BigInt(g.length)).toMap
+    val v = BigInt(docs.flatMap(_._2).distinct.length)
+    // per-doc exact integer micro-probability sums — the query's scoring
+    // function independently spelled with BigInt
+    val want = bigrams.groupBy(_._1).view.mapValues { g =>
+      val ms = g.map { case (_, a, b) =>
+        ((cAb((a, b)) + 1) * BigInt(1000000000)) / (cl(a) + v) }
+      (g.length.toLong, ms.sum.toLong, (ms.sum / BigInt(g.length)).toLong)
+    }.toMap
+    val got = CorpusQuality.qTextBigramScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("score"),
+          r.getAs[Long]("mean_micro")))).toMap
+    assert(got == want)
+    // smoothing keeps every micro-probability strictly positive
+    assert(got.values.forall(_._2 > 0))
+  }
+
   private object QCache {
     lazy val qualityGate =
       CorpusQuality.qQualityGate(spark, "/root/testdata/sf0.001").collect()
