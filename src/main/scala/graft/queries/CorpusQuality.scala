@@ -628,9 +628,14 @@ object CorpusQuality extends QueryModule {
     val feats = rawC.join(tgtC, Seq("f"), "left_outer")
       .na.fill(0L, Seq("ct"))
       .crossJoin(broadcast(totals))
+      // (ct+1)·10⁹ passes int64 once a bucket holds ~10¹⁰ grams (a
+      // 100 TB corpus holds ~10¹³ — a hot bucket easily does), where
+      // non-ANSI Spark wraps silently and the DuckDB oracle throws —
+      // the numerators are carried in DECIMAL(38,0)/HUGEINT; each DIV
+      // quotient is ≤ 10⁹, so the delta itself stays comfortably BIGINT.
       .select(col("f"),
-        (expr("((ct + 1) * 1000000000L) DIV (tt + 4096)")
-          - expr("((cr + 1) * 1000000000L) DIV (rt + 4096)")).as("delta"))
+        (expr("CAST(((CAST(ct AS DECIMAL(38,0)) + 1) * 1000000000) DIV (tt + 4096) AS BIGINT)")
+          - expr("CAST(((CAST(cr AS DECIMAL(38,0)) + 1) * 1000000000) DIV (rt + 4096) AS BIGINT)")).as("delta"))
     grams.join(broadcast(feats), Seq("f"))
       .groupBy("doc_id")
       .agg(sum(col("delta")).as("score"), count(lit(1)).as("n_grams"))
@@ -673,8 +678,10 @@ object CorpusQuality extends QueryModule {
         |tot AS (SELECT (SELECT sum(ct) FROM tgt) AS tt,
         |    (SELECT sum(cr) FROM raw) AS rt),
         |feats AS (SELECT raw.f,
-        |    ((COALESCE(ct, 0) + 1) * 1000000000) // (tt + 4096)
-        |    - ((cr + 1) * 1000000000) // (rt + 4096) AS delta
+        |    CAST(((CAST(COALESCE(ct, 0) AS HUGEINT) + 1) * 1000000000)
+        |      // (tt + 4096) AS BIGINT)
+        |    - CAST(((CAST(cr AS HUGEINT) + 1) * 1000000000)
+        |      // (rt + 4096) AS BIGINT) AS delta
         |  FROM raw LEFT JOIN tgt ON raw.f = tgt.f, tot),
         |scored AS (SELECT doc_id, CAST(sum(delta) AS BIGINT) AS score,
         |    count(*) AS n_grams

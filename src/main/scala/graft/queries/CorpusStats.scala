@@ -92,7 +92,11 @@ object CorpusStats extends QueryModule {
     dots
       .join(norms.select(col("doc_id").as("doc_a"), col("nf").as("nfa")), Seq("doc_a"))
       .join(norms.select(col("doc_id").as("doc_b"), col("nf").as("nfb")), Seq("doc_b"))
-      .withColumn("simq", expr("(dot * dot * 1000000L) DIV (nfa * nfb)"))
+      // dot²·10⁶ passes int64 once a doc pair shares ~3·10⁶ features
+      // (book-length docs), where non-ANSI Spark wraps silently and the
+      // DuckDB oracle throws — carried in DECIMAL(38,0)/HUGEINT.
+      .withColumn("simq", expr(
+        "CAST((CAST(dot AS DECIMAL(38,0)) * dot * 1000000) DIV (nfa * nfb) AS BIGINT)"))
       .select("doc_a", "doc_b", "dot", "simq")
       .orderBy(col("simq").desc, col("doc_a"), col("doc_b"))
       .limit(SimTopK)
@@ -127,6 +131,12 @@ object CorpusStats extends QueryModule {
     * — cumsum + max over HISTOGRAM rows (value-range-bounded, so the
     * unpartitioned window is fine), shared verbatim by the batch and
     * streaming drift monitors so their equivalence is by construction.
+    * The cross products cum·n leave int64 past ~3·10⁹ docs per source
+    * (where DuckDB's int128 would keep going while Spark wraps
+    * silently), so the max runs over DECIMAL(38,0) (HUGEINT in the
+    * oracle) and only the final presentation column casts back to
+    * BIGINT; the ks division uses double(na)·double(nb) — the same
+    * IEEE product on both engines — never an integer product.
     */
   private def ksFinisher(hist: DataFrame): DataFrame = {
     val w = Window.orderBy("n_chars")
@@ -137,11 +147,13 @@ object CorpusStats extends QueryModule {
       .withColumn("na", sum(col("ca")).over(Window.partitionBy()))
       .withColumn("nb", sum(col("cb")).over(Window.partitionBy()))
       .groupBy("na", "nb")
-      .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("ks_num"))
-      .select(col("na").as("n_a"), col("nb").as("n_b"), col("ks_num"),
-        when(col("na") * col("nb") === 0L, lit(null).cast("double"))
-          .otherwise(round(col("ks_num").cast("double") /
-            (col("na") * col("nb")), 6)).as("ks"))
+      .agg(max(abs(col("cuma").cast("decimal(38,0)") * col("nb") -
+        col("cumb").cast("decimal(38,0)") * col("na"))).as("ks_num_d"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("ks_num_d").cast("long").as("ks_num"),
+        when(col("na") === 0L || col("nb") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("ks_num_d").cast("double") /
+            (col("na").cast("double") * col("nb")), 6)).as("ks"))
   }
 
   /** The STREAMING drift monitor as a driver-checkable query: the
@@ -171,13 +183,19 @@ object CorpusStats extends QueryModule {
     * All decisions exact: z = (x·n − Σx) / √(n·Σx² − (Σx)²) keeps both
     * operands exact integers; the one sqrt and one division are IEEE-
     * exactly-rounded on identical inputs, so round(z, 4) matches
-    * cross-engine (population σ; constant columns → z = 0).
+    * cross-engine (population σ; constant columns → z = 0). Σx² and the
+    * n·Σx² − (Σx)² variance term leave int64 past ~10¹⁰ chars² per
+    * source — and DuckDB's sums auto-promote to int128 while Spark's
+    * wrap, the SILENT-wrong-answer divergence — so both are carried in
+    * DECIMAL(38,0) (HUGEINT in the oracle); round(z, 4) absorbs the
+    * final cast-to-double ulp.
     */
   def qStandardize(s: SparkSession, dir: String): DataFrame = {
     val m = Tables.documents(s, dir).groupBy("source")
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s1"),
-        sum(col("n_chars") * col("n_chars")).as("s2"))
-      .withColumn("v", col("n") * col("s2") - col("s1") * col("s1"))
+        sum(col("n_chars").cast("decimal(38,0)") * col("n_chars")).as("s2"))
+      .withColumn("v", col("n") * col("s2") -
+        col("s1").cast("decimal(38,0)") * col("s1"))
     Tables.documents(s, dir)
       .select("doc_id", "source", "n_chars")
       .join(broadcast(m), Seq("source"))
@@ -193,10 +211,15 @@ object CorpusStats extends QueryModule {
     * over time) — "is the error rate drifting?" telemetry as one hash
     * aggregate: x = epoch day, y = value in exact cents, all five
     * moments (n, Σx, Σy, Σxy, Σx²) exact integer sums, so
-    * slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) divides two exact int64
+    * slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) divides two exact
     * scalars (IEEE-exactly-rounded, identical cross-engine) and the
     * intercept reuses the unrounded slope in the same expression shape
-    * on both engines. The catastrophic cancellation that makes naive
+    * on both engines. Σxy/Σx² and the moment products leave int64 at
+    * ~10¹² events (x·y ≈ 2·10⁹ per row) — and DuckDB's sums
+    * auto-promote to int128 while Spark's wrap silently — so they are
+    * carried in DECIMAL(38,0) (HUGEINT in the oracle); Σx and Σy
+    * themselves stay within int64 at that scale and keep their BIGINT
+    * output type. The catastrophic cancellation that makes naive
     * float OLS moments unusable is a non-issue in integer arithmetic —
     * the subtraction is exact. One shuffle of 5 group rows; regression
     * over 10¹² events costs one scan.
@@ -208,15 +231,19 @@ object CorpusStats extends QueryModule {
         expr("CAST(round(value * 100) AS BIGINT)").as("y"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
     // Degenerate group (all events on one epoch day): the denominator
     // n·Σx² − (Σx)² is exactly 0 and the slope is undefined — NULL on
     // both engines, never an engine-dependent Inf/NaN. The intercept
     // inherits the NULL through arithmetic propagation.
     m.withColumn("sl",
-        when(col("n") * col("sxx") - col("sx") * col("sx") === 0L, lit(null))
-          .otherwise((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")))
+        when(col("n") * col("sxx") -
+            col("sx").cast("decimal(38,0)") * col("sx") === 0L, lit(null))
+          .otherwise((col("n") * col("sxy") -
+              col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+            (col("n") * col("sxx") -
+              col("sx").cast("decimal(38,0)") * col("sx")).cast("double")))
       .select(col("event_type"), col("n"), col("sx"), col("sy"),
         round(col("sl"), 6).as("slope"),
         round((col("sy").cast("double") - col("sl") * col("sx").cast("double")) /
@@ -279,10 +306,20 @@ object CorpusStats extends QueryModule {
       .join(broadcast(rm), Seq("source"))
       .join(broadcast(cm), Seq("lang"))
       .crossJoin(broadcast(n))
-      .withColumn("e6", expr("(r * c * 1000000L) DIV nn"))
+      // EVERY product here leaves int64 at corpus scale (r·c and nn·o
+      // reach 10²⁰ at 10¹⁰ docs): the deviation, its square, and the
+      // nn·r·c denominator are all carried in DECIMAL(38,0) (HUGEINT in
+      // the oracle). Shared exactness ceiling: dev² < 10³⁸ holds to
+      // ~10⁹ docs in the profiled table — past that BOTH engines leave
+      // the exact regime together (Spark nulls, DuckDB raises) instead
+      // of Spark silently wrapping while the oracle errors.
+      .withColumn("e6", expr(
+        "CAST((CAST(r AS DECIMAL(38,0)) * c * 1000000) DIV nn AS BIGINT)"))
       .withColumn("chi6", expr(
-        """CAST((CAST((nn * o - r * c) AS DECIMAL(38,0))
-          |  * (nn * o - r * c) * 1000000) DIV (nn * r * c) AS BIGINT)""".stripMargin))
+        """CAST(((CAST(nn AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)
+          |  * (CAST(nn AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)
+          |  * 1000000)
+          |  DIV (CAST(nn AS DECIMAL(38,0)) * r * c) AS BIGINT)""".stripMargin))
       .select("source", "lang", "o", "e6", "chi6")
       .orderBy("source", "lang")
   }
@@ -299,12 +336,21 @@ object CorpusStats extends QueryModule {
   def qSourceHhi(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .groupBy("source").agg(count(lit(1)).as("c"))
+      // c² and N² pass int64 past ~3·10⁹ docs (one source holding 10¹⁰
+      // docs → c² = 10²⁰), where non-ANSI Spark wraps silently and the
+      // DuckDB oracle throws — Σc², the ppm numerators, and N²·10³ are
+      // carried in DECIMAL(38,0) (HUGEINT in the oracle; N²·10³ peaks
+      // ~10²³ at 10¹⁰ docs, well inside 38 digits).
       .agg(count(lit(1)).as("n_sources"), sum(col("c")).as("n_docs"),
-        max(col("c")).as("mx"), sum(col("c") * col("c")).as("s2"))
+        max(col("c")).as("mx"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
       .select(col("n_sources"), col("n_docs"),
-        expr("(mx * 1000000L) DIV n_docs").as("max_share_ppm"),
-        expr("(s2 * 1000000L) DIV (n_docs * n_docs)").as("hhi_ppm"),
-        expr("(n_docs * n_docs * 1000L) DIV s2").as("eff_sources_milli"))
+        expr("CAST((CAST(mx AS DECIMAL(38,0)) * 1000000) DIV n_docs AS BIGINT)")
+          .as("max_share_ppm"),
+        expr("CAST((s2 * 1000000) DIV (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)")
+          .as("hhi_ppm"),
+        expr("CAST((CAST(n_docs AS DECIMAL(38,0)) * n_docs * 1000) DIV s2 AS BIGINT)")
+          .as("eff_sources_milli"))
 
   /** Robust per-source location/scale: the (lower) median and the
     * median absolute deviation — the outlier-immune siblings of
@@ -381,12 +427,15 @@ object CorpusStats extends QueryModule {
         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
         |    CAST(sum(c) AS BIGINT) AS n_docs,
         |    CAST(max(c) AS BIGINT) AS mx,
-        |    CAST(sum(c * c) AS BIGINT) AS s2
+        |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
         |  FROM c)
         |SELECT n_sources, n_docs,
-        |  CAST((mx * 1000000) // n_docs AS BIGINT) AS max_share_ppm,
-        |  CAST((s2 * 1000000) // (n_docs * n_docs) AS BIGINT) AS hhi_ppm,
-        |  CAST((n_docs * n_docs * 1000) // s2 AS BIGINT) AS eff_sources_milli
+        |  CAST((CAST(mx AS HUGEINT) * 1000000) // n_docs AS BIGINT)
+        |    AS max_share_ppm,
+        |  CAST((s2 * 1000000) // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT)
+        |    AS hhi_ppm,
+        |  CAST((CAST(n_docs AS HUGEINT) * n_docs * 1000) // s2 AS BIGINT)
+        |    AS eff_sources_milli
         |FROM a""".stripMargin,
     "q_chi2_assoc" ->
       """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
@@ -397,10 +446,11 @@ object CorpusStats extends QueryModule {
         |  FROM documents GROUP BY lang),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents)
         |SELECT cells.source, cells.lang, cells.o,
-        |  CAST((rm.r * cm.c * 1000000) // n.nn AS BIGINT) AS e6,
-        |  CAST((CAST(n.nn * cells.o - rm.r * cm.c AS HUGEINT)
-        |    * (n.nn * cells.o - rm.r * cm.c) * 1000000)
-        |    // (n.nn * rm.r * cm.c) AS BIGINT) AS chi6
+        |  CAST((CAST(rm.r AS HUGEINT) * cm.c * 1000000) // n.nn AS BIGINT) AS e6,
+        |  CAST(((CAST(n.nn AS HUGEINT) * cells.o - CAST(rm.r AS HUGEINT) * cm.c)
+        |    * (CAST(n.nn AS HUGEINT) * cells.o - CAST(rm.r AS HUGEINT) * cm.c)
+        |    * 1000000)
+        |    // (CAST(n.nn AS HUGEINT) * rm.r * cm.c) AS BIGINT) AS chi6
         |FROM cells JOIN rm USING (source) JOIN cm USING (lang) CROSS JOIN n
         |ORDER BY cells.source, cells.lang""".stripMargin,
     "q_doc_sim_sparse" ->
@@ -419,7 +469,8 @@ object CorpusStats extends QueryModule {
          |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT doc_a, doc_b, dot,
-         |  CAST((dot * dot * 1000000) // (na.nf * nb.nf) AS BIGINT) AS simq
+         |  CAST((CAST(dot AS HUGEINT) * dot * 1000000) // (na.nf * nb.nf)
+         |    AS BIGINT) AS simq
          |FROM dots
          |JOIN norms na ON na.doc_id = doc_a
          |JOIN norms nb ON nb.doc_id = doc_b
@@ -475,15 +526,16 @@ object CorpusStats extends QueryModule {
       """WITH m AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
         |  FROM (SELECT event_type,
         |      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS x,
         |      CAST(round(value * 100) AS BIGINT) AS y
         |    FROM events)
         |  GROUP BY event_type),
-        |s AS (SELECT *, CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-        |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
-        |      CAST(n * sxx - sx * sx AS DOUBLE) END AS sl FROM m)
+        |s AS (SELECT *, CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+        |    ELSE CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+        |      CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) END AS sl FROM m)
         |SELECT event_type, n, sx, sy, round(sl, 6) AS slope,
         |  round((CAST(sy AS DOUBLE) - sl * CAST(sx AS DOUBLE)) /
         |    CAST(n AS DOUBLE), 4) AS intercept
@@ -513,12 +565,13 @@ object CorpusStats extends QueryModule {
       """WITH m AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(n_chars) AS BIGINT) AS s1,
-        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        |    CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS s2
         |  FROM documents GROUP BY source)
         |SELECT d.doc_id, d.source, d.n_chars,
-        |  CASE WHEN m.n * m.s2 - m.s1 * m.s1 = 0 THEN 0.0
+        |  CASE WHEN m.n * m.s2 - CAST(m.s1 AS HUGEINT) * m.s1 = 0 THEN 0.0
         |    ELSE round(CAST(d.n_chars * m.n - m.s1 AS DOUBLE) /
-        |      sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)), 4) END AS z
+        |      sqrt(CAST(m.n * m.s2 - CAST(m.s1 AS HUGEINT) * m.s1 AS DOUBLE)), 4)
+        |    END AS z
         |FROM documents d JOIN m ON d.source = m.source
         |ORDER BY d.doc_id""".stripMargin)
 }
