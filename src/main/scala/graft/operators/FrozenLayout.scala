@@ -1,7 +1,6 @@
 package graft.operators
 
-import java.util.concurrent.ConcurrentHashMap
-
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
@@ -28,51 +27,100 @@ import org.apache.spark.sql.functions._
   * collector. A bench pass re-invoking each query 2–3 times turned that
   * into hundreds of orphaned block sets, evicting the shared per-corpus
   * artifacts and collapsing throughput (measured 204 s vs ~78 s at
-  * sf0.1). Keying by the CANONICALIZED input plan collapses re-built
-  * identical frames onto one layout — the in-session analog of writing
-  * the range-layout table once per corpus, which is what a 100 TB
-  * pipeline does here anyway.
+  * sf0.1). Keying by the CANONICALIZED range-partitioned plan collapses
+  * re-built identical frames onto one layout — the in-session analog of
+  * writing the range-layout table once per corpus, which is what a
+  * 100 TB pipeline does here anyway.
   *
-  * Lifecycle mirrors [[graft.Caches]]: entries are dropped (and their
-  * checkpoint blocks unpersisted) through the same eviction hooks, so
-  * `Caches.clear`/`clearAll`/`replace` invalidate layouts too; the same
-  * corpus-dir-immutability assumption applies.
+  * Key discipline: the memo key is the canonicalized ANALYZED PLAN of
+  * the `repartitionByRange(order)` frame itself, so the order's resolved
+  * expressions (exprIds normalized structurally) are part of the key.
+  * An earlier revision keyed on `order.map(_.toString)`, which collides
+  * for two same-named columns resolving to different attributes (e.g.
+  * the two sides of a self-join) — pinned by FrozenLayoutSpec.
+  *
+  * Lifecycle:
+  *  - entries are evicted (and their checkpoint blocks unpersisted)
+  *    through [[graft.Caches]]'s invalidation hooks, so `Caches.clear`/
+  *    `clearAll` invalidate layouts too (same corpus-dir-immutability
+  *    assumption); an artifact `replace()` does NOT evict them (layouts
+  *    read raw corpus tables only);
+  *  - every session that ever froze a layout gets ONE app-end listener
+  *    (registered here, not via Caches.memo, so sessions that use only
+  *    the scan machinery still release their blocks on stop);
+  *  - the memo is LRU-BOUNDED ([[MaxEntries]]): a long-lived interactive
+  *    session constructing many distinct frames evicts (and releases)
+  *    the least-recently-used layout instead of pinning blocks forever;
+  *  - an eviction racing an in-flight build is closed by the holder: the
+  *    builder re-checks the evicted flag after materializing and
+  *    releases its own blocks if it lost the race.
   */
 object FrozenLayout {
 
-  // Key: canonicalized analyzed plan (structural equality, exprIds
-  // normalized) + the order's SQL rendering (name + direction; exprId
-  // free). A HASH alone would risk collisions = silent wrong layouts.
-  private type Key = (SparkSession, Any, String)
+  /** LRU bound on memoized layouts per JVM. Each entry pins one frame's
+    * localCheckpoint blocks; the in-repo workloads need a handful per
+    * corpus, so 64 is generous headroom, not a tuning knob.
+    */
+  private[operators] val MaxEntries = 64
+
+  // Key: the canonicalized analyzed plan of the range-partitioned frame
+  // (order expressions included, exprIds normalized). A HASH alone would
+  // risk collisions = silent wrong layouts; the full plan is structural.
+  private type Key = (SparkSession, Any)
 
   private final class Holder(build: () => DataFrame) {
     @volatile private var builtOpt: Option[DataFrame] = None
-    lazy val df: DataFrame = { val d = build(); builtOpt = Some(d); d }
-    def peek: Option[DataFrame] = builtOpt
+    @volatile private var evicted = false
+    lazy val df: DataFrame = {
+      val d = build()
+      builtOpt = Some(d)
+      // Eviction may have raced the build: peek() returned None then, so
+      // the evictor could not release — the builder does it itself.
+      if (evicted) release(d)
+      d
+    }
+    /** Mark evicted and release blocks if (and whenever) they exist. */
+    def evict(): Unit = { evicted = true; builtOpt.foreach(release) }
   }
 
-  private val entries = new ConcurrentHashMap[Key, Holder]()
+  // Access-ordered LRU; ALL map operations synchronize on the map (the
+  // build itself runs outside the lock, serialized by the holder's lazy
+  // val). removeEldestEntry releases the evictee's blocks.
+  private val entries =
+    new java.util.LinkedHashMap[Key, Holder](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Key, Holder]): Boolean =
+        if (size() > MaxEntries) { e.getValue.evict(); true } else false
+    }
+
+  private val hooked =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  private def invalidate(sOpt: Option[SparkSession]): Unit =
+    entries.synchronized {
+      val it = entries.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (sOpt.forall(_ eq e.getKey._1)) {
+          e.getValue.evict()
+          it.remove()
+        }
+      }
+    }
 
   locally {
     // onInvalidate, not onClear: layouts read raw corpus tables only,
     // so an artifact replace() (e.g. the posting-index append) does not
     // stale them — evicting there forced a full layout-rebuild storm
     // right after every append query in a bench pass.
-    graft.Caches.onInvalidate { sOpt =>
-      val it = entries.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (sOpt.forall(_ eq e.getKey._1)) {
-          e.getValue.peek.foreach(release)
-          it.remove()
-        }
-      }
-    }
+    graft.Caches.onInvalidate(invalidate)
   }
 
   /** Best-effort release of a localCheckpoint's blocks: the checkpointed
     * frame's plan is a [[LogicalRDD]] over the cached RDD — unpersist it
     * directly instead of waiting for the ContextCleaner's GC cycle.
+    * Idempotent (unpersist of an unpersisted RDD is a no-op).
     */
   private def release(df: DataFrame): Unit =
     try {
@@ -85,14 +133,23 @@ object FrozenLayout {
     */
   def freeze(df: DataFrame, order: Seq[Column]): DataFrame = {
     val s = df.sparkSession
-    val planKey: Any = df.queryExecution.analyzed.canonicalized
-    val orderKey = order.map(_.toString).mkString(",")
-    entries
-      .computeIfAbsent((s, planKey, orderKey),
-        _ => new Holder(() =>
-          df.repartitionByRange(order: _*)
-            .withColumn("__pid", spark_partition_id())
-            .localCheckpoint()))
-      .df
+    if (hooked.add(s)) {
+      s.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(
+            end: SparkListenerApplicationEnd): Unit = invalidate(Some(s))
+      })
+    }
+    val ranged = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val key: Key = (s, ranged.queryExecution.analyzed.canonicalized)
+    val holder = entries.synchronized {
+      var h = entries.get(key)
+      if (h == null) {
+        h = new Holder(() => ranged.localCheckpoint())
+        entries.put(key, h)
+      }
+      h
+    }
+    holder.df
   }
 }

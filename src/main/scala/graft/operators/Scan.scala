@@ -42,12 +42,23 @@ object Scan {
     */
   val AssertTotalOrderKey = "spark.graft.scan.assertTotalOrder"
 
+  /** The order key as a groupable expression: `col(x).desc`-style
+    * columns wrap a SortOrder node, which `groupBy` rejects with an
+    * AnalysisException instead of performing the check — strip to the
+    * child (direction is irrelevant to key uniqueness).
+    */
+  private def sortKey(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.stripSortOrder(c)
+
   private def assertTotalOrder(df: DataFrame, order: Seq[Column]): Unit = {
     val on = df.sparkSession.conf.getOption(AssertTotalOrderKey)
       .exists(_.equalsIgnoreCase("true"))
     if (on) {
-      val tied = df.groupBy(order: _*).count()
-        .filter(col("count") > 1).limit(1).count()
+      // aliased count: a bare .count() column would collide with (and
+      // silently check) any pre-existing user column named "count"
+      val tied = df.groupBy(order.map(sortKey): _*)
+        .agg(count(lit(1)).as("__tied_n"))
+        .filter(col("__tied_n") > 1).limit(1).count()
       require(tied == 0L,
         "Scan order has tied keys: running aggregates over a non-total " +
           "order are partition-layout-dependent. Append a unique " +

@@ -46,6 +46,72 @@ class FrozenLayoutSpec extends SparkSpec {
     assert(!(before eq rebuilt), "clearAll() must evict frozen layouts")
   }
 
+  test("same-named columns from a self-join get distinct layouts") {
+    graft.Caches.clearAll()
+    // two attributes that PRETTY-PRINT identically ("v") but resolve to
+    // different sides of a self-join: a string-rendered order key would
+    // collide, silently serving a layout frozen under the other side's
+    // values — the memo must key on the resolved plan instead
+    val left = spark.range(100).select(col("id"), (col("id") % 7).as("v"))
+    val right = spark.range(100).select(col("id"), (col("id") % 13).as("v"))
+    val j = left.join(right, "id")
+    val a = FrozenLayout.freeze(j, Seq(left("v")))
+    val b = FrozenLayout.freeze(j, Seq(right("v")))
+    assert(!(a eq b), "orders resolving to different attributes must not collide")
+  }
+
+  test("memo is LRU-bounded and releases evicted checkpoint blocks") {
+    graft.Caches.clearAll()
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    // overfill the memo well past the cap with distinct plans
+    (0 until FrozenLayout.MaxEntries + 16).foreach { i =>
+      FrozenLayout.freeze(
+        spark.range(50 + i).select(col("id"), (col("id") % 5).as("v")),
+        Seq(col("id")))
+    }
+    val pinned = spark.sparkContext.getPersistentRDDs.size - baseline
+    assert(pinned <= FrozenLayout.MaxEntries,
+      s"evicted layouts must unpersist: $pinned blocks pinned, cap ${FrozenLayout.MaxEntries}")
+    graft.Caches.clearAll()
+    assert(spark.sparkContext.getPersistentRDDs.size <= baseline,
+      "clearAll must release every layout's blocks")
+  }
+
+  test("concurrent freeze/invalidate never strands checkpoint blocks") {
+    graft.Caches.clearAll()
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    // hammer: 4 freezer threads over a rotating set of distinct plans,
+    // racing a thread that invalidates everything repeatedly — the
+    // build/evict race (eviction while a build is in flight) must not
+    // leave blocks pinned once everything settles
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val freezers = (0 until 4).map { t =>
+      new Thread(() => {
+        try {
+          (0 until 25).foreach { i =>
+            FrozenLayout.freeze(
+              spark.range(40 + (t * 25 + i) % 10)
+                .select(col("id"), (col("id") % 3).as("v")),
+              Seq(col("id"))).count()
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      }, s"flspec-freeze-$t")
+    }
+    val invalidator = new Thread(() => {
+      try (0 until 50).foreach { _ =>
+        graft.Caches.clearAll(); Thread.sleep(2)
+      } catch { case e: Throwable => errs.add(e) }
+    }, "flspec-invalidate")
+    (freezers :+ invalidator).foreach(_.start())
+    (freezers :+ invalidator).foreach(_.join())
+    // a freeze racing an invalidation may legitimately fail ITS job
+    // (checkpoint blocks evicted mid-read) — the invariant under test is
+    // the leak, not lossless concurrent invalidation
+    graft.Caches.clearAll()
+    assert(spark.sparkContext.getPersistentRDDs.size <= baseline,
+      s"blocks stranded after settling: ${spark.sparkContext.getPersistentRDDs.size - baseline}")
+  }
+
   test("ordinals stay correct and consistent across re-invocations") {
     graft.Caches.clearAll()
     // the at-scale failure mode was OVERLAPPING ordinals when the two
