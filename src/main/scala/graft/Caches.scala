@@ -88,6 +88,38 @@ object Caches {
       .df
   }
 
+  private final class LazySide[T](compute: () => T) { lazy val v: T = compute() }
+  private val sides =
+    new ConcurrentHashMap[(SparkSession, String, String), LazySide[Any]]()
+
+  /** Memoize a DRIVER-SIDE value derived from the corpus (a cutoff
+    * scalar, a trained merge list) under (session, dir, kind) — the
+    * non-DataFrame sibling of [[memo]]. Query CONSTRUCTION must be
+    * action-free once artifacts are warm (pinned by PlanGuardSpec), so
+    * any driver value a query derives at build time goes through here
+    * instead of re-running its job per construction. Evicted by
+    * [[clear]]/[[clearAll]] AND [[replace]] (a replaced artifact may
+    * feed the computation; conservative re-derive).
+    */
+  def memoSide[T](s: SparkSession, dir: String, kind: String)(
+      compute: => T): T = {
+    if (hooked.add(s)) {
+      s.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(
+            end: SparkListenerApplicationEnd): Unit = clear(s)
+      })
+    }
+    sides.computeIfAbsent((s, dir, kind),
+      _ => new LazySide(() => compute)).v.asInstanceOf[T]
+  }
+
+  private def dropSides(sOpt: Option[SparkSession]): Unit = {
+    val it = sides.entrySet().iterator()
+    while (it.hasNext) {
+      if (sOpt.forall(_ eq it.next().getKey._1)) it.remove()
+    }
+  }
+
   /** MAINTENANCE path: replace the artifact under (session, dir, kind)
     * with `build` — the in-memory analog of appending a batch to a
     * written table. The new frame is materialized BEFORE the old one is
@@ -103,6 +135,7 @@ object Caches {
     df.count() // materialize from the still-cached predecessor
     val old = entries.put((s, dir, kind), holder)
     if (old != null) old.peek.foreach(_.unpersist(false))
+    dropSides(Some(s))
     sideCaches.forEach(f => f(Some(s)))
     df
   }
@@ -122,6 +155,7 @@ object Caches {
     // memo() on the same session register a second identical listener
     // per clear/memo cycle (clear is idempotent, but the listener bus
     // would bloat).
+    dropSides(Some(s))
     sideCaches.forEach(f => f(Some(s)))
     invalidateOnly.forEach(f => f(Some(s)))
   }
@@ -132,6 +166,7 @@ object Caches {
   def clearAll(): Unit = {
     entries.values().forEach(h => h.peek.foreach(_.unpersist(false)))
     entries.clear()
+    dropSides(None)
     sideCaches.forEach(f => f(None))
     invalidateOnly.forEach(f => f(None))
     // `hooked` intentionally survives — see clear().

@@ -27,10 +27,18 @@ object Tables {
     spark
   }
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    prep(spark)
-    spark.read.parquet(s"$sfDir/$name.parquet")
-  }
+  /** Memoized per (session, dir, table): `spark.read.parquet` re-infers
+    * the footer schema on every call (a small job at toy scale, a
+    * full file-listing at real scale) — one logical frame per table per
+    * corpus makes query CONSTRUCTION action-free (PlanGuardSpec) and
+    * lets Catalyst share the relation across plans. The frame is a lazy
+    * scan, not a cache: queries still read parquet with pushdown.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Caches.memoSide(spark, sfDir, s"table_$name") {
+      prep(spark)
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

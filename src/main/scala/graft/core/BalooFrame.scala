@@ -4,7 +4,7 @@ import graft.operators.Ordinal
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.NumericType
+import org.apache.spark.sql.types.{BooleanType, NumericType, StringType}
 
 /** The pandas-shaped frame — analog of the reference `DataFrame`
   * (`/root/reference/baloo/core/frame.py:18`): named columns + explicit
@@ -84,55 +84,77 @@ final class BalooFrame(val df: DataFrame, val indexCols: Seq[String]) {
     }
     new BalooFrame(df.select(projected: _*), indexCols)
   }
-  def +(v: Double): BalooFrame = mapNumeric(_ + lit(v))
-  def -(v: Double): BalooFrame = mapNumeric(_ - lit(v))
-  def *(v: Double): BalooFrame = mapNumeric(_ * lit(v))
-  def /(v: Double): BalooFrame = mapNumeric(_ / lit(v))
-  def **(v: Double): BalooFrame = mapNumeric(pow(_, v))
+  /** Data columns participating in element-wise/comparison dispatch:
+    * the reference drops ONLY str-dtype columns (`_drop_str_columns`,
+    * frame.py:1309-1323 filters on dtype char 'S'), so bool and every
+    * numeric dtype participate. */
+  private def nonStrDataCols: Seq[String] = {
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    dataCols.filterNot(c => types(c) == StringType)
+  }
+  /** numpy promotes bool to int under arithmetic/comparison; Spark
+    * errors instead — mirror the promotion with an explicit cast. */
+  private def asNum(c: String): Column =
+    if (df.schema(c).dataType == BooleanType) col(c).cast("int") else col(c)
 
-  /** df ⊕ list — one scalar per numeric column, positionally
+  /** Element-wise dispatch (`_element_wise_operation`, frame.py:270-289):
+    * string data columns are DROPPED from the RESULT frame (the
+    * reference routes both the scalar and list forms through
+    * `_drop_str_columns`, asserted by `test_frame.py::test_op`) — not
+    * merely left untouched. The index always survives.
+    */
+  private def elementWise(f: Column => Column): BalooFrame =
+    new BalooFrame(
+      df.select(keep(indexCols) ++ nonStrDataCols.map(c => f(asNum(c)).as(c)): _*),
+      indexCols)
+  def +(v: Double): BalooFrame = elementWise(_ + lit(v))
+  def -(v: Double): BalooFrame = elementWise(_ - lit(v))
+  def *(v: Double): BalooFrame = elementWise(_ * lit(v))
+  def /(v: Double): BalooFrame = elementWise(_ / lit(v))
+  def **(v: Double): BalooFrame = elementWise(pow(_, v))
+
+  /** df ⊕ list — one scalar per non-string column, positionally
     * (frame.py:270-289 dispatches all five dunders through
     * `_element_wise_operation` with list support; generic.py:78-91).
+    * Shares [[elementWise]]'s drop-string-columns result semantics.
     */
-  def +(vs: Seq[Double]): BalooFrame = zipNumeric(vs, _ + _)
-  def -(vs: Seq[Double]): BalooFrame = zipNumeric(vs, _ - _)
-  def *(vs: Seq[Double]): BalooFrame = zipNumeric(vs, _ * _)
-  def /(vs: Seq[Double]): BalooFrame = zipNumeric(vs, _ / _)
-  def **(vs: Seq[Double]): BalooFrame = zipNumeric(vs, pow)
+  def +(vs: Seq[Double]): BalooFrame = zipNonStr(vs, _ + _)
+  def -(vs: Seq[Double]): BalooFrame = zipNonStr(vs, _ - _)
+  def *(vs: Seq[Double]): BalooFrame = zipNonStr(vs, _ * _)
+  def /(vs: Seq[Double]): BalooFrame = zipNonStr(vs, _ / _)
+  def **(vs: Seq[Double]): BalooFrame = zipNonStr(vs, pow)
 
   // ---- frame-level comparisons (generic.py:51-73, frame.py:260-268) ----
-  /** `df ⊜ scalar` → bool frame over the numeric columns; string data
-    * columns are DROPPED, matching the reference's `_drop_str_columns`
-    * dispatch (frame.py:260-268, asserted by
+  /** `df ⊜ scalar` → bool frame over the non-string columns; string
+    * data columns are DROPPED, matching the reference's
+    * `_drop_str_columns` dispatch (frame.py:260-268, asserted by
     * `tests/core/test_frame.py::test_comparison`).
     */
-  private def compareNumeric(f: Column => Column): BalooFrame =
+  private def compareNonStr(f: Column => Column): BalooFrame =
     new BalooFrame(
-      df.select(keep(indexCols) ++ numericDataCols.map(c => f(col(c)).as(c)): _*),
+      df.select(keep(indexCols) ++ nonStrDataCols.map(c => f(asNum(c)).as(c)): _*),
       indexCols)
-  def <(v: Double): BalooFrame = compareNumeric(_ < lit(v))
-  def <=(v: Double): BalooFrame = compareNumeric(_ <= lit(v))
-  def >(v: Double): BalooFrame = compareNumeric(_ > lit(v))
-  def >=(v: Double): BalooFrame = compareNumeric(_ >= lit(v))
-  def ===(v: Double): BalooFrame = compareNumeric(_ === lit(v))
-  def =!=(v: Double): BalooFrame = compareNumeric(_ =!= lit(v))
+  def <(v: Double): BalooFrame = compareNonStr(_ < lit(v))
+  def <=(v: Double): BalooFrame = compareNonStr(_ <= lit(v))
+  def >(v: Double): BalooFrame = compareNonStr(_ > lit(v))
+  def >=(v: Double): BalooFrame = compareNonStr(_ >= lit(v))
+  def ===(v: Double): BalooFrame = compareNonStr(_ === lit(v))
+  def =!=(v: Double): BalooFrame = compareNonStr(_ =!= lit(v))
 
   /** Frame-level missingness masks (generic.py:69-73 routes isna/notna
     * through the same `_comparison` dispatch, so they share its
     * drop-string-columns semantics); the reference's −999 sentinel test
     * (`test_frame.py::test_isna`) is SQL NULL here (SURVEY §1.3).
     */
-  def isna(): BalooFrame = compareNumeric(_.isNull)
-  def notna(): BalooFrame = compareNumeric(_.isNotNull)
-  private def zipNumeric(vs: Seq[Double], f: (Column, Column) => Column): BalooFrame = {
-    val nc = numericDataCols
+  def isna(): BalooFrame = compareNonStr(_.isNull)
+  def notna(): BalooFrame = compareNonStr(_.isNotNull)
+  private def zipNonStr(vs: Seq[Double], f: (Column, Column) => Column): BalooFrame = {
+    val nc = nonStrDataCols
     require(vs.length == nc.length, s"expected ${nc.length} scalars, got ${vs.length}")
-    val byCol = nc.zip(vs).toMap
-    val projected = df.columns.toSeq.map {
-      case c if byCol.contains(c) => f(col(c), lit(byCol(c))).as(c)
-      case c => col(c)
-    }
-    new BalooFrame(df.select(projected: _*), indexCols)
+    new BalooFrame(
+      df.select(keep(indexCols) ++ nc.zip(vs).map { case (c, v) =>
+        f(asNum(c), lit(v)).as(c) }: _*),
+      indexCols)
   }
 
   // ---- astype (frame.py:291-321) ----

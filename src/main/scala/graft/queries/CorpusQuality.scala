@@ -322,6 +322,12 @@ object CorpusQuality extends QueryModule {
     * reads the previous round's (vocab-sized) table once.
     */
   private def bpeTrain(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, String, Long)], Seq[DataFrame]) =
+    graft.Caches.memoSide(s, dir, "bpe_train") {
+      bpeTrainUncached(s, dir)
+    }
+
+  private def bpeTrainUncached(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, String, Long)], Seq[DataFrame]) = {
     var words = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("word"))
@@ -406,12 +412,16 @@ object CorpusQuality extends QueryModule {
     */
   def qBpeCompression(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (_, rounds) = bpeTrain(s, dir)
-    val stats = rounds.zipWithIndex.map { case (w, r) =>
-      val row = w.agg(
-        sum(col("wc") * size(split(col("seq"), US))).as("n_symbols"),
-        sum(col("wc")).as("n_occ")).head()
-      (r, row.getLong(0), row.getLong(1))
+    // per-round scalars memoized beside the trained model: construction
+    // re-runs no aggregate jobs once warm (PlanGuardSpec)
+    val stats = graft.Caches.memoSide(s, dir, "bpe_compression_stats") {
+      val (_, rounds) = bpeTrain(s, dir)
+      rounds.zipWithIndex.map { case (w, r) =>
+        val row = w.agg(
+          sum(col("wc") * size(split(col("seq"), US))).as("n_symbols"),
+          sum(col("wc")).as("n_occ")).head()
+        (r, row.getLong(0), row.getLong(1))
+      }
     }
     stats.toDF("round", "n_symbols", "n_occ")
       .select(col("round"), col("n_symbols"), col("n_occ"),

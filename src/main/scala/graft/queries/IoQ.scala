@@ -56,13 +56,27 @@ object IoQ extends QueryModule {
 
   /** CSV round-trip fidelity: parquet → to_csv → read_csv(schema) ≡
     * parquet. Distributed on both legs (no coalesce; reader splits
-    * files).
+    * files). The sink writes are memoized per (session, corpus) —
+    * query construction is action-free once warm (PlanGuardSpec), and
+    * the scratch files are identical on every rewrite anyway.
     */
   def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val src = Tables.nation(s, dir)
     val tmp = s"$scratch/csv/nation"
-    Io.writeCsv(src, tmp)
-    Io.readCsv(s, tmp, schema = Some(src.schema)).orderBy("n_nationkey")
+    graft.Caches.memoSide(s, dir, "ioq_write_csv")(Io.writeCsv(src, tmp))
+    val full = Io.readCsv(s, tmp, schema = Some(src.schema))
+    // skiprows leg (csv.py:16,39): a SINGLE headerless file in key order
+    // (skiprows needs a defined "first N lines"), re-read skipping the
+    // first two data lines — the survivors are exactly n_nationkey >= 2.
+    val tmpSkip = s"$scratch/csv/nation_skip"
+    graft.Caches.memoSide(s, dir, "ioq_write_csv_skip")(
+      src.repartition(1).sortWithinPartitions("n_nationkey")
+        .write.option("header", "false").mode("overwrite").csv(tmpSkip))
+    val skipped = Io.readCsv(s, tmpSkip, header = false,
+      schema = Some(src.schema), skiprows = 2)
+    full.withColumn("leg", lit("full"))
+      .unionAll(skipped.withColumn("leg", lit("skip")))
+      .orderBy("leg", "n_nationkey")
   }
 
   /** JSON-lines round-trip: same contract as the CSV leg — any
@@ -71,7 +85,7 @@ object IoQ extends QueryModule {
   def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val src = Tables.region(s, dir)
     val tmp = s"$scratch/json/region"
-    Io.writeJson(src, tmp)
+    graft.Caches.memoSide(s, dir, "ioq_write_json")(Io.writeJson(src, tmp))
     Io.readJson(s, tmp, schema = Some(src.schema))
       .select(src.columns.toIndexedSeq.map(col): _*)
       .orderBy("r_regionkey")
@@ -81,7 +95,7 @@ object IoQ extends QueryModule {
   def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val src = Tables.supplier(s, dir)
     val tmp = s"$scratch/orc/supplier"
-    Io.writeOrc(src, tmp)
+    graft.Caches.memoSide(s, dir, "ioq_write_orc")(Io.writeOrc(src, tmp))
     Io.readOrc(s, tmp).select(src.columns.toIndexedSeq.map(col): _*)
       .orderBy("s_suppkey")
   }
@@ -104,7 +118,10 @@ object IoQ extends QueryModule {
 
   val oracleSql: Map[String, String] = Map(
     "q_csv_roundtrip" ->
-      "SELECT * FROM nation ORDER BY n_nationkey",
+      """SELECT *, 'full' AS leg FROM nation
+        |UNION ALL
+        |SELECT *, 'skip' AS leg FROM nation WHERE n_nationkey >= 2
+        |ORDER BY leg, n_nationkey""".stripMargin,
     "q_json_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
     "q_orc_roundtrip" ->

@@ -31,10 +31,11 @@ object Lakehouse extends QueryModule {
     * scalar (same class as the histogram-bounds fetch); `//`/Scala `/`
     * agree because ids are non-negative.
     */
-  private def cutoff(s: SparkSession, dir: String): Long = {
-    val r = ev(s, dir).agg(min("event_id"), max("event_id")).first()
-    (r.getLong(0) + r.getLong(1)) / 2
-  }
+  private def cutoff(s: SparkSession, dir: String): Long =
+    graft.Caches.memoSide(s, dir, "events_cutoff") {
+      val r = ev(s, dir).agg(min("event_id"), max("event_id")).first()
+      (r.getLong(0) + r.getLong(1)) / 2
+    }
 
   private val cutoffSql = "(SELECT (min(event_id) + max(event_id)) // 2 FROM e)"
 

@@ -129,10 +129,13 @@ object Pipelines extends QueryModule {
     * that assert layout-dependent plan shapes (partition pruning,
     * dynamic partition pruning).
     */
-  private[queries] def partitionedEvents(s: SparkSession, dir: String): DataFrame = {
-    ensurePartitioned(s, dir)
-    s.read.parquet(partedPath(dir))
-  }
+  private[queries] def partitionedEvents(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoSide(s, dir, "events_by_type_frame") {
+      ensurePartitioned(s, dir)
+      // memoized alongside the layout: re-reading re-infers the footer
+      // schema (a job per construction — PlanGuardSpec)
+      s.read.parquet(partedPath(dir))
+    }
 
   /** Per-user purchase totals read through the partitioned layout: the
     * event_type predicate never touches row data — it prunes the
@@ -140,8 +143,7 @@ object Pipelines extends QueryModule {
     * the difference between scanning everything and scanning one day.
     */
   def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
-    ensurePartitioned(s, dir)
-    s.read.parquet(partedPath(dir))
+    partitionedEvents(s, dir)
       .filter(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), Q.dsum(col("value")).as("total"))

@@ -123,7 +123,14 @@ object Spectral extends QueryModule {
     * the iteration guarantees on a PSD matrix. Every frame involved is
     * d- or d²-sized; the corpus is only touched by the Gram build.
     */
-  def qPcaPower2(s: SparkSession, dir: String): DataFrame = {
+  def qPcaPower2(s: SparkSession, dir: String): DataFrame =
+    // per-round checkpoints make construction action-ful — memoized as
+    // a derived artifact (PlanGuardSpec), same as the BSP loops
+    graft.Caches.memoSide(s, dir, "q_pca_power2_result") {
+      qPcaPower2Build(s, dir)
+    }
+
+  private def qPcaPower2Build(s: SparkSession, dir: String): DataFrame = {
     val full = fullGram(s, dir)
     def matvec(q: DataFrame): DataFrame =
       full.join(broadcast(q), col("j") === col("k"))

@@ -505,9 +505,9 @@ object TextAnalysis extends QueryModule {
     val docs = Tables.documents(s, dir)
     // Total bigram occurrences = Σ max(n_words − 1, 0): pure column
     // arithmetic, no array materialization at all.
-    val total = docs
+    val total = graft.Caches.memoSide(s, dir, "bigram_total")(docs
       .agg(sum(greatest(size(split(col("text"), " ")) - 1, lit(0)).cast("long")))
-      .first().getLong(0)
+      .first().getLong(0))
     // Phase 1 splits driver-side text in the closure (String.split with
     // limit −1 ≡ Spark's split on the same pattern): the String encoder
     // deserializes an order of magnitude faster than Seq[String], and

@@ -18,16 +18,35 @@ import org.apache.spark.sql.types.StructType
   */
 object Io {
 
-  /** `read_csv` (csv.py:6-52): header/sep/schema/column-subset/nrows. */
+  /** `read_csv` (csv.py:6-52): header/sep/schema/column-subset/nrows/
+    * skiprows. `skiprows` drops the first N physical lines BEFORE header
+    * parsing (the pandas "skip preamble junk" shape, csv.py:16,39) — it
+    * reads the file as ordered text and feeds the remainder to the CSV
+    * parser, so it is meaningful for single-file compatibility reads
+    * (multi-file globs have no global "first line"; pandas never sees
+    * them). The reference's `converters` kwarg (arbitrary Python
+    * callables applied per column, csv.py:16) is N/A here — post-read
+    * `withColumn` expressions are the Spark-native equivalent.
+    */
   def readCsv(spark: SparkSession, path: String,
       sep: String = ",", header: Boolean = true,
       schema: Option[StructType] = None, names: Seq[String] = Nil,
-      usecols: Seq[String] = Nil, nrows: Option[Int] = None): DataFrame = {
+      usecols: Seq[String] = Nil, nrows: Option[Int] = None,
+      skiprows: Int = 0): DataFrame = {
     var r = spark.read
       .option("sep", sep)
       .option("header", header.toString)
     r = schema.map(r.schema).getOrElse(r.option("inferSchema", "true"))
-    var df = r.csv(path)
+    var df =
+      if (skiprows <= 0) r.csv(path)
+      else {
+        // zipWithIndex costs one partition-count pass; line order within
+        // a single file follows its splits, so indices are file order.
+        import spark.implicits._
+        val lines = spark.read.textFile(path).rdd.zipWithIndex()
+          .filter(_._2 >= skiprows.toLong).map(_._1)
+        r.csv(spark.createDataset(lines))
+      }
     if (names.nonEmpty) df = df.toDF(names: _*)
     if (usecols.nonEmpty) df = df.select(usecols.head, usecols.tail: _*)
     nrows.map(df.limit).getOrElse(df)

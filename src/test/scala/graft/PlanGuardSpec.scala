@@ -42,4 +42,32 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"cartesian product in: $bad")
   }
+
+  test("query construction is action-free once shared artifacts are warm") {
+    // Interactive sessions and bench passes CONSTRUCT queries far more
+    // often than they execute them — any driver action at build time
+    // (an unmemoized count()/head(), an eager re-write) multiplies by
+    // every construction. First pass warms every memoized artifact
+    // (jobs allowed); the second pass must plan without running a
+    // single job.
+    // q_dedup_index_append is a MAINTENANCE operation: constructing it
+    // IS the commit attempt, whose idempotent no-op path deliberately
+    // runs one batch-sized anti-join probe against the standing index.
+    val maintenance = Set("q_dedup_index_append")
+    val sf = "/root/testdata/sf0.001"
+    SparkEntry.queries.values.foreach(fn => fn(spark, sf))
+    val sc = spark.sparkContext
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      sc.setJobGroup(s"construct-$name", "PlanGuardSpec action-free check")
+      try fn(spark, sf) finally sc.clearJobGroup()
+    }
+    // the status store is fed by the async listener bus — let it drain
+    Thread.sleep(2000)
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val n = sc.statusTracker.getJobIdsForGroup(s"construct-$name").length
+      if (n > 0 && !maintenance(name)) Some(s"$name($n)") else None
+    }
+    assert(offenders.isEmpty,
+      s"query construction ran jobs on the warm pass: ${offenders.mkString(", ")}")
+  }
 }

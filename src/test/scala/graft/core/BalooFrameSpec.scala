@@ -113,6 +113,26 @@ class BalooFrameSpec extends SparkSpec {
     intercept[IllegalArgumentException](df1 - Seq(1.0))
   }
 
+  test("arithmetic drops string cols from the result; bools promote to int") {
+    // frame.py:270-289 routes scalar AND list arithmetic through
+    // _drop_str_columns: the str column is ABSENT from the result (not
+    // merely untouched), and bool participates with numpy's promotion
+    val mixed = new BalooFrame(
+      Seq((0L, 1.0, true, "x"), (1L, 2.0, false, "y"))
+        .toDF("idx", "a", "flag", "s"), Seq("idx"))
+    val scaled = (mixed * 2.0).toDF.orderBy("idx")
+    assertCols(scaled, Seq("idx", "a", "flag"))
+    assertFrame(scaled, Seq(Seq(0L, 2.0, 2), Seq(1L, 4.0, 0)))
+    // list form counts NON-STRING columns (a, flag) — 2 scalars, not 1
+    val listed = (mixed + Seq(10.0, 5.0)).toDF.orderBy("idx")
+    assertCols(listed, Seq("idx", "a", "flag"))
+    assertFrame(listed, Seq(Seq(0L, 11.0, 6.0), Seq(1L, 12.0, 5.0)))
+    // comparisons keep bool columns too (reference drops ONLY str dtype)
+    val cmp = (mixed < 1.5).toDF.orderBy("idx")
+    assertCols(cmp, Seq("idx", "a", "flag"))
+    assertFrame(cmp, Seq(Seq(0L, true, true), Seq(1L, false, true)))
+  }
+
   test("astype per-column map") {
     val out = df1.astype(Map("b" -> "long")).toDF.orderBy("idx")
     assertFrame(out, Seq(

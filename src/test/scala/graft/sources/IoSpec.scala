@@ -43,6 +43,25 @@ class IoSpec extends SparkSpec {
     assertFrame(back, Seq(Seq(2L, 0L, 1.0), Seq(3L, 1L, 2.0), Seq(4L, 2L, 3.0)))
   }
 
+  test("readCsv skiprows drops preamble lines before the header (csv.py:16,39)") {
+    // the pandas shape: N junk preamble lines, THEN the header, then data
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_skip")
+    val f = dir.resolve("data.csv")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      "# exported 2026-08-14", "# source: unit-test",
+      "idx,a,b", "2,0,1.0", "3,1,2.0", "4,2,3.0"))
+    val df = Io.readCsv(spark, f.toString, skiprows = 2)
+    assert(df.columns.toSeq == Seq("idx", "a", "b"))
+    assertFrame(df.orderBy("idx"),
+      Seq(Seq(2, 0, 1.0), Seq(3, 1, 2.0), Seq(4, 2, 3.0)))
+    // headerless variant: skiprows drops data lines themselves
+    val noHeader = Io.readCsv(spark, f.toString, header = false,
+      names = Seq("idx", "a", "b"), skiprows = 4)
+    assertFrame(noHeader.orderBy("idx"),
+      Seq(Seq(3, 1, 2.0), Seq(4, 2, 3.0)))
+    Seq(f, dir).foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
   test("readCsv usecols + nrows subset") {
     val dir = tmpDir("graft_csv2") + "/out"
     Io.writeCsv(Seq((1, "x", 9.0), (2, "y", 8.0), (3, "z", 7.0)).toDF("a", "b", "c"), dir)
