@@ -57,6 +57,44 @@ object Multimodal {
         nFrames = if (r.kind == "video") 1 + (n % 300) else 1)
     }
 
+    /** 48-bit perceptual hash — the media analog of SimHash for the
+      * binary column (blockhash/aHash family: average-compare over
+      * fixed spatial blocks, here 1-D byte blocks since the stub codec
+      * has no pixel grid). Bit b is set iff block b's mean byte value
+      * is ≥ the whole payload's mean, compared exactly by integer
+      * cross-multiplication (`s_blk · n ≥ s_tot · len_blk`) so the
+      * DuckDB oracle replays it bit-identically with no float division.
+      * Near-identical payloads (a real codec would feed decoded pixels
+      * here) flip few block means → small hamming distance, exactly
+      * the property the banded dedup join exploits.
+      *
+      * Empty payload hashes to 0; an empty block (payload shorter than
+      * 48 bytes) contributes a 0 bit. Exact for payloads up to ~190 MB
+      * (the 255·n² cross-product must stay inside a signed 64-bit —
+      * far above any sane per-row media object; larger payloads should
+      * hash a fixed-size resample, which is what a real pHash does
+      * anyway).
+      */
+    def perceptualHash(payload: Array[Byte]): Long = {
+      val n = payload.length
+      if (n == 0) return 0L
+      var total = 0L
+      var i = 0
+      while (i < n) { total += payload(i) & 0xff; i += 1 }
+      var h = 0L
+      var b = 0
+      while (b < 48) {
+        val lo = (b.toLong * n / 48).toInt
+        val hi = ((b + 1).toLong * n / 48).toInt
+        var s = 0L
+        i = lo
+        while (i < hi) { s += payload(i) & 0xff; i += 1 }
+        if (hi > lo && s * n >= total * (hi - lo)) h |= 1L << b
+        b += 1
+      }
+      h
+    }
+
     /** Stub feature extraction: banded byte histogram, L1-normalized. */
     def features(r: MediaRow): Array[Float] = {
       val hist = new Array[Float](FeatureDim)
@@ -80,6 +118,16 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.grouped(BatchSize).flatMap(_.map(r =>
       MediaFeatures(r.id, r.kind, StubCodec.features(r)))))
+  }
+
+  /** Perceptual hash per media row — map-only like every payload
+    * transform: the 100 TB of payload bytes never shuffle; only the
+    * 16-byte (id, phash) rows leave the scan stage for the dedup join.
+    */
+  def perceptualHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(_.map(r =>
+      (r.id, StubCodec.perceptualHash(r.payload))))).toDF("id", "phash")
   }
 
   /** Resize stub: nearest-neighbor resample of the payload to exactly

@@ -69,10 +69,45 @@ object MultimodalQ extends QueryModule {
       .orderBy("id")
   }
 
+  /** Media near-dup pairs: 48-bit perceptual hash (blocked byte-mean
+    * aHash, [[Multimodal.StubCodec.perceptualHash]]) over every payload,
+    * then hamming ≤ 7 pairs via the SAME pigeonhole discipline as
+    * `q_dedup_simhash` — here 8 chunks of 6 bits, since hamming ≤ 7
+    * over 48 bits forces at least one of the eight 6-bit chunks to
+    * match exactly, so the banded equi-join is a provable superset of
+    * the brute-force result the oracle runs. (Perceptual hashes need a
+    * wider radius than SimHash's ≤ 3: block means drift under small
+    * payload edits more than word-majority votes do.)
+    *
+    * 100 TB shape: the hash is map-only inside the payload scan
+    * (payload bytes never shuffle — only 16-byte (id, phash) rows), the
+    * candidate join is a shuffle on (chunk, value) keys, and the final
+    * hamming confirm runs per candidate pair. No all-pairs leg
+    * anywhere. Radius 7 against a 48-bit hash makes the 6-bit bands
+    * the selectivity bottleneck (64 buckets/band); a production media
+    * corpus would widen the hash — 256-bit pHash, 8 × 32-bit bands at
+    * the same radius-per-band ratio — leaving this plan shape intact.
+    */
+  def qMultimodalDedup(s: SparkSession, dir: String): DataFrame = {
+    val ph = Multimodal.perceptualHashes(Multimodal.syntheticMedia(s, dir))
+    val chunkArgs = (0 until 8).map(c =>
+      s"$c, (shiftright(phash, ${c * 6}) & 63)").mkString(", ")
+    val chunks = ph.selectExpr("id", "phash", s"stack(8, $chunkArgs) AS (chunk, v)")
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.v") === col("y.v")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(expr("x.phash ^ y.phash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 7)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta(_, _)),
     "q_multimodal_resize" -> (qMultimodalResize(_, _)),
     "q_multimodal_frames" -> (qMultimodalFrames(_, _)),
+    "q_multimodal_dedup" -> (qMultimodalDedup(_, _)),
     "q_multimodal_pipeline" -> (qMultimodalPipeline(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -136,6 +171,40 @@ object MultimodalQ extends QueryModule {
         |  CAST(64 + (s // 7 + snb) % 1016 AS INTEGER) AS height,
         |  CAST(CASE WHEN kind = 'video' THEN 1 + snb % 300 ELSE 1 END AS INTEGER) AS "nFrames"
         |FROM d ORDER BY id""".stripMargin,
+    // Replays perceptualHash bit-exactly (bytes from hex pairs; bit b =
+    // blocked-mean compare via integer cross-multiply — no float
+    // division on either engine), then runs the BRUTE-FORCE hamming ≤ 7
+    // pair scan the banded Spark plan must equal. DuckDB list slices
+    // are 1-based inclusive, so block [lo, hi) is bytes[lo+1 : hi].
+    "q_multimodal_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+        |    hex(encode(text)) AS hx
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, nb,
+        |    list_transform(range(1, CAST(nb AS INTEGER) + 1),
+        |      i -> (strpos('0123456789ABCDEF', substring(hx, CAST(2*i - 1 AS INTEGER), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF', substring(hx, CAST(2*i AS INTEGER), 1)) - 1)) AS bytes
+        |  FROM m),
+        |h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nb = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(COALESCE(list_sum(list_transform(range(0, 48), bb ->
+        |        CASE WHEN ((bb + 1) * nb) // 48 > (bb * nb) // 48
+        |          AND COALESCE(list_sum(
+        |                bytes[CAST((bb * nb) // 48 + 1 AS INTEGER)
+        |                      : CAST(((bb + 1) * nb) // 48 AS INTEGER)]), 0) * nb
+        |              >= COALESCE(list_sum(bytes), 0) * (((bb + 1) * nb) // 48 - (bb * nb) // 48)
+        |        THEN CAST(1 AS BIGINT) << CAST(bb AS INTEGER) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)
+        |    END AS phash
+        |  FROM b)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.phash, c.phash)) AS INTEGER) AS hamming
+        |FROM h a JOIN h c ON a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.phash, c.phash)) <= 7
+        |ORDER BY id_a, id_b""".stripMargin,
     // DuckDB reimplementation of the WHOLE stub pipeline: byte values
     // recovered from hex(payload) pairs; StubCodec.decode's width and
     // StubCodec.features' f0 (fraction of bytes ≡ 0 mod 16, single

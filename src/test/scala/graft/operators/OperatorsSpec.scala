@@ -79,4 +79,42 @@ class OperatorsSpec extends SparkSpec {
     val out = Multimodal.sampleFrames(media, 2).head()
     assert(out.payload.length == 512) // blocks 0 and 2 of 4×256
   }
+
+  test("perceptual hash: blocked-mean bits, empty-payload zero, edit locality") {
+    import Multimodal.StubCodec.perceptualHash
+    assert(perceptualHash(Array.emptyByteArray) == 0L)
+    // uniform payload: every block mean equals the global mean, so the
+    // cross-multiply ≥ sets every non-empty block's bit. 96 bytes → all
+    // 48 blocks non-empty → all 48 bits set.
+    assert(perceptualHash(Array.fill(96)(7.toByte)) == (1L << 48) - 1)
+    // shorter than 48 bytes: blocks [lo,hi) with lo==hi contribute 0 —
+    // exactly n bits can be set for an n-byte uniform payload
+    assert(java.lang.Long.bitCount(perceptualHash(Array.fill(10)(7.toByte))) == 10)
+    // hand-check 2 blocks' worth of a 96-byte ramp: total=sum(0..95),
+    // first block {0,1} mean far below global mean → bit 0 clear; last
+    // block {94,95} far above → bit 47 set
+    val ramp = Array.tabulate(96)(_.toByte)
+    val h = perceptualHash(ramp)
+    assert((h & 1L) == 0L && (h >>> 47) == 1L)
+    // edit locality (the property the banded join exploits): flipping a
+    // couple of bytes moves few block means
+    val edited = ramp.clone(); edited(10) = 90.toByte; edited(40) = 90.toByte
+    assert(java.lang.Long.bitCount(h ^ perceptualHash(edited)) <= 6)
+  }
+
+  test("banded perceptual dedup equals brute-force hamming pairs (pigeonhole)") {
+    // run the registered query on the smallest corpus and rebuild the
+    // brute-force answer from the same hashes — the 8×6-bit pigeonhole
+    // must lose nothing at radius 7
+    val dir = "/root/testdata/sf0.001"
+    val banded = graft.queries.MultimodalQ.qMultimodalDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val hashes = Multimodal.perceptualHashes(Multimodal.syntheticMedia(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 7
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb))).sortBy(p => (p._1, p._2)).toSeq
+    assert(banded == brute)
+  }
 }
