@@ -116,7 +116,11 @@ object Caches {
   private def dropSides(sOpt: Option[SparkSession]): Unit = {
     val it = sides.entrySet().iterator()
     while (it.hasNext) {
-      if (sOpt.forall(_ eq it.next().getKey._1)) it.remove()
+      // advance BEFORE testing: Option.forall(None) short-circuits true
+      // without evaluating the predicate, and remove() before next()
+      // throws IllegalStateException (the clearAll path)
+      val e = it.next()
+      if (sOpt.forall(_ eq e.getKey._1)) it.remove()
     }
   }
 

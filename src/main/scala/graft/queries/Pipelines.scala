@@ -204,6 +204,110 @@ object Pipelines extends QueryModule {
       .orderBy("source")
   }
 
+  // ---- training-shard materialization sink ----
+
+  private[queries] val SeqsPerShard = 8L
+  /** Per-file row bound on the shard writes ([[Io.compactedParquet]]'s
+    * `maxRecordsPerFile` discipline): Spark's own file-split point, so
+    * one hot shard can never produce a monster file.
+    */
+  private[queries] val ShardFileRows = 512L
+
+  /** Doc-grain packed layout — the [[qSeqPack]] window (per-source
+    * cumsum → sequence id), carrying text for the shard payload.
+    */
+  private def packedDocs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq",
+        floor((col("cum") - col("n_tok")) / lit(SeqTokens.toDouble)).cast("long"))
+      .drop("cum")
+  }
+
+  /** Sequences → shards: global sequence ordinal (via the scalable
+    * [[graft.operators.Ordinal]] range-layout machinery — NOT an
+    * unpartitioned `row_number` window, which would single-thread a
+    * corpus-sized sort) grouped [[SeqsPerShard]] at a time, so shard k
+    * holds a contiguous run of the (source, seq) order and shard count
+    * grows linearly with the corpus. The assignment frame is
+    * sequence-grain (corpus tokens / 2048 rows), joined back to docs on
+    * the pack keys.
+    */
+  private def shardedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = packedDocs(s, dir)
+    val assign = graft.operators.Ordinal
+      .withOrdinal(docs.select("source", "seq").distinct(),
+        Seq(col("source"), col("seq")), "seq_ord")
+      .withColumn("shard_id", expr(s"CAST(seq_ord DIV $SeqsPerShard AS BIGINT)"))
+      .select("source", "seq", "shard_id")
+    docs.join(assign, Seq("source", "seq"))
+  }
+
+  private def shardPath(dir: String): String =
+    s"${IoQ.scratch}/shards/train_${ident(dir)}"
+
+  /** The production endpoint of the packing pipeline: materialize the
+    * packed corpus as one parquet directory per shard
+    * (`shard_id=K/...`), rows clustered by (source, doc_id) within each
+    * shard and every file capped at [[ShardFileRows]] rows. Written once
+    * per (session, corpus); a trainer streams shard k by reading one
+    * directory. IoSpec asserts the per-file bound on the actual files.
+    */
+  private[queries] def ensureShards(s: SparkSession, dir: String): Unit =
+    once(s, dir, "train_shards") {
+      shardedDocs(s, dir)
+        .select(col("shard_id"), col("source"), col("seq"),
+          col("doc_id"), col("n_tok"), col("text"))
+        .repartition(col("shard_id"))
+        .sortWithinPartitions("shard_id", "source", "doc_id")
+        .write.option("maxRecordsPerFile", ShardFileRows)
+        .partitionBy("shard_id")
+        .mode("overwrite").parquet(shardPath(dir))
+    }
+
+  /** The written shard dataset (partition-pruned reads by shard_id).
+    * Partition-column inference types the directory key INT; normalize
+    * to the BIGINT the logical plan produced. Memoized: re-reading
+    * re-lists files and re-infers the footer schema per construction.
+    */
+  private[queries] def shardRows(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoSide(s, dir, "train_shards_frame") {
+      ensureShards(s, dir)
+      s.read.parquet(shardPath(dir))
+        .withColumn("shard_id", col("shard_id").cast("long"))
+    }
+
+  /** Per-shard manifest — the handoff record a trainer checks before
+    * consuming a shard: per (shard, source) doc/sequence/token counts
+    * (the source mix), an order-independent content checksum
+    * (commutative DECIMAL(38,0) sum of per-row 60-bit md5 hashes mod
+    * 2³¹−1, the [[Aggregations.qTableChecksum]] discipline), and the
+    * shard-level totals. Computed FROM THE WRITTEN FILES, so a green
+    * oracle row certifies the sink round-trip, not just the plan:
+    * DuckDB derives the same manifest from `documents` alone — any
+    * row lost, duplicated, or mangled by the write/read legs breaks
+    * the count or the checksum. Reconciles with [[qPackEfficiency]]
+    * (summing tok_total per source matches; IoSpec asserts it).
+    */
+  def qShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val rows = shardRows(s, dir)
+    val bySrc = rows.groupBy("shard_id", "source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("seq")).as("n_seqs"),
+      sum(col("n_tok")).as("tok_total"),
+      expr("CAST(sum(CAST(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) " +
+        "AS DECIMAL(38,0))) % 2147483647 AS BIGINT)").as("checksum"))
+    val byShard = rows.groupBy("shard_id").agg(
+      count(lit(1)).as("shard_docs"),
+      sum(col("n_tok")).as("shard_toks"))
+    bySrc.join(byShard, "shard_id")
+      .orderBy("shard_id", "source")
+  }
+
   // ---- end-to-end training-data preparation (capstone) ----
 
   /** The WHOLE training-data pipeline as one declarative plan — what a
@@ -284,6 +388,7 @@ object Pipelines extends QueryModule {
   override def prewarm(s: SparkSession, dir: String): Unit = {
     ensureBucketed(s, dir)
     ensurePartitioned(s, dir)
+    ensureShards(s, dir)
   }
 
   /** Z-order (Morton) layout key over (l_partkey, l_suppkey) and the
@@ -425,6 +530,7 @@ object Pipelines extends QueryModule {
     "q_partition_prune" -> (qPartitionPrune(_, _)),
     "q_seq_pack" -> (qSeqPack(_, _)),
     "q_pack_efficiency" -> (qPackEfficiency(_, _)),
+    "q_shard_manifest" -> (qShardManifest(_, _)),
     "q_train_prep" -> (qTrainPrep(_, _)),
     "q_text_redact" -> (qTextRedact(_, _)))
 
@@ -548,6 +654,48 @@ object Pipelines extends QueryModule {
          |  CAST(n_seqs * $SeqTokens AS BIGINT) AS capacity,
          |  CAST(tok_total AS DOUBLE) / (n_seqs * $SeqTokens) AS fill_frac
          |FROM g ORDER BY source""".stripMargin,
+    // Replays pack → global sequence ordinal → shard grouping → manifest
+    // from `documents` alone; the Spark leg computes it from the written
+    // shard files, so a match certifies the sink round-trip. The ordinal
+    // replay is row_number over (source, seq) — the relational spec the
+    // distributed Ordinal machinery must equal.
+    "q_shard_manifest" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, text, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t),
+         |p AS (
+         |  SELECT source, doc_id, text, n_tok,
+         |    CAST(floor((cum - n_tok) / ${SeqTokens}.0) AS BIGINT) AS seq
+         |  FROM c),
+         |sq AS (SELECT DISTINCT source, seq FROM p),
+         |o AS (SELECT source, seq,
+         |    row_number() OVER (ORDER BY source, seq) - 1 AS seq_ord FROM sq),
+         |a AS (
+         |  SELECT p.source, p.doc_id, p.text, p.n_tok, p.seq,
+         |    CAST(o.seq_ord // $SeqsPerShard AS BIGINT) AS shard_id
+         |  FROM p JOIN o ON p.source = o.source AND p.seq = o.seq),
+         |m AS (
+         |  SELECT shard_id, source,
+         |    count(*) AS n_docs,
+         |    count(DISTINCT seq) AS n_seqs,
+         |    CAST(sum(n_tok) AS BIGINT) AS tok_total,
+         |    CAST(sum(CAST(('0x' || substr(md5(text), 1, 15))::BIGINT
+         |      AS DECIMAL(38,0))) % 2147483647 AS BIGINT) AS checksum
+         |  FROM a GROUP BY shard_id, source),
+         |g AS (
+         |  SELECT shard_id, count(*) AS shard_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS shard_toks
+         |  FROM a GROUP BY shard_id)
+         |SELECT m.shard_id, m.source, n_docs, n_seqs, tok_total, checksum,
+         |  shard_docs, shard_toks
+         |FROM m JOIN g ON m.shard_id = g.shard_id
+         |ORDER BY m.shard_id, m.source""".stripMargin,
     "q_train_prep" ->
       s"""${Fingerprints.sqlCorpusCleanCtes},
          |cleaned AS (

@@ -254,4 +254,45 @@ class PipelinesSpec extends SparkSpec {
       assert(rebuilt == docs(docId), s"doc $docId does not reconstruct")
     }
   }
+
+  test("shard sink: files bounded, shards contiguous, manifest reconciles with pack totals") {
+    val manifest = Pipelines.qShardManifest(spark, sf).collect()
+    assert(manifest.nonEmpty)
+    // filesystem property: every written parquet file respects the
+    // per-file row cap (maxRecordsPerFile is a real bound, not a hint)
+    val perFile = Pipelines.shardRows(spark, sf)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect()
+    assert(perFile.nonEmpty)
+    perFile.foreach { r =>
+      assert(r.getAs[Long]("n") <= Pipelines.ShardFileRows,
+        s"${r.getAs[String]("f")} has ${r.getAs[Long]("n")} rows")
+    }
+    // shards partition the packed corpus into contiguous sequence runs:
+    // shard ids are dense 0..K-1 and every non-final shard holds exactly
+    // SeqsPerShard distinct sequences
+    val seqsPerShard = manifest.groupBy(_.getAs[Long]("shard_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_seqs")).sum).toMap
+    val ids = seqsPerShard.keys.toSeq.sorted
+    assert(ids == (0L until ids.length.toLong))
+    ids.init.foreach(k => assert(seqsPerShard(k) == Pipelines.SeqsPerShard,
+      s"shard $k has ${seqsPerShard(k)} seqs"))
+    // manifest reconciles with the packing-efficiency telemetry: token
+    // and doc totals per source agree between the written shards and
+    // the purely-logical plan
+    val fromManifest = manifest.groupBy(_.getAs[String]("source"))
+      .view.mapValues(rs => (rs.map(_.getAs[Long]("tok_total")).sum,
+        rs.map(_.getAs[Long]("n_docs")).sum)).toMap
+    Pipelines.qPackEfficiency(spark, sf).collect().foreach { r =>
+      val (tok, docs) = fromManifest(r.getAs[String]("source"))
+      assert(tok == r.getAs[Long]("tok_total"))
+      assert(docs == r.getAs[Long]("n_docs"))
+    }
+    // shard-level totals in the manifest are consistent with their own
+    // per-source rows
+    manifest.groupBy(_.getAs[Long]("shard_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("n_docs")).sum == rs.head.getAs[Long]("shard_docs"))
+      assert(rs.map(_.getAs[Long]("tok_total")).sum == rs.head.getAs[Long]("shard_toks"))
+    }
+  }
 }
