@@ -258,9 +258,11 @@ object Bench {
         .mkString("{", ",", "}")
       val heavyJson = heavyResults.map(_._1).sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val seqJson = warm.collect { case (k, _, t) if t != Double.MaxValue =>
+        s""""$k":$t""" }.mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(DetailFile),
-        s"""{"total":$total,"q_sum":$qSum,"heavy_wall":$heavyWall,"light_wall":$lightWall,"pool":$poolSize,"heavy":$heavyJson,"prep":$prepSec,"prep_by_module":$prepJson,"load":[$load0,$load1],"sf":"$sfDir","queries":$detail}\n"""
+        s"""{"protocol":2,"total":$total,"q_sum":$qSum,"seq_sum":$seqSum,"heavy_wall":$heavyWall,"light_wall":$lightWall,"pool":$poolSize,"heavy":$heavyJson,"prep":$prepSec,"prep_by_module":$prepJson,"load":[$load0,$load1],"sf":"$sfDir","queries":$detail,"seq":$seqJson}\n"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => }
 
@@ -300,7 +302,12 @@ object Bench {
           Seq("\"_other\":" + f2(restSum + pooledSum),
             "\"_other_n\":" + (restN + pooledN))
          else Nil)
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","q_sum":${f2(qSum)},""" +
+      // protocol:2 — "value" is the two-leg wall clock (sequential heavy
+      // leg + pooled rest); cross-round per-query deltas must key off
+      // seq_sum / the detail file's warm all-sequential "seq" map, the
+      // pre-round-7 timing discipline re-measured every round.
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","protocol":2,""" +
+        s""""q_sum":${f2(qSum)},"seq_sum":${f2(seqSum)},""" +
         s""""seq_wall":${f2(heavyWall)},"pool_wall":${f2(lightWall)},"pool":$poolSize,""" +
         s""""prep":${f2(prepSec)},""" +
         s""""queries":${qs.mkString("{", ",", "}")}$failedJson$loadJson,"sf":$sfJson}"""

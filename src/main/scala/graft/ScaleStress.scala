@@ -1,0 +1,292 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale-stress harness — flushes the SAMPLE-SIZE-DEPENDENT bug
+  * class the DuckDB gate cannot see.
+  *
+  * Motivation: the round-7 FrozenLayout bug (two consumers of one
+  * range exchange re-sampling DIFFERENT partition bounds → overlapping
+  * global ordinals) was invisible at sf0.01 and only manifested at
+  * sf0.1, because RangePartitioner's reservoir sample covered the
+  * small corpus exactly. Provided testdata stops at sf0.1, so this
+  * main generates a deterministic ~10× corpus (seeded hash generators,
+  * no RNG state — every column is a pure function of the row id via
+  * `xxhash64`, so the corpus is bit-identical on every run and every
+  * partitioning) and asserts the INVARIANCE contracts that replace a
+  * too-slow oracle at this size:
+  *
+  *   - ordinal density: global ordinals are exactly 0..n−1 (the
+  *     FrozenLayout bug class, hit directly at 30× the size that
+  *     exposed it);
+  *   - scan ≡ window: the distributed prefix-scan artifact equals the
+  *     single-partition window spelling;
+  *   - partition invariance: every scan/rolling/dedup/manifest result
+  *     fingerprint is identical under different
+  *     `spark.sql.shuffle.partitions` (different range-sampling, AQE
+  *     coalescing, and join strategies — the knobs a real cluster
+  *     turns);
+  *   - planted-duplicate recall: the generator plants exact dups
+  *     (text copies), Jaccard near-dups (one word edited), and
+  *     identical embedding vectors at known ids; the exact/PPJoin/
+  *     hybrid-LSH dedup queries are lossless by construction, so every
+  *     planted pair MUST appear.
+  *
+  * Run: `sbt "runMain graft.ScaleStress [outDir]"` (default
+  * `target/scale10`; generation ~1 min, checks ~5 min, one
+  * `CHECK name PASS|FAIL secs` line each plus a final JSON line).
+  * Recorded runs are logged in BASELINE.md.
+  */
+object ScaleStress {
+
+  // ~10× sf0.1
+  val DocN = 50000L
+  val EmbN = 20000L
+  val EvtN = 1000000L
+  val OrdN = 1500000L
+
+  /** Documents with planted structure: id ≡ 3 (mod 97) copies the text
+    * of id−3 (exact dup); id ≡ 7 (mod 89), unless the exact rule took
+    * it, copies id−7's words with word 0 replaced (near dup). All words
+    * come from a 1000-token synthetic vocab keyed by (content seed,
+    * position).
+    */
+  def genDocuments(s: SparkSession, n: Long): DataFrame =
+    s.range(n).toDF("doc_id")
+      .withColumn("__exact", col("doc_id") % 97 === 3 && col("doc_id") >= 97)
+      .withColumn("__near",
+        !col("__exact") && col("doc_id") % 89 === 7 && col("doc_id") >= 89)
+      .withColumn("__seed", when(col("__exact"), col("doc_id") - 3)
+        .when(col("__near"), col("doc_id") - 7).otherwise(col("doc_id")))
+      .withColumn("text", expr(
+        """array_join(transform(
+          |  sequence(0, CAST(20 + pmod(xxhash64(__seed, 'len'), 180) AS INT)),
+          |  j -> CASE WHEN __near AND j = 0
+          |         THEN concat('x', pmod(xxhash64(doc_id, 'edit'), 1000))
+          |         ELSE concat('w', pmod(xxhash64(__seed, j), 1000)) END),
+          |' ')""".stripMargin))
+      .select(
+        col("doc_id"), col("text"),
+        expr("element_at(array('en','fr','de','es','zh'), " +
+          "CAST(pmod(xxhash64(doc_id, 'lang'), 5) + 1 AS INT))").as("lang"),
+        expr("concat('src', pmod(xxhash64(doc_id, 'src'), 20))").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+
+  /** Embeddings with planted identical vectors: id ≡ 7 (mod 83) reuses
+    * id−7's vector verbatim (cosine 1 — every lossless near-dup path
+    * must surface the pair).
+    */
+  def genEmbeddings(s: SparkSession, n: Long): DataFrame =
+    s.range(n).toDF("vec_id")
+      .withColumn("__seed",
+        when(col("vec_id") % 83 === 7 && col("vec_id") >= 83, col("vec_id") - 7)
+          .otherwise(col("vec_id")))
+      .select(
+        col("vec_id"),
+        expr("transform(sequence(0, 63), j -> " +
+          "CAST((pmod(xxhash64(__seed, j), 2001) - 1000) / 1000.0 AS FLOAT))")
+          .as("embedding"),
+        expr("CAST(pmod(xxhash64(vec_id, 'lbl'), 10) AS INT)").as("label"))
+
+  /** Events: jittered-monotone timestamps, 30% of traffic on 50 hot
+    * users (the skew a salting/AQE path must absorb).
+    */
+  def genEvents(s: SparkSession, n: Long): DataFrame = {
+    val startMicros = 1704067200000000L // 2024-01-01T00:00:00Z
+    s.range(n).toDF("event_id")
+      .select(
+        col("event_id"),
+        timestamp_micros(lit(startMicros) + col("event_id") * 50000L
+          + pmod(xxhash64(col("event_id"), lit("jit")), lit(50000L))).as("ts"),
+        expr("CASE WHEN pmod(xxhash64(event_id, 'hot'), 10) < 3 " +
+          "THEN pmod(xxhash64(event_id, 'u'), 50) " +
+          "ELSE 50 + pmod(xxhash64(event_id, 'u'), 20000) END").as("user_id"),
+        expr("element_at(array('click','view','purchase','signup','error'), " +
+          "CAST(pmod(xxhash64(event_id, 'ty'), 5) + 1 AS INT))").as("event_type"),
+        (pmod(xxhash64(col("event_id"), lit("v")), lit(100000L)) / 100.0).as("value"),
+        expr("concat('{\"k\":', pmod(xxhash64(event_id, 'p'), 100), '}')").as("props"))
+  }
+
+  /** Orders: the scan/rolling family's base table (global prefix scans
+    * keyed by o_orderkey).
+    */
+  def genOrders(s: SparkSession, n: Long): DataFrame = {
+    val epoch92 = 694224000000000L // 1992-01-01T00:00:00Z micros
+    s.range(n).toDF("o_orderkey")
+      .select(
+        col("o_orderkey"),
+        (pmod(xxhash64(col("o_orderkey"), lit("c")), lit(15000L)) + 1L).as("o_custkey"),
+        expr("element_at(array('F','O','P'), " +
+          "CAST(pmod(xxhash64(o_orderkey, 'st'), 3) + 1 AS INT))").as("o_orderstatus"),
+        (round(pmod(xxhash64(col("o_orderkey"), lit("tp")), lit(50000000L)) / 100.0, 2)
+          + 900.0).as("o_totalprice"),
+        timestamp_micros(lit(epoch92)
+          + pmod(xxhash64(col("o_orderkey"), lit("d")), lit(2556L)) * 86400000000L)
+          .as("o_orderdate"),
+        expr("element_at(array('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED'," +
+          "'5-LOW'), CAST(pmod(xxhash64(o_orderkey, 'pr'), 5) + 1 AS INT))")
+          .as("o_orderpriority"))
+  }
+
+  def generate(s: SparkSession, dir: String): Unit = {
+    val todo = Seq(
+      ("documents", () => genDocuments(s, DocN)),
+      ("embeddings", () => genEmbeddings(s, EmbN)),
+      ("events", () => genEvents(s, EvtN)),
+      ("orders", () => genOrders(s, OrdN)))
+    todo.foreach { case (name, make) =>
+      val path = s"$dir/$name.parquet"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))) {
+        val t0 = System.nanoTime()
+        make().write.mode("overwrite").parquet(path)
+        println(f"GEN $name%-12s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+    }
+  }
+
+  /** Order-independent result fingerprint: (row count, commutative
+    * DECIMAL(38,0) sum of per-row xxhash64 over all columns). Identical
+    * rows in any order and partitioning ⇒ identical fingerprint; any
+    * changed row flips it.
+    */
+  def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
+    val r = df
+      .select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(expr("CAST(h AS DECIMAL(38,0))")),
+          expr("CAST(0 AS DECIMAL(38,0))")).as("s"))
+      .first()
+    (r.getLong(0), r.getDecimal(1))
+  }
+
+  private var failures = 0
+  private val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+  private def check(name: String)(body: => Boolean): Unit = {
+    val t0 = System.nanoTime()
+    val (ok, err) =
+      try (body, "")
+      catch { case e: Throwable => (false, s" ${e.getClass.getSimpleName}: ${e.getMessage}") }
+    val secs = (System.nanoTime() - t0) / 1e9
+    timings(name) = secs
+    if (!ok) failures += 1
+    println(f"CHECK $name%-28s ${if (ok) "PASS" else "FAIL"} $secs%8.1f s$err")
+  }
+
+  /** Build a registered query under a given shuffle-partition setting
+    * with ALL memoized artifacts dropped first, so the leg re-runs the
+    * artifact builds (range sampling included) under that partitioning.
+    */
+  private def legFp(s: SparkSession, dir: String, q: String, parts: Int):
+      (Long, java.math.BigDecimal) = {
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    Caches.clear(s)
+    try fingerprint(SparkEntry.queries(q)(s, dir))
+    finally s.conf.set("spark.sql.shuffle.partitions", "32")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("target/scale10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.prep(spark)
+
+    val t0 = System.nanoTime()
+    generate(spark, dir)
+
+    // ---- ordinal density: THE FrozenLayout bug class ----
+    check("ordinal_density_orders") {
+      val ord = operators.Ordinal.withOrdinal(
+        Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
+        Seq(col("o_orderkey")))
+      val r = ord.agg(count(lit(1)), countDistinct(col("ord")),
+        min(col("ord")), max(col("ord"))).first()
+      r.getLong(0) == OrdN && r.getLong(1) == OrdN &&
+        r.getLong(2) == 0L && r.getLong(3) == OrdN - 1
+    }
+    check("ordinal_density_documents") {
+      val ord = operators.Ordinal.withOrdinal(
+        Tables.documents(spark, dir).select("doc_id", "source"),
+        Seq(col("doc_id")))
+      val r = ord.agg(count(lit(1)), countDistinct(col("ord")),
+        min(col("ord")), max(col("ord"))).first()
+      r.getLong(0) == DocN && r.getLong(1) == DocN &&
+        r.getLong(2) == 0L && r.getLong(3) == DocN - 1
+    }
+
+    // ---- scan ≡ window: distributed prefix scan vs the one-partition
+    // relational spelling ----
+    check("cumsum_scan_vs_window") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val spec = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("run_sum",
+          sum(col("o_totalprice").cast("decimal(28,4)")).over(w).cast("double"))
+        .withColumn("run_max", max("o_totalprice").over(w))
+        .withColumn("run_min", min("o_totalprice").over(w))
+      fingerprint(SparkEntry.queries("q_cumsum_global")(spark, dir)
+        .select("o_orderkey", "o_totalprice", "run_sum", "run_max", "run_min")) ==
+        fingerprint(spec.select("o_orderkey", "o_totalprice", "run_sum", "run_max", "run_min"))
+    }
+
+    // ---- partition invariance: identical fingerprints when every
+    // artifact rebuilds under a different shuffle/range partitioning ----
+    Seq("q_cumsum_global", "q_rolling_global", "q_rolling_std",
+      "q_shift_diff", "q_dedup_exact", "q_dedup_simhash", "q_dedup_jaccard",
+      "q_dedup_index_append", "q_heavy_hitters", "q_multimodal_dedup",
+      "q_dedup_embed_hybrid", "q_shard_manifest").foreach { q =>
+      check(s"invariance_$q") {
+        legFp(spark, dir, q, 16) == legFp(spark, dir, q, 48)
+      }
+    }
+
+    // ---- planted-duplicate recall ----
+    check("planted_exact_dups") {
+      val got = SparkEntry.queries("q_dedup_exact")(spark, dir)
+        .filter(col("n_copies") > 1)
+      val base = Tables.documents(spark, dir).groupBy("text")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+      val (gn, gs) = fingerprint(got.select("keep_id", "n_copies"))
+      val (bn, bs) = fingerprint(base.select("keep_id", "n_copies"))
+      gn > 400 && (gn, gs) == (bn, bs)
+    }
+    check("planted_jaccard_pairs") {
+      // planted near-dups whose base doc kept its own text (neither leg
+      // of the pair was rewritten by the exact-dup rule)
+      val planted = spark.range(DocN).toDF("doc_b")
+        .filter(col("doc_b") % 89 === 7 && col("doc_b") >= 89
+          && col("doc_b") % 97 =!= 3 && (col("doc_b") - 7) % 97 =!= 3)
+        .select((col("doc_b") - 7).as("doc_a"), col("doc_b"))
+      val found = SparkEntry.queries("q_dedup_jaccard")(spark, dir)
+        .select("doc_a", "doc_b")
+      val missing = planted.join(found, Seq("doc_a", "doc_b"), "left_anti").count()
+      val nPlanted = planted.count()
+      nPlanted > 400 && missing == 0
+    }
+    check("planted_embed_pairs") {
+      val planted = spark.range(EmbN).toDF("idb")
+        .filter(col("idb") % 83 === 7 && col("idb") >= 83)
+        .select((col("idb") - 7).as("ida"), col("idb"))
+      val found = SparkEntry.queries("q_dedup_embed_hybrid")(spark, dir)
+        .select("ida", "idb")
+      val missing = planted.join(found, Seq("ida", "idb"), "left_anti").count()
+      planted.count() > 200 && missing == 0
+    }
+
+    val wall = (System.nanoTime() - t0) / 1e9
+    val per = timings.map { case (k, v) => f""""$k":$v%.1f""" }.mkString(",")
+    println(f"""{"scale_stress":"$dir","checks":${timings.size},"failures":$failures,"wall_sec":$wall%.1f,"timings":{$per}}""")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}
