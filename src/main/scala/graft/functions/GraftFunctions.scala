@@ -25,6 +25,8 @@ object GraftFunctions {
       RollingHash(Cast(children.head, StringType))),
     "graft_spanhashes" -> ((children: Seq[Expression]) =>
       SpanHashes(Cast(children.head, StringType))),
+    "graft_spanhashes_pos" -> ((children: Seq[Expression]) =>
+      SpanHashesPos(Cast(children.head, StringType))),
     "graft_dotl" -> ((children: Seq[Expression]) =>
       LongDot(Cast(children.head, ArrayType(LongType)),
         Cast(children(1), ArrayType(LongType)))),
@@ -68,6 +70,11 @@ object GraftFunctions {
 
   /** Distinct 32-char-window Karp–Rabin hashes — substring-dedup spans. */
   def spanhashes(c: Column): Column = call_function("graft_spanhashes", c)
+
+  /** Positional 32-char-window hashes (element i = window at offset i) —
+    * maximal duplicated-substring runs via posexplode + island merge.
+    */
+  def spanhashesPos(c: Column): Column = call_function("graft_spanhashes_pos", c)
 
   /** Codegen'd integer dot product of two `array<bigint>` vectors. */
   def dotl(a: Column, b: Column): Column = call_function("graft_dotl", a, b)

@@ -38,6 +38,11 @@ object SpanHashMath {
     a
   }
 
+  /** B^(W−1) mod P — the leading-coefficient weight [[spanHashesPos]]'s
+    * rolling update subtracts when the window slides one code point.
+    */
+  val PowTop: Long = Pow(0)
+
   /** Distinct ascending window hashes; empty for strings shorter than W
     * code points. Iterates CODE POINTS, not UTF-16 units, so windows and
     * values agree with the DuckDB oracle's `ascii()`/`length()`
@@ -65,6 +70,35 @@ object SpanHashMath {
     while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
     new GenericArrayData(out)
   }
+
+  /** POSITIONAL window hashes: element i = hash of the window starting
+    * at code point i (length n−W+1; empty below W code points). Same
+    * hash family and values as [[spanHashes]] but keeping position and
+    * multiplicity, so a consumer can merge adjacent duplicated windows
+    * into maximal duplicated SUBSTRING runs (exact-substring dedup à la
+    * the suffix-array method — "repeated spans ≥ L chars are copies").
+    * True rolling update, O(n): H(i+1) = (H(i) − cp(i)·B^(W−1))·B +
+    * cp(i+W) mod P; intermediates stay < 2^40, exact in a Long.
+    */
+  def spanHashesPos(s: UTF8String): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n < W) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - W + 1)
+    var sum = 0L
+    var j = 0
+    while (j < W) { sum += cps(j).toLong * Pow(j); j += 1 }
+    out(0) = sum % P
+    var i = 1
+    while (i <= n - W) {
+      var h = (out(i - 1) - cps(i - 1).toLong * PowTop % P) % P
+      if (h < 0) h += P
+      h = (h * B + cps(i + W - 1).toLong) % P
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 case class SpanHashes(child: Expression) extends UnaryExpression {
@@ -78,5 +112,22 @@ case class SpanHashes(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.SpanHashMath.spanHashes($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SpanHashes =
+    copy(child = newChild)
+}
+
+/** Positional variant of [[SpanHashes]] — see
+  * [[SpanHashMath.spanHashesPos]]. Exposed as `graft_spanhashes_pos`.
+  */
+case class SpanHashesPos(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_spanhashes_pos"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SpanHashMath.spanHashesPos(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SpanHashMath.spanHashesPos($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanHashesPos =
     copy(child = newChild)
 }

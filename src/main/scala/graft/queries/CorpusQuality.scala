@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.GraftFunctions.spanhashes
+import graft.functions.GraftFunctions.{spanhashes, spanhashesPos}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level quality / curation operators a large-scale training-data
@@ -519,6 +520,105 @@ object CorpusQuality extends QueryModule {
     * span set is benchmark-sized and broadcasts into a semi-join; the
     * only shuffle is the distinct over contaminated doc ids.
     */
+  /** Minimum duplicated-substring length (chars) worth cutting — spans
+    * shorter than this are shared phrases, not copies. Two windows more
+    * than one hash apart can still overlap in characters, so the CUT
+    * metric merges windows within [[graft.functions.SpanHashMath.W]]
+    * positions; the RUN listing requires strict adjacency (every
+    * intermediate window duplicated ⇒ the whole run is one verbatim
+    * repeated substring).
+    */
+  private val MinRun = 64
+
+  /** Positions whose 32-char window hash recurs in ≥2 DISTINCT documents
+    * — the shared first half of the two exact-substring queries. Shape:
+    * positional hashes explode map-side off the codegen'd scan (one
+    * (doc, pos, h) long-triple per character — text itself never
+    * shuffles); one hash aggregate finds cross-document hashes; a
+    * semi-join flags the positions. At 100 TB the duplicated-hash table
+    * is the standing artifact (same lifecycle as the posting index) and
+    * the semi-join becomes a shuffle-on-h equi-join ∝ corpus characters
+    * — the honest minimum for character-granular dedup; nothing is ever
+    * quadratic in documents.
+    */
+  private[queries] def dupPositions(docs: DataFrame): DataFrame = {
+    val ph = docs.select(col("doc_id"),
+      posexplode(spanhashesPos(col("text"))).as(Seq("pos", "h")))
+    val dup = ph.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    ph.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+  }
+
+  /** Exact-substring dedup, run LISTING: maximal cross-document
+    * duplicated substrings ≥ [[MinRun]] chars, as (doc_id, start,
+    * dup_len) intervals — the distributed analog of the suffix-array
+    * "dedup repeated spans" method (single-node literature trains the
+    * suffix array; the rolling-hash bucket join is its shuffle-friendly
+    * spelling, same family as [[qDedupSpans]] but with POSITIONS kept so
+    * adjacent duplicated windows merge into maximal runs). A run of k
+    * consecutive duplicated windows certifies a verbatim repeat of
+    * k+W−1 chars: every 32-char sub-window of the claimed span recurs
+    * elsewhere, which at W=32 is copy evidence, not phrase reuse.
+    *
+    * Island merge: grp = pos − row_number() per doc — consecutive
+    * positions share a group. The only window function runs partitioned
+    * BY DOCUMENT (no global order), so the merge scales with the
+    * longest document, not the corpus.
+    */
+  def qDedupSubstring(s: SparkSession, dir: String): DataFrame =
+    substringRuns(Tables.documents(s, dir), MinRun).orderBy("doc_id", "start")
+
+  /** Maximal strictly-consecutive duplicated-window runs ≥ `minRun`
+    * chars over any (doc_id, text) frame — split out so specs can plant
+    * shared-substring fixtures.
+    */
+  private[queries] def substringRuns(docs: DataFrame, minRun: Int): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dupPositions(docs)
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).as("start"),
+        (max(col("pos")) - min(col("pos")) + lit(SpanHashMathW)).as("dup_len"))
+      .filter(col("dup_len") >= minRun)
+      .select(col("doc_id"), col("start"), col("dup_len"))
+  }
+
+  /** Exact-substring dedup, CUT summary: per document, how many
+    * characters are covered by cross-document duplicated windows (union
+    * of [pos, pos+W) intervals — windows within W positions overlap, so
+    * the island rule merges gaps ≤ W; sum of merged run lengths is the
+    * exact covered-character count, no double counting) and the
+    * retained fraction after cutting them. The per-corpus removal total
+    * this yields is the number a curator reads before enabling
+    * character-level dedup. Clean documents are kept with dup_chars=0
+    * via the left join — the output is corpus-sized, one row per doc.
+    */
+  def qDedupSubstringCut(s: SparkSession, dir: String): DataFrame =
+    substringCut(Tables.documents(s, dir))
+
+  private[queries] def substringCut(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = dupPositions(docs)
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) <= SpanHashMathW, 0).otherwise(1))
+      .withColumn("isl", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "isl")
+      .agg((max(col("pos")) - min(col("pos")) + lit(SpanHashMathW)).as("run_len"))
+    val perDoc = runs.groupBy("doc_id").agg(
+      count(lit(1)).as("n_runs"), sum(col("run_len")).as("dup_chars"))
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_runs", "dup_chars"))
+      .withColumn("retained_frac",
+        lit(1.0) - col("dup_chars").cast("double") / col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private def SpanHashMathW: Int = graft.functions.SpanHashMath.W
+
   def qDecontaminateSpans(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val spans = docs.select(col("doc_id"), explode(spanhashes(col("text"))).as("h"))
@@ -669,6 +769,8 @@ object CorpusQuality extends QueryModule {
     "q_quality_gate" -> (qQualityGate(_, _)),
     "q_dedup_spans" -> (qDedupSpans(_, _)),
     "q_text_selfrep" -> (qTextSelfrep(_, _)),
+    "q_dedup_substring" -> (qDedupSubstring(_, _)),
+    "q_dedup_substring_cut" -> (qDedupSubstringCut(_, _)),
     "q_decontaminate_spans" -> (qDecontaminateSpans(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -968,6 +1070,44 @@ object CorpusQuality extends QueryModule {
          |FROM documents
          |WHERE length(text) >= 32
          |ORDER BY doc_id""".stripMargin,
+    // Positional-hash CTE shared by the two exact-substring queries:
+    // identical hash values as the Spark kernel (same constants, same
+    // code-point math), position kept. The island merges replay the
+    // Spark window logic verbatim: strict adjacency (pos − row_number)
+    // for the run listing, gap ≤ W merge (lag + running sum) for the
+    // character-coverage cut.
+    "q_dedup_substring" ->
+      s"""WITH $sqlDupPositions,
+         |g AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM dpos)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start,
+         |  CAST(max(pos) - min(pos) + 32 AS BIGINT) AS dup_len
+         |FROM g GROUP BY doc_id, grp
+         |HAVING max(pos) - min(pos) + 32 >= 64
+         |ORDER BY doc_id, start""".stripMargin,
+    "q_dedup_substring_cut" ->
+      s"""WITH $sqlDupPositions,
+         |b AS (SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 32
+         |      THEN 0 ELSE 1 END AS brk
+         |  FROM dpos),
+         |i AS (SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM b),
+         |runs AS (SELECT doc_id, max(pos) - min(pos) + 32 AS run_len
+         |  FROM i GROUP BY doc_id, isl),
+         |per_doc AS (SELECT doc_id, count(*) AS n_runs,
+         |    sum(run_len) AS dup_chars
+         |  FROM runs GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+         |  CAST(coalesce(p.n_runs, 0) AS BIGINT) AS n_runs,
+         |  CAST(coalesce(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+         |  1.0 - CAST(coalesce(p.dup_chars, 0) AS DOUBLE) / length(d.text)
+         |    AS retained_frac
+         |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q_decontaminate_spans" ->
       s"""WITH h AS (SELECT DISTINCT doc_id, unnest($sqlSpanHashes) AS h
          |  FROM documents),
@@ -992,5 +1132,26 @@ object CorpusQuality extends QueryModule {
        |        CAST(ascii(substr(text, CAST(i + j + 1 AS INTEGER), 1)) AS BIGINT)
        |          * ($pows)[CAST(j + 1 AS INTEGER)]
        |      )) % 2147483647)""".stripMargin
+  }
+
+  /** CTE chain `pos/ph/dup/dpos` ending in the cross-document
+    * duplicated window POSITIONS — the DuckDB spelling of
+    * [[dupPositions]] (positional variant of [[sqlSpanHashes]], then
+    * hashes seen in ≥2 distinct docs, then the position semi-join).
+    */
+  private def sqlDupPositions: String = {
+    val pows = graft.functions.SpanHashMath.Pow.mkString("[", ", ", "]")
+    s"""pos AS (SELECT doc_id, text,
+       |    unnest(range(0, greatest(length(text) - 31, 0))) AS i
+       |  FROM documents),
+       |ph AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    list_sum(list_transform(range(0, 32), j ->
+       |      CAST(ascii(substr(text, CAST(i + j + 1 AS INTEGER), 1)) AS BIGINT)
+       |        * ($pows)[CAST(j + 1 AS INTEGER)]
+       |    )) % 2147483647 AS h
+       |  FROM pos),
+       |dup AS (SELECT h FROM ph GROUP BY h
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |dpos AS (SELECT ph.doc_id, ph.pos FROM ph SEMI JOIN dup USING (h))""".stripMargin
   }
 }

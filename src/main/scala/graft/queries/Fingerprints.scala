@@ -745,6 +745,39 @@ object Fingerprints extends QueryModule {
     * the REPRESENTATIVE id — map-only after one left join against the
     * (tiny) component label table, deterministic on any engine.
     */
+  /** Quality-aware representative selection: per near-dup component,
+    * KEEP the longest member (ties → smallest doc_id) instead of the
+    * arbitrary min-id the plain cluster dedup keeps — the policy real
+    * curation uses (near-dup clusters usually contain one full document
+    * plus truncated/boilerplate-wrapped copies; min-id keeps whichever
+    * crawl happened first, keep-best keeps the most complete text).
+    * Output is one row per component: its label, size, the winning
+    * quality score, and the kept doc.
+    *
+    * Shape: the component-label artifact (memoized, pair-sized — tiny
+    * relative to the corpus) is decorated with a per-doc quality proxy
+    * (char length, read from the corpus scan) and reduced with two hash
+    * aggregates: best score per cluster, then min doc_id among members
+    * achieving it. Deterministic on any engine — no max_by/struct
+    * ordering dependence — and nothing corpus-sized shuffles: the join
+    * against the label table prunes the scan to cluster members via the
+    * broadcast semi-join AQE picks for a dimension-sized build side.
+    */
+  def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val members = componentLabels(s, dir)
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("len")),
+        "doc_id")
+    val best = members.groupBy("cluster").agg(
+      count(lit(1)).as("n_members"), max(col("len")).as("best_len"))
+    members.join(best, "cluster")
+      .filter(col("len") === col("best_len"))
+      .groupBy("cluster", "n_members", "best_len")
+      .agg(min(col("doc_id")).as("keep_doc"))
+      .select(col("cluster"), col("n_members"), col("best_len"), col("keep_doc"))
+      .orderBy("cluster")
+  }
+
   def qClusterSplit(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select("doc_id")
       .join(componentLabels(s, dir), Seq("doc_id"), "left")
@@ -915,6 +948,7 @@ object Fingerprints extends QueryModule {
     "q_dedup_pipeline" -> (qDedupPipeline(_, _)),
     "q_dedup_pipeline_cc" -> (qDedupPipelineCc(_, _)),
     "q_dedup_cluster" -> (qDedupCluster(_, _)),
+    "q_dedup_keep_best" -> (qDedupKeepBest(_, _)),
     "q_cluster_split" -> (qClusterSplit(_, _)),
     "q_source_sketch_sim" -> (qSourceSketchSim(_, _)),
     "q_dup_source_matrix" -> (qDupSourceMatrix(_, _)),
@@ -1169,6 +1203,40 @@ object Fingerprints extends QueryModule {
          |FROM sigs a JOIN sigs b ON a.source < b.source
          |ORDER BY source_a, source_b""".stripMargin
     },
+    // Same recursive-CTE labels as q_dedup_cluster, then the keep-best
+    // reduction spelled with the identical two-aggregate plan: best
+    // length per cluster, min doc_id among the members achieving it.
+    "q_dedup_keep_best" ->
+      s"""${sqlMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),
+         |confirmed AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM pairs p
+         |  JOIN dhs a ON a.doc_id = p.doc_a
+         |  JOIN dhs b ON b.doc_id = p.doc_b
+         |  WHERE len(list_intersect(a.dh, b.dh))
+         |    / (a.n + b.n - len(list_intersect(a.dh, b.dh))) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM confirmed
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM confirmed),
+         |reach(doc, m) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.m FROM edges e JOIN reach r ON r.doc = e.dst),
+         |cl AS (SELECT doc AS doc_id, CAST(min(m) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY doc),
+         |members AS (SELECT cl.cluster, cl.doc_id,
+         |    CAST(length(d.text) AS BIGINT) AS len
+         |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+         |best AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+         |    max(len) AS best_len
+         |  FROM members GROUP BY cluster)
+         |SELECT b.cluster, b.n_members, b.best_len,
+         |  min(m.doc_id) AS keep_doc
+         |FROM members m JOIN best b ON m.cluster = b.cluster
+         |WHERE m.len = b.best_len
+         |GROUP BY b.cluster, b.n_members, b.best_len
+         |ORDER BY b.cluster""".stripMargin,
     "q_cluster_split" ->
       s"""${sqlMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),

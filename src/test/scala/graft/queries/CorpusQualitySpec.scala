@@ -206,4 +206,90 @@ class CorpusQualitySpec extends SparkSpec {
     lazy val qualityGate =
       CorpusQuality.qQualityGate(spark, "/root/testdata/sf0.001").collect()
   }
+
+  test("spanhashesPos: positional brute-force parity; distinct-sorted ≡ spanhashes") {
+    import graft.functions.GraftFunctions.spanhashesPos
+    // includes a surrogate pair (𝄞) to pin code-point (not UTF-16) windows
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog repeatedly and often",
+      "notes 𝄞 and more notes 𝄞 and yet more notes to pad past the window size",
+      "short")
+    val got = texts.toDF("text")
+      .select(spanhashesPos(col("text")).as("h"), spanhashes(col("text")).as("d"))
+      .collect()
+      .map(r => (r.getSeq[Long](0), r.getSeq[Long](1)))
+    texts.zip(got).foreach { case (s, (pos, dis)) =>
+      val cps = s.codePoints().toArray
+      val brute = (0 to cps.length - SpanHashMath.W).map { i =>
+        (0 until SpanHashMath.W)
+          .map(j => cps(i + j).toLong * SpanHashMath.Pow(j))
+          .sum % SpanHashMath.P
+      }
+      assert(pos == brute, s"positional hashes for: $s")
+      assert(pos.distinct.sorted == dis, s"distinct parity for: $s")
+    }
+  }
+
+  test("substring runs: planted shared span found at its position; clean doc absent") {
+    // 96-char span shared verbatim by docs 1 and 2 at different offsets.
+    // Boundary chars around each occurrence DIFFER across docs ('<'/'>'
+    // vs start-of-doc/'!') so no window straddling the span edge is
+    // itself duplicated — the run must be exactly the planted copy.
+    val span = "0123456789abcdefghijklmnopqrstuv" * 3
+    val docs = Seq(
+      (1L, s"intro text before the copy<$span>trailing words"),
+      (2L, s"$span!different ending entirely here"),
+      (3L, "no shared content in this document at all, just filler prose"))
+      .toDF("doc_id", "text")
+    val runs = CorpusQuality.substringRuns(docs, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(runs.map(_._1).toSet == Set(1L, 2L))
+    val r1 = runs.find(_._1 == 1L).get
+    val r2 = runs.find(_._1 == 2L).get
+    // doc 2's copy starts at offset 0; doc 1's at its planted offset
+    assert(r2._2 == 0L && r2._3 == 96L)
+    assert(r1._2 == "intro text before the copy<".length.toLong && r1._3 == 96L)
+  }
+
+  test("substring cut: covered chars are the exact interval union, clean docs retained 1.0") {
+    // two duplicated spans in doc 1 separated by a >32-char unique gap →
+    // two runs whose char coverage must NOT double-count; every span
+    // occurrence gets distinct boundary chars so coverage is exactly
+    // the planted spans
+    val a = "A" + ("0123456789abcdefghijklmnopqrstuv" * 2) // 65 chars
+    val b = "B" + ("zyxwvutsrqponmlkjihgfedcba987654" * 2) // distinct 65 chars
+    val gap = "this connecting passage is unique and well over thirty-two characters long"
+    val docs = Seq(
+      (1L, s"${a}x${gap}y$b"),
+      (2L, s"left context<$a>right side"),
+      (3L, s"other frame[$b]closing"),
+      (4L, "entirely unique document with zero duplicated spans inside"))
+      .toDF("doc_id", "text")
+    val cut = CorpusQuality.substringCut(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 1: both spans fully covered, gap untouched → 2 runs, 130 chars
+    val n1 = 130 + 2 + gap.length
+    assert(cut(1L) == ((2L, 130L, 1.0 - 130.0 / n1)))
+    assert(cut(2L)._1 == 1L && cut(2L)._2 == 65L)
+    assert(cut(4L) == ((0L, 0L, 1.0)))
+  }
+
+  test("q_dedup_keep_best: winner is the longest member (min id on ties) of its cluster") {
+    val sf = "/root/testdata/sf0.001"
+    val labels = Fingerprints.qDedupCluster(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val lens = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = labels.groupBy(_._2).view.mapValues { ms =>
+      val members = ms.map(_._1)
+      val best = members.map(lens).max
+      (members.length.toLong, best, members.filter(lens(_) == best).min)
+    }.toMap
+    val got = Fingerprints.qDedupKeepBest(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    assert(want.nonEmpty) // the corpus does contain near-dup clusters
+  }
 }
