@@ -88,6 +88,26 @@ object StreamingQ extends QueryModule {
         .select("doc_id", "lang", "source")
     }.orderBy("doc_id")
 
+  /** Streaming closed-session ledger, driver-checked: the
+    * `flatMapGroupsWithState` custom-state sessionizer
+    * ([[StreamOps.sessionizeClosed]] — the KeyValueGroupedDataset
+    * surface the brief calls for) drained over the events table. Its
+    * deterministic contract — a session emits exactly when a later
+    * event closes it, each user's final session stays open — makes the
+    * oracle the batch sessionization MINUS each user's last session,
+    * with no watermark/timeout timing in the claim. Same gap, tie-break
+    * and decimal-sum discipline as [[Windows.qSessionize]].
+    */
+  def qStreamSessionize(s: SparkSession, dir: String): DataFrame =
+    StreamDrain.drained(s, dir, "stream_sessionize", "events",
+        mode = "append") { st =>
+      import s.implicits._
+      StreamOps.sessionizeClosed(
+        normTs(st).select("event_id", "user_id", "event_type", "value", "ts")
+          .as[StreamOps.Event],
+        Windows.SessionGapUs).toDF()
+    }.orderBy("user_id", "session_id")
+
   override def prewarm(s: SparkSession, dir: String): Unit = {
     // these drains are independent of every other artifact — they run
     // at the head of prep and overlap the index chains. The decontam
@@ -103,12 +123,40 @@ object StreamingQ extends QueryModule {
     "q_stream_tumbling" -> (qStreamTumbling(_, _)),
     "q_stream_sliding" -> (qStreamSliding(_, _)),
     "q_stream_dedup_keys" -> (qStreamDedupKeys(_, _)),
+    "q_stream_sessionize" -> (qStreamSessionize(_, _)),
     "q_stream_decontaminate" -> (qStreamDecontaminate(_, _)))
 
   // identical SQL to the batch twins — equivalence is the claim
   val oracleSql: Map[String, String] = Map(
     "q_stream_dedup_keys" ->
       """SELECT DISTINCT user_id FROM events ORDER BY user_id""",
+    // The batch q_sessionize CTE verbatim, minus each user's final
+    // (still-open) session — the closed-session contract.
+    "q_stream_sessionize" ->
+      s"""WITH e AS (${Windows.evSql}),
+         |g AS (SELECT user_id, event_id, ts, value,
+         |    epoch_us(ts) AS us,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_us
+         |  FROM e),
+         |m AS (SELECT *, CASE WHEN prev_us IS NULL
+         |      OR us - prev_us > ${Windows.SessionGapUs} THEN 1 ELSE 0 END AS is_new
+         |  FROM g),
+         |sess AS (SELECT *,
+         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM m),
+         |s2 AS (SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |    count(*) AS n_events,
+         |    min(ts) AS session_start, max(ts) AS session_end,
+         |    ${Q.sqlDsum("value")} AS sum_value
+         |  FROM sess GROUP BY user_id, session_id),
+         |mx AS (SELECT user_id, max(session_id) AS last_sess FROM s2 GROUP BY user_id)
+         |SELECT s2.user_id, s2.session_id, s2.n_events,
+         |  s2.session_start, s2.session_end, s2.sum_value
+         |FROM s2 JOIN mx ON s2.user_id = mx.user_id
+         |WHERE s2.session_id < mx.last_sess
+         |ORDER BY s2.user_id, s2.session_id""".stripMargin,
     "q_stream_decontaminate" -> Fingerprints.sqlDecontaminate,
     "q_stream_tumbling" ->
       s"""WITH e AS (${Windows.evSql})

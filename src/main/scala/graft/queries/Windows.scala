@@ -286,7 +286,7 @@ object Windows extends QueryModule {
     * (6 h suits the testdata's per-user event cadence; production tunes
     * it per product.)
     */
-  private val SessionGapUs = 6L * 3600L * 1000000L
+  private[queries] val SessionGapUs = 6L * 3600L * 1000000L
 
   /** Batch sessionization — the classic gaps-and-islands shape and the
     * batch twin of the streaming `flatMapGroupsWithState` sessionizer:

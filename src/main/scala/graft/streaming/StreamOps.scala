@@ -177,6 +177,88 @@ object StreamOps {
   case class Session(user_id: Long, start: Timestamp, end: Timestamp,
       n: Long, sum_value: Double)
 
+  /** Epoch MICROS of a Timestamp (getTime alone drops the sub-ms part
+    * the events table carries).
+    */
+  def micros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def microsTs(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** value rounded into DECIMAL(28,4) unscaled units — the per-element
+    * step of the [[graft.queries.Q.dsum]] discipline, so an incremental
+    * state fold sums EXACTLY what the batch decimal aggregate sums
+    * (same BigDecimal.valueOf canonical-string rounding Spark's
+    * double→decimal cast performs) and the emitted double matches the
+    * batch twin bit-for-bit regardless of arrival order.
+    */
+  private def scaled4(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  case class ClosedSessState(start: Long, lastUs: Long, n: Long,
+      sumUnscaled: Long, emitted: Long)
+  case class ClosedSession(user_id: Long, session_id: Long, n_events: Long,
+      session_start: Timestamp, session_end: Timestamp, sum_value: Double)
+
+  /** CLOSED-session ledger via `flatMapGroupsWithState` — the custom-
+    * state sessionizer whose output is deterministic on an unbounded
+    * stream and therefore driver-checkable: a session is emitted exactly
+    * when a later event from the same user closes it (gap > `gapUs`,
+    * the batch [[graft.queries.Windows]] rule: strict >, ties broken by
+    * event_id). Each user's final session stays OPEN in state — on an
+    * infinite stream that is the correct answer (it may still grow),
+    * and on a bounded drain it makes the result exactly "the batch
+    * sessionization minus each user's last session", an oracle-exact
+    * claim with NO dependence on watermark/timeout timing.
+    *
+    * The production flush for idle users is the timeout path
+    * [[sessionize]] carries; this operator deliberately has NoTimeout
+    * so emission depends only on the event sequence. State per user is
+    * one open session (five longs) — bounded by active users. Events
+    * are sorted per batch; cross-batch the per-user landing order is
+    * assumed time-ordered (the landing-dir contract; the availableNow
+    * drain delivers everything in one batch, where the sort makes
+    * order irrelevant). Session ids are per-user ordinals in close
+    * order, so they line up with the batch twin's running counter.
+    * Sums fold in DECIMAL(28,4) unscaled units ([[scaled4]]).
+    */
+  def sessionizeClosed(events: Dataset[Event], gapUs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ClosedSessState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[ClosedSessState]) =>
+          val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+          var cur = state.getOption
+          var out = List.empty[ClosedSession]
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            cur match {
+              case Some(st) if t - st.lastUs > gapUs =>
+                out ::= ClosedSession(uid, st.emitted + 1, st.n,
+                  microsTs(st.start), microsTs(st.lastUs),
+                  new java.math.BigDecimal(
+                    java.math.BigInteger.valueOf(st.sumUnscaled), 4).doubleValue())
+                cur = Some(ClosedSessState(t, t, 1, scaled4(e.value), st.emitted + 1))
+              case Some(st) =>
+                cur = Some(st.copy(lastUs = math.max(st.lastUs, t), n = st.n + 1,
+                  sumUnscaled = st.sumUnscaled + scaled4(e.value)))
+              case None =>
+                cur = Some(ClosedSessState(t, t, 1, scaled4(e.value), 0))
+            }
+          }
+          cur.foreach(state.update)
+          out.reverse.iterator
+      }
+  }
+
   /** The per-group session fold — pure and directly unit-testable:
     * given the open-session state and a batch of events, returns the
     * sessions closed by this batch plus the new open state. Late

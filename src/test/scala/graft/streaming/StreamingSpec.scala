@@ -308,6 +308,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeClosed: cross-batch state continuation, per-user ordinals, exact sums") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 10L * 60 * 1000000 // 10 min
+    val input = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionizeClosed(input.toDS(), gapUs)
+      .writeStream.format("memory").queryName("closed_sess_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 7 opens a session (2 events); user 8 opens one
+      input.addData(
+        StreamOps.Event(1, 7, "click", 1.25, ts("2024-01-01 10:00:00")),
+        StreamOps.Event(2, 7, "click", 2.5, ts("2024-01-01 10:05:00")),
+        StreamOps.Event(3, 8, "view", 9.0, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("closed_sess_test").count() == 0) // nothing closed yet
+      // batch 2: user 7's gap-exceeding event CLOSES session 1 (state
+      // carried across batches); user 8 continues (still open)
+      input.addData(
+        StreamOps.Event(4, 7, "click", 4.0, ts("2024-01-01 10:30:00")),
+        StreamOps.Event(5, 8, "view", 1.0, ts("2024-01-01 10:06:00")))
+      q.processAllAvailable()
+      val rows = spark.table("closed_sess_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getTimestamp(3).toString, r.getTimestamp(4).toString, r.getDouble(5)))
+        .toSeq
+      assert(rows == Seq((7L, 1L, 2L,
+        "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0", 3.75)))
+      // batch 3: another close for user 7 → ordinal advances to 2
+      input.addData(StreamOps.Event(6, 7, "click", 7.0, ts("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      val ids = spark.table("closed_sess_test").collect()
+        .filter(_.getLong(0) == 7L).map(r => (r.getLong(1), r.getDouble(5))).sorted.toSeq
+      assert(ids == Seq((1L, 3.75), (2L, 4.0)))
+      // user 8's single (still-open) session never emitted
+      assert(!spark.table("closed_sess_test").collect().exists(_.getLong(0) == 8L))
+    } finally q.stop()
+  }
+
   test("sliding counts place each event in two windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.Event]
