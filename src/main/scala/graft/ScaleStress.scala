@@ -97,8 +97,13 @@ object ScaleStress {
     s.range(n).toDF("event_id")
       .select(
         col("event_id"),
-        timestamp_micros(lit(startMicros) + col("event_id") * 50000L
-          + pmod(xxhash64(col("event_id"), lit("jit")), lit(50000L))).as("ts"),
+        // 2 s mean spacing → the 1M-event stream spans ~23 days, so the
+        // long-tail users (mean per-user gap ≈ 16 h) REALLY close
+        // 6-hour sessions — a 50 ms spacing packed the whole stream
+        // inside 14 h and the sessionize checks went vacuous (one open
+        // session per user, zero closed).
+        timestamp_micros(lit(startMicros) + col("event_id") * 2000000L
+          + pmod(xxhash64(col("event_id"), lit("jit")), lit(2000000L))).as("ts"),
         expr("CASE WHEN pmod(xxhash64(event_id, 'hot'), 10) < 3 " +
           "THEN pmod(xxhash64(event_id, 'u'), 50) " +
           "ELSE 50 + pmod(xxhash64(event_id, 'u'), 20000) END").as("user_id"),
@@ -243,7 +248,8 @@ object ScaleStress {
     Seq("q_cumsum_global", "q_rolling_global", "q_rolling_std",
       "q_shift_diff", "q_dedup_exact", "q_dedup_simhash", "q_dedup_jaccard",
       "q_dedup_index_append", "q_heavy_hitters", "q_multimodal_dedup",
-      "q_dedup_embed_hybrid", "q_shard_manifest").foreach { q =>
+      "q_dedup_embed_hybrid", "q_shard_manifest",
+      "q_dedup_substring", "q_dedup_substring_cut").foreach { q =>
       check(s"invariance_$q") {
         legFp(spark, dir, q, 16) == legFp(spark, dir, q, 48)
       }
@@ -272,6 +278,60 @@ object ScaleStress {
       val missing = planted.join(found, Seq("doc_a", "doc_b"), "left_anti").count()
       val nPlanted = planted.count()
       nPlanted > 400 && missing == 0
+    }
+    // Exact-dup docs are verbatim text copies, so the substring-run
+    // listing must report the WHOLE document as one duplicated run for
+    // both members of every planted copy pair, and the cut summary must
+    // retain 0% of them. (Character-granular recall — stricter than the
+    // doc-level exact-dup check above.)
+    check("planted_substring_runs") {
+      // the copy docs plus their seed docs: both sides of each pair.
+      // Pairs whose SEED was itself rewritten by the near-dup rule are
+      // not verbatim copies (the copy reads the seed's unedited words)
+      // — exclude them, as the generator's planting rules imply.
+      val pairDocs = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 97 === 3 && col("doc_id") >= 97)
+        .filter(!((col("doc_id") - 3) % 89 === 7 && col("doc_id") - 3 >= 89))
+        .select(col("doc_id"), (col("doc_id") - 3).as("seed_id"))
+      val members = pairDocs.select(col("doc_id"))
+        .union(pairDocs.select(col("seed_id").as("doc_id"))).distinct()
+      val wholeRuns = SparkEntry.queries("q_dedup_substring")(spark, dir)
+        .filter(col("start") === 0)
+        .join(Tables.documents(spark, dir)
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars")),
+          "doc_id")
+        .filter(col("dup_len") === col("n_chars"))
+        .select("doc_id")
+      val missing = members.join(wholeRuns, Seq("doc_id"), "left_anti").count()
+      members.count() > 800 && missing == 0
+    }
+    check("planted_substring_cut_zero") {
+      val copies = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 97 === 3 && col("doc_id") >= 97)
+        .filter(!((col("doc_id") - 3) % 89 === 7 && col("doc_id") - 3 >= 89))
+        .select("doc_id")
+      val notZero = SparkEntry.queries("q_dedup_substring_cut")(spark, dir)
+        .join(copies, "doc_id")
+        .filter(col("retained_frac") =!= 0.0).count()
+      copies.count() > 400 && notZero == 0
+    }
+    // Batch ≡ stream at 10×: the closed-session ledger must equal the
+    // batch sessionization minus each user's final session — the same
+    // claim the driver hash-checks at sf0.01, re-proven where state
+    // spans many more users and sessions.
+    check("stream_sessionize_vs_batch") {
+      val batch = SparkEntry.queries("q_sessionize")(spark, dir)
+      val mx = batch.groupBy("user_id").agg(max("session_id").as("last_sess"))
+      val closed = batch.join(mx, "user_id")
+        .filter(col("session_id") < col("last_sess"))
+        .select("user_id", "session_id", "n_events",
+          "session_start", "session_end", "sum_value")
+      val streamed = SparkEntry.queries("q_stream_sessionize")(spark, dir)
+        .select("user_id", "session_id", "n_events",
+          "session_start", "session_end", "sum_value")
+      val (bn, bs) = fingerprint(closed)
+      val (sn, ss) = fingerprint(streamed)
+      bn > 1000 && (bn, bs) == (sn, ss)
     }
     check("planted_embed_pairs") {
       val planted = spark.range(EmbN).toDF("idb")

@@ -619,6 +619,61 @@ object CorpusQuality extends QueryModule {
 
   private def SpanHashMathW: Int = graft.functions.SpanHashMath.W
 
+  /** Exact-substring dedup, REWRITE endpoint: the cleaned corpus text
+    * after cutting every duplicated-window occurrence EXCEPT its
+    * canonical first occurrence (min (doc_id, pos) across the corpus) —
+    * the keep-one policy of suffix-array substring dedup: content is
+    * never erased corpus-wide, only its repeats. Per doc the cut set is
+    * the interval union of its non-canonical duplicated windows (same
+    * gap ≤ W island merge as [[substringCut]]), and the survivor text
+    * is rebuilt with one pass of `aggregate` over the sorted interval
+    * list — O(chars) per document, no per-character rows.
+    *
+    * Canonical occurrence is encoded as min(doc_id·2²⁰ + pos): exact
+    * while docs stay under 2²⁰ code points (1 Mi — far above the
+    * corpus's documents; at production widths carry doc and pos as a
+    * two-field min instead). Shuffles: the (h)-keyed canon aggregate
+    * and join (∝ corpus chars — the honest minimum for char-granular
+    * provenance), one per-doc window, one per-doc interval collect.
+    */
+  def qDedupSubstringRewrite(s: SparkSession, dir: String): DataFrame =
+    substringRewrite(Tables.documents(s, dir))
+
+  private[queries] def substringRewrite(docs: DataFrame): DataFrame = {
+    val W = SpanHashMathW
+    val ph = docs.select(col("doc_id"),
+        posexplode(spanhashesPos(col("text"))).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+      .withColumn("okey", col("doc_id") * lit(1048576L) + col("pos"))
+    val canon = ph.groupBy("h").agg(
+        count_distinct(col("doc_id")).as("nd"), min(col("okey")).as("canon_key"))
+      .filter(col("nd") >= 2).select("h", "canon_key")
+    val cut = ph.join(canon, "h").filter(col("okey") =!= col("canon_key"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val intervals = cut
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) <= W, 0).otherwise(1))
+      .withColumn("isl", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(W)).as("e"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    docs.join(intervals, Seq("doc_id"), "left")
+      .withColumn("clean_text", when(col("ivs").isNull, col("text")).otherwise(
+        expr("""concat(
+          |  aggregate(ivs, struct(CAST(0 AS BIGINT) AS p, '' AS acc),
+          |    (a, iv) -> struct(iv.e AS p,
+          |      concat(a.acc, substring(text, CAST(a.p + 1 AS INT),
+          |        CAST(iv.s - a.p AS INT))) AS acc)).acc,
+          |  substring(text,
+          |    CAST(aggregate(ivs, CAST(0 AS BIGINT), (a, iv) -> iv.e) + 1 AS INT),
+          |    length(text)))""".stripMargin)))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        length(col("clean_text")).cast("long").as("kept_chars"), col("clean_text"))
+      .orderBy("doc_id")
+  }
+
   def qDecontaminateSpans(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val spans = docs.select(col("doc_id"), explode(spanhashes(col("text"))).as("h"))
@@ -771,6 +826,7 @@ object CorpusQuality extends QueryModule {
     "q_text_selfrep" -> (qTextSelfrep(_, _)),
     "q_dedup_substring" -> (qDedupSubstring(_, _)),
     "q_dedup_substring_cut" -> (qDedupSubstringCut(_, _)),
+    "q_dedup_substring_rewrite" -> (qDedupSubstringRewrite(_, _)),
     "q_decontaminate_spans" -> (qDecontaminateSpans(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -1108,6 +1164,34 @@ object CorpusQuality extends QueryModule {
          |    AS retained_frac
          |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // Same positional-hash feed; canonical occurrence = min(doc·2^20+pos)
+    // per duplicated hash; covered chars replayed as a per-character
+    // range join (interval union ≡ union of window coverages, so the
+    // oracle needs no island merge); text rebuilt by ordered string_agg.
+    "q_dedup_substring_rewrite" ->
+      s"""WITH $sqlPosHashCtes,
+         |canon AS (SELECT h, min(okey) AS canon_key FROM ph
+         |  GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |cut AS (SELECT ph.doc_id, ph.pos FROM ph JOIN canon USING (h)
+         |  WHERE ph.okey <> canon.canon_key),
+         |chars AS (SELECT doc_id, text,
+         |    unnest(range(0, length(text))) AS cp
+         |  FROM documents),
+         |cov AS (SELECT DISTINCT c.doc_id, c.cp
+         |  FROM chars c JOIN cut k ON k.doc_id = c.doc_id
+         |    AND c.cp BETWEEN k.pos AND k.pos + 31),
+         |kept AS (SELECT c.doc_id, c.cp,
+         |    substr(c.text, CAST(c.cp + 1 AS INTEGER), 1) AS ch
+         |  FROM chars c LEFT JOIN cov
+         |    ON cov.doc_id = c.doc_id AND cov.cp = c.cp
+         |  WHERE cov.cp IS NULL),
+         |agg AS (SELECT doc_id, string_agg(ch, '' ORDER BY cp) AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+         |  CAST(length(coalesce(a.clean_text, '')) AS BIGINT) AS kept_chars,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q_decontaminate_spans" ->
       s"""WITH h AS (SELECT DISTINCT doc_id, unnest($sqlSpanHashes) AS h
          |  FROM documents),
@@ -1134,24 +1218,32 @@ object CorpusQuality extends QueryModule {
        |      )) % 2147483647)""".stripMargin
   }
 
-  /** CTE chain `pos/ph/dup/dpos` ending in the cross-document
-    * duplicated window POSITIONS — the DuckDB spelling of
-    * [[dupPositions]] (positional variant of [[sqlSpanHashes]], then
-    * hashes seen in ≥2 distinct docs, then the position semi-join).
+  /** CTE chain `pos/ph` — positional window hashes with the occurrence
+    * key `okey = doc_id·2²⁰ + pos` (the DuckDB spelling of the
+    * positional variant of [[sqlSpanHashes]]).
     */
-  private def sqlDupPositions: String = {
+  private def sqlPosHashCtes: String = {
     val pows = graft.functions.SpanHashMath.Pow.mkString("[", ", ", "]")
     s"""pos AS (SELECT doc_id, text,
        |    unnest(range(0, greatest(length(text) - 31, 0))) AS i
        |  FROM documents),
        |ph AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    doc_id * 1048576 + CAST(i AS BIGINT) AS okey,
        |    list_sum(list_transform(range(0, 32), j ->
        |      CAST(ascii(substr(text, CAST(i + j + 1 AS INTEGER), 1)) AS BIGINT)
        |        * ($pows)[CAST(j + 1 AS INTEGER)]
        |    )) % 2147483647 AS h
-       |  FROM pos),
+       |  FROM pos)""".stripMargin
+  }
+
+  /** CTE chain `pos/ph/dup/dpos` ending in the cross-document
+    * duplicated window POSITIONS — the DuckDB spelling of
+    * [[dupPositions]] ([[sqlPosHashCtes]], then hashes seen in ≥2
+    * distinct docs, then the position semi-join).
+    */
+  private def sqlDupPositions: String =
+    s"""$sqlPosHashCtes,
        |dup AS (SELECT h FROM ph GROUP BY h
        |  HAVING count(DISTINCT doc_id) >= 2),
        |dpos AS (SELECT ph.doc_id, ph.pos FROM ph SEMI JOIN dup USING (h))""".stripMargin
-  }
 }

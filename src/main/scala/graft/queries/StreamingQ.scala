@@ -116,7 +116,8 @@ object StreamingQ extends QueryModule {
     // rep pays its one-time drain instead.
     qStreamTumbling(s, dir).count()
     qStreamSliding(s, dir).count()
-    qStreamDedupKeys(s, dir).count(); ()
+    qStreamDedupKeys(s, dir).count()
+    qStreamSessionize(s, dir).count(); ()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

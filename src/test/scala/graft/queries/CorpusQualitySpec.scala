@@ -274,6 +274,40 @@ class CorpusQualitySpec extends SparkSpec {
     assert(cut(4L) == ((0L, 0L, 1.0)))
   }
 
+  test("substring rewrite: canonical occurrence intact, repeats cut, full copies emptied") {
+    // 96 DISTINCT chars — an internally periodic span (e.g. s32×3) would
+    // itself be keep-one-collapsed inside the canonical doc, correctly
+    val span = (0 until 96).map(i => ('!' + i).toChar).mkString
+    val twin = "the same entire document text repeated verbatim in both places ok"
+    val docs = Seq(
+      (1L, s"pre<$span>post"),          // canonical (min okey) — intact
+      (2L, s"AA[$span]BB"),             // repeat — span cut, context kept
+      (3L, "nothing shared with anyone here, just unique filler text"),
+      (4L, twin),                        // canonical of the full-copy pair
+      (5L, twin))                        // full copy — cut to empty
+      .toDF("doc_id", "text")
+    val got = CorpusQuality.substringRewrite(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((s"pre<$span>post".length.toLong,
+      s"pre<$span>post".length.toLong, s"pre<$span>post")))
+    assert(got(2L) == ((102L, 6L, "AA[]BB")))
+    assert(got(3L)._1 == got(3L)._2) // untouched
+    assert(got(4L) == ((twin.length.toLong, twin.length.toLong, twin)))
+    assert(got(5L) == ((twin.length.toLong, 0L, "")))
+    // retention: every DUPLICATED window hash survives in the cleaned
+    // corpus — the keep-one guarantee (exact here because the canonical
+    // docs carry no cuts; in general a canonical occurrence can lose
+    // chars to an overlapping OTHER hash's cut interval — unique
+    // straddling windows die with their context by design)
+    val before = docs
+      .select(col("doc_id"), explode(spanhashes(col("text"))).as("h"))
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val after = CorpusQuality.substringRewrite(docs)
+      .select(explode(spanhashes(col("clean_text"))).as("h")).distinct()
+    assert(before.join(after, Seq("h"), "left_anti").count() == 0)
+  }
+
   test("q_dedup_keep_best: winner is the longest member (min id on ties) of its cluster") {
     val sf = "/root/testdata/sf0.001"
     val labels = Fingerprints.qDedupCluster(spark, sf).collect()
