@@ -108,6 +108,27 @@ object StreamingQ extends QueryModule {
         Windows.SessionGapUs).toDF()
     }.orderBy("user_id", "session_id")
 
+  /** Streaming INGEST-SINK round trip, driver-checked: arriving
+    * documents land in an exactly-once parquet sink
+    * ([[StreamDrain.drainedFiles]] — checkpoint WAL + `_spark_metadata`
+    * commit log, the production landing→corpus ingest endpoint), and
+    * the per-source manifest (doc count, char total, order-independent
+    * md5 checksum — the [[Pipelines.qShardManifest]] discipline) is
+    * computed FROM THE SINK READ BACK THROUGH ITS COMMIT LOG while the
+    * oracle recomputes it from `documents` alone. A green row
+    * certifies exactly-once delivery end to end: any dropped,
+    * duplicated, or mangled row — including files from uncommitted
+    * batches becoming visible — breaks a count or the checksum.
+    */
+  def qStreamShardSink(s: SparkSession, dir: String): DataFrame =
+    StreamDrain.drainedFiles(s, dir, "stream_shard_sink", "documents")(st => st)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        expr("CAST(sum(CAST(CAST(conv(substring(md5(text), 1, 15), 16, 10) " +
+          "AS BIGINT) AS DECIMAL(38,0))) % 2147483647 AS BIGINT)").as("checksum"))
+      .orderBy("source")
+
   override def prewarm(s: SparkSession, dir: String): Unit = {
     // these drains are independent of every other artifact — they run
     // at the head of prep and overlap the index chains. The decontam
@@ -117,7 +138,8 @@ object StreamingQ extends QueryModule {
     qStreamTumbling(s, dir).count()
     qStreamSliding(s, dir).count()
     qStreamDedupKeys(s, dir).count()
-    qStreamSessionize(s, dir).count(); ()
+    qStreamSessionize(s, dir).count()
+    qStreamShardSink(s, dir).count(); ()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -125,12 +147,19 @@ object StreamingQ extends QueryModule {
     "q_stream_sliding" -> (qStreamSliding(_, _)),
     "q_stream_dedup_keys" -> (qStreamDedupKeys(_, _)),
     "q_stream_sessionize" -> (qStreamSessionize(_, _)),
+    "q_stream_shard_sink" -> (qStreamShardSink(_, _)),
     "q_stream_decontaminate" -> (qStreamDecontaminate(_, _)))
 
   // identical SQL to the batch twins — equivalence is the claim
   val oracleSql: Map[String, String] = Map(
     "q_stream_dedup_keys" ->
       """SELECT DISTINCT user_id FROM events ORDER BY user_id""",
+    "q_stream_shard_sink" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15))::BIGINT
+        |    AS DECIMAL(38,0))) % 2147483647 AS BIGINT) AS checksum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // The batch q_sessionize CTE verbatim, minus each user's final
     // (still-open) session — the closed-session contract.
     "q_stream_sessionize" ->

@@ -38,21 +38,9 @@ object StreamDrain {
       mode: String = "complete")(
       build: DataFrame => DataFrame): DataFrame =
     graft.Caches.memo(s, dir, kind) {
-      val srcPath = s"$dir/$table.parquet"
-      val schema = s.read.parquet(srcPath).schema
-      val watch = Files.createTempDirectory(s"graft_stream_$kind")
-      watch.toFile.deleteOnExit()
-      val src = Paths.get(srcPath)
-      if (Files.isDirectory(src)) {
-        val it = Files.list(src).iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.endsWith(".parquet"))
-            Files.copy(p, watch.resolve(p.getFileName.toString))
-        }
-      } else Files.copy(src, watch.resolve(s"$table.parquet"))
+      val (watch, schema) = watchDirFor(s, dir, kind, table)
       val qname = kind + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = build(s.readStream.schema(schema).parquet(watch.toString))
+      val q = build(s.readStream.schema(schema).parquet(watch))
         .writeStream.format("memory").queryName(qname)
         .outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -62,4 +50,55 @@ object StreamDrain {
       finally q.stop()
       s.table(qname)
     }
+
+  /** FILE-sink drain: run the caller's (stateless, append-mode)
+    * streaming transform into an exactly-once PARQUET sink — path plus
+    * checkpoint write-ahead log plus the sink's `_spark_metadata`
+    * commit log, the production landing→shards ingest shape — and hand
+    * back the sink read BACK through that commit log (a batch read of
+    * the directory honors `_spark_metadata`, so files from aborted or
+    * uncommitted batches are invisible: the exactly-once contract is
+    * what the caller's oracle certifies, not just the transform).
+    * Memoized per (session, corpus, kind) like the memory-sink drains.
+    */
+  def drainedFiles(s: SparkSession, dir: String, kind: String, table: String)(
+      build: DataFrame => DataFrame): DataFrame =
+    graft.Caches.memoSide(s, dir, kind) {
+      val (watch, schema) = watchDirFor(s, dir, kind, table)
+      val out = Files.createTempDirectory(s"graft_sink_$kind")
+      out.toFile.deleteOnExit()
+      val q = build(s.readStream.schema(schema).parquet(watch))
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/checkpoint")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(300000),
+        s"availableNow file drain of $kind timed out")
+      finally q.stop()
+      s.read.parquet(s"$out/data")
+    }
+
+  /** Stage `dir/table.parquet`'s files into a fresh watch dir (the
+    * landing-dir stand-in a file-source stream monitors) and return it
+    * with the source schema.
+    */
+  private def watchDirFor(s: SparkSession, dir: String, kind: String,
+      table: String): (String, org.apache.spark.sql.types.StructType) = {
+    val srcPath = s"$dir/$table.parquet"
+    val schema = s.read.parquet(srcPath).schema
+    val watch = Files.createTempDirectory(s"graft_stream_$kind")
+    watch.toFile.deleteOnExit()
+    val src = Paths.get(srcPath)
+    if (Files.isDirectory(src)) {
+      val it = Files.list(src).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          Files.copy(p, watch.resolve(p.getFileName.toString))
+      }
+    } else Files.copy(src, watch.resolve(s"$table.parquet"))
+    (watch.toString, schema)
+  }
 }

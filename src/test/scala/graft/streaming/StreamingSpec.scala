@@ -346,6 +346,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-sink drain: read-back honors the commit log; orphan files stay invisible") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = "/root/testdata/sf0.001"
+    val sunk = graft.streaming.StreamDrain.drainedFiles(
+      spark, dir, "spec_file_sink", "documents")(st => st)
+    val n = sunk.count()
+    assert(n == spark.read.parquet(s"$dir/documents.parquet").count())
+    // plant an orphan part file (as if left by an aborted batch): a
+    // fresh batch read of the sink must NOT see it — _spark_metadata
+    // is the source of truth, that is the exactly-once contract
+    val dataDir = Paths.get(new java.net.URI(sunk.inputFiles.head)).getParent
+    val aPart = Files.list(dataDir).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.copy(aPart, dataDir.resolve("part-99999-orphan.snappy.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val reread = spark.read.parquet(dataDir.toString).count()
+    assert(reread == n, "orphan (uncommitted) file leaked into the batch read")
+  }
+
   test("sliding counts place each event in two windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.Event]
