@@ -351,6 +351,41 @@ object PandasExt extends QueryModule {
     * the per-verb Series API (`shift`/`diff`/`pctChange`, same shape
     * each) is exercised by BalooSeriesSpec.
     */
+  /** pandas `Series.ewm(alpha=0.5, adjust=True).mean()`, truncated at
+    * [[EwmK]] lags — per-user over the event stream order (ts,
+    * event_id). Exactness discipline: with α = 1/2 the adjust-mode
+    * weights (1−α)^k are dyadic, so after scaling values to integer
+    * cents (`round(value·100)` — the generator's values are 2-decimal)
+    * the numerator Σ 2^(K−1−k)·cents_{i−k} and the denominator
+    * 100·Σ 2^(K−1−k) are exact BIGINTs on any engine, and the single
+    * double division at the end is bit-identical. The truncation (the
+    * untruncated recursion's tail weight 2^−K ≈ 1.5e−5 of the oldest
+    * history) is part of the operator's contract — an UNtruncated ewm
+    * is a sequential float recursion whose rounding depends on
+    * association order and can never hash-match across engines.
+    * Scale shape: one window KEYED BY USER (16 lag reads, no global
+    * order), then the map-only arithmetic — partitioned by user at any
+    * corpus size.
+    */
+  def qEwm(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
+      .withColumn("__c", round(col("value") * 100).cast("long"))
+    val num = (0 until EwmK).map(k =>
+      coalesce(lag(col("__c"), k).over(w) * lit(1L << (EwmK - 1 - k)), lit(0L)))
+      .reduce(_ + _)
+    val den = (0 until EwmK).map(k =>
+      when(lag(col("__c"), k).over(w).isNotNull,
+        lit(1L << (EwmK - 1 - k))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    ev.withColumn("ewm", num.cast("double") / (den * lit(100L)).cast("double"))
+      .select("event_id", "user_id", "value", "ewm")
+      .orderBy("event_id")
+  }
+
+  private val EwmK = 16
+
   def qShiftDiff(s: SparkSession, dir: String): DataFrame = {
     val ord = graft.operators.Ordinal.withOrdinal(
       Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
@@ -479,6 +514,7 @@ object PandasExt extends QueryModule {
     "q_get_dummies" -> (qGetDummies(_, _)),
     "q_crosstab" -> (qCrosstab(_, _)),
     "q_pct_change" -> (qPctChange(_, _)),
+    "q_ewm" -> (qEwm(_, _)),
     "q_concat_outer" -> (qConcatOuter(_, _)),
     "q_rank_pct" -> (qRankPct(_, _)))
 
@@ -641,6 +677,21 @@ object PandasExt extends QueryModule {
         |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
         |  FROM events)
         |ORDER BY event_id""".stripMargin,
+    "q_ewm" -> {
+      // the identical dyadic-weight integer spelling; DuckDB reads ts
+      // as TIMESTAMP_NS so ORDER BY ts matches Spark's ts_ns ordering
+      val num = (0 until 16).map(k =>
+        s"coalesce(lag(c, $k) OVER w * ${1L << (15 - k)}, 0)").mkString(" + ")
+      val den = (0 until 16).map(k =>
+        s"(CASE WHEN lag(c, $k) OVER w IS NULL THEN 0 ELSE ${1L << (15 - k)} END)")
+        .mkString(" + ")
+      s"""SELECT event_id, user_id, value,
+         |  CAST($num AS DOUBLE) / CAST(100 * ($den) AS DOUBLE) AS ewm
+         |FROM (SELECT event_id, user_id, ts, value,
+         |    CAST(round(value * 100) AS BIGINT) AS c FROM events)
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY event_id""".stripMargin
+    },
     "q_concat_outer" ->
       """SELECT 'cust' AS origin, c_custkey AS rid, c_acctbal AS bal,
         |  c_mktsegment AS segment, CAST(NULL AS INTEGER) AS nationkey

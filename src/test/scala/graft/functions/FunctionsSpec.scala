@@ -120,7 +120,11 @@ class FunctionsSpec extends SparkSpec {
     // the injected list covers every registered builder
     val names = graft.functions.GraftFunctions.builders.map(_._1).toSet
     assert(names == Set("graft_prod", "graft_erf", "graft_rollhash",
-      "graft_spanhashes", "graft_dotl", "graft_sinter",
+      "graft_spanhashes", "graft_spanhashes_pos", "graft_dotl", "graft_sinter",
       "graft_bloom_agg", "graft_might_contain"))
+    // and the positional variant answers from pure SQL too
+    val sp = spark.sql(
+      "SELECT size(graft_spanhashes_pos(repeat('ab', 20)))").head().getInt(0)
+    assert(sp == 40 - 32 + 1)
   }
 }

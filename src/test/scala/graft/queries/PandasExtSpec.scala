@@ -158,4 +158,33 @@ class PandasExtSpec extends SparkSpec {
     assert(perSeg.filter(col("hi") =!= col("nd")).count() == 0,
       "dense ranks must be contiguous")
   }
+
+  test("q_ewm equals the pandas adjust-mode formula recomputed per user (BigInt)") {
+    val sf = "/root/testdata/sf0.001"
+    // per-user event sequence in the query's order
+    val events = graft.Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts_ns", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val K = 16
+    val want: Map[Long, Double] = events.groupBy(_._2).iterator.flatMap {
+      case (_, evs) =>
+        val seq = evs.sortBy(e => (e._3, e._1))
+        val cents = seq.map(e => BigInt(math.round(e._4 * 100)))
+        seq.zipWithIndex.map { case (e, i) =>
+          val ks = 0 until math.min(i + 1, K)
+          val num = ks.map(k => cents(i - k) * BigInt(1L << (K - 1 - k))).sum
+          val den = BigInt(100) * ks.map(k => BigInt(1L << (K - 1 - k))).sum
+          e._1 -> (num.toDouble / den.toDouble)
+        }
+    }.toMap
+    // pandas contract: for i < K the truncation is inert, so those rows
+    // also equal the untruncated ewm(alpha=.5, adjust=True).mean()
+    val got = PandasExt.qEwm(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.size == want.size)
+    want.foreach { case (id, w) =>
+      assert(got(id) == w, s"event $id: ${got(id)} != $w")
+    }
+  }
 }
