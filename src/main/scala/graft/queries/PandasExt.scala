@@ -268,6 +268,58 @@ object PandasExt extends QueryModule {
     * one Union of two scans (map-only, no shuffle before the final
     * order).
     */
+  /** pandas `merge(how='outer', indicator=True)` — the reconciliation
+    * verb: which keys live in the activity stream only, the CRM table
+    * only, or both, with each side's payload carried along. Full outer
+    * join on the key (AQE broadcasts the smaller build side; at equal
+    * scale it is the plain shuffled equi-join) and the `_merge`
+    * category derived from side-null-ness — `left_only` keys are the
+    * unregistered actors, `right_only` the dormant accounts, exactly
+    * pandas' indicator semantics.
+    */
+  def qMergeIndicator(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("n_events"))
+    // the CRM covers only part of the key space (key % 3 ≠ 0) so all
+    // three indicator categories are non-empty on the test corpus
+    val crm = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("acctbal"))
+    act.join(crm, Seq("key"), "outer")
+      .withColumn("_merge",
+        when(col("n_events").isNotNull && col("acctbal").isNotNull, "both")
+          .when(col("n_events").isNotNull, "left_only")
+          .otherwise("right_only"))
+      .select("key", "n_events", "acctbal", "_merge")
+      .orderBy("key")
+  }
+
+  /** pandas `df1.combine_first(df2)` — index-aligned null patching:
+    * df1's holes are filled from df2, df1's non-nulls win, and keys
+    * present in only one frame survive with the other frame's columns
+    * null. Spelled as the full outer join + per-column `coalesce` that
+    * IS the verb's relational meaning — map-only after one key-
+    * partitioned join at any scale. Fixture frames derive from
+    * `customer` deterministically: df1 nulls out negative balances and
+    * covers all keys; df2 (even keys only) carries the raw balance and
+    * a fallback segment.
+    */
+  def qCombineFirst(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+    val df1 = base.select(col("c_custkey").as("key"),
+      when(col("c_acctbal") >= 0, col("c_acctbal")).as("bal"),
+      col("c_mktsegment").as("segment"))
+    val df2 = base.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"),
+        lit("FALLBACK").as("segment"))
+    df1.as("a").join(df2.as("b"), Seq("key"), "outer")
+      .select(col("key"),
+        coalesce(col("a.bal"), col("b.bal")).as("bal"),
+        coalesce(col("a.segment"), col("b.segment")).as("segment"))
+      .orderBy("key")
+  }
+
   def qConcatOuter(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir).select(
       lit("cust").as("origin"), col("c_custkey").as("rid"),
@@ -515,6 +567,8 @@ object PandasExt extends QueryModule {
     "q_crosstab" -> (qCrosstab(_, _)),
     "q_pct_change" -> (qPctChange(_, _)),
     "q_ewm" -> (qEwm(_, _)),
+    "q_merge_indicator" -> (qMergeIndicator(_, _)),
+    "q_combine_first" -> (qCombineFirst(_, _)),
     "q_concat_outer" -> (qConcatOuter(_, _)),
     "q_rank_pct" -> (qRankPct(_, _)))
 
@@ -692,6 +746,30 @@ object PandasExt extends QueryModule {
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          |ORDER BY event_id""".stripMargin
     },
+    "q_merge_indicator" ->
+      """WITH act AS (SELECT user_id AS key, count(*) AS n_events
+        |  FROM events GROUP BY user_id),
+        |crm AS (SELECT c_custkey AS key, c_acctbal AS acctbal FROM customer
+        |  WHERE c_custkey % 3 <> 0)
+        |SELECT coalesce(act.key, crm.key) AS key, act.n_events, crm.acctbal,
+        |  CASE WHEN act.key IS NOT NULL AND crm.key IS NOT NULL THEN 'both'
+        |       WHEN act.key IS NOT NULL THEN 'left_only'
+        |       ELSE 'right_only' END AS _merge
+        |FROM act FULL OUTER JOIN crm ON act.key = crm.key
+        |ORDER BY key""".stripMargin,
+    "q_combine_first" ->
+      """WITH df1 AS (SELECT c_custkey AS key,
+        |    CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS bal,
+        |    c_mktsegment AS segment
+        |  FROM customer),
+        |df2 AS (SELECT c_custkey AS key, c_acctbal AS bal,
+        |    'FALLBACK' AS segment
+        |  FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT coalesce(df1.key, df2.key) AS key,
+        |  coalesce(df1.bal, df2.bal) AS bal,
+        |  coalesce(df1.segment, df2.segment) AS segment
+        |FROM df1 FULL OUTER JOIN df2 ON df1.key = df2.key
+        |ORDER BY key""".stripMargin,
     "q_concat_outer" ->
       """SELECT 'cust' AS origin, c_custkey AS rid, c_acctbal AS bal,
         |  c_mktsegment AS segment, CAST(NULL AS INTEGER) AS nationkey

@@ -159,6 +159,34 @@ class PandasExtSpec extends SparkSpec {
       "dense ranks must be contiguous")
   }
 
+  test("merge indicator categories reconcile with both side cardinalities; combine_first patches only nulls") {
+    val sf = "/root/testdata/sf0.001"
+    val mi = PandasExt.qMergeIndicator(spark, sf)
+      .groupBy("_merge").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mi.keySet == Set("both", "left_only", "right_only"))
+    val nAct = graft.Tables.events(spark, sf).select("user_id").distinct().count()
+    val nCrm = graft.Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 3 =!= 0).count()
+    assert(mi("both") + mi("left_only") == nAct)
+    assert(mi("both") + mi("right_only") == nCrm)
+    val cf = PandasExt.qCombineFirst(spark, sf).collect()
+    val bal = graft.Tables.customer(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_custkey") ->
+        ((r.getAs[Double]("c_acctbal"), r.getAs[String]("c_mktsegment")))).toMap
+    cf.foreach { r =>
+      val (key, b) = (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+      val (rawBal, rawSeg) = bal(key)
+      if (rawBal >= 0) {          // df1 non-null wins everywhere
+        assert(b.contains(rawBal) && r.getString(2) == rawSeg)
+      } else if (key % 2 == 0) {  // patched from df2
+        assert(b.contains(rawBal) && r.getString(2) == rawSeg)
+      } else {                    // no donor: hole survives
+        assert(b.isEmpty && r.getString(2) == rawSeg)
+      }
+    }
+  }
+
   test("q_ewm equals the pandas adjust-mode formula recomputed per user (BigInt)") {
     val sf = "/root/testdata/sf0.001"
     // per-user event sequence in the query's order
