@@ -438,6 +438,47 @@ object PandasExt extends QueryModule {
 
   private val EwmK = 16
 
+  /** pandas `rolling(7).corr()` — per-user rolling Pearson correlation
+    * of each event's value with the PREVIOUS event's value (lag-1
+    * autocorrelation, the "is this actor's behavior trending" gauge),
+    * full 7 observations required (min_periods = window). Exactness:
+    * x and y are integer cents, so every windowed sum (Σx, Σy, Σxy,
+    * Σx², Σy²) is an exact BIGINT (|Σxy| ≤ 7·10¹⁰ ≪ 2⁶³); the five
+    * exact integers convert to double losslessly (< 2⁵³) and the final
+    * expression — including the IEEE correctly-rounded sqrt — is then
+    * bit-identical on any engine. Zero variance in either leg →
+    * NULL via nullif, not an engine-specific NaN/∞. Shape: one
+    * user-keyed window (7-row frame), map-only arithmetic after.
+    */
+  def qRollingCorr(s: SparkSession, dir: String): DataFrame = {
+    val n = 7
+    val ord = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
+      .withColumn("x", round(col("value") * 100).cast("long"))
+      .withColumn("y", lag(col("x"), 1).over(ord))
+      .filter(col("y").isNotNull)
+    // re-rank AFTER the lag filter so the 7-row frame holds 7 usable pairs
+    val ord2 = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val frame2 = ord2.rowsBetween(-(n - 1), Window.currentRow)
+    val withSums = ev
+      .withColumn("k", count(lit(1)).over(frame2))
+      .withColumn("sx", sum(col("x")).over(frame2))
+      .withColumn("sy", sum(col("y")).over(frame2))
+      .withColumn("sxy", sum(col("x") * col("y")).over(frame2))
+      .withColumn("sxx", sum(col("x") * col("x")).over(frame2))
+      .withColumn("syy", sum(col("y") * col("y")).over(frame2))
+      .filter(col("k") === n)
+    val nn = lit(n.toLong)
+    val num = (nn * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dvx = (nn * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dvy = (nn * col("syy") - col("sy") * col("sy")).cast("double")
+    withSums
+      .withColumn("corr", num / nullif(sqrt(dvx) * sqrt(dvy), lit(0.0)))
+      .select("event_id", "user_id", "value", "corr")
+      .orderBy("event_id")
+  }
+
   def qShiftDiff(s: SparkSession, dir: String): DataFrame = {
     val ord = graft.operators.Ordinal.withOrdinal(
       Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
@@ -568,6 +609,7 @@ object PandasExt extends QueryModule {
     "q_pct_change" -> (qPctChange(_, _)),
     "q_ewm" -> (qEwm(_, _)),
     "q_merge_indicator" -> (qMergeIndicator(_, _)),
+    "q_rolling_corr" -> (qRollingCorr(_, _)),
     "q_combine_first" -> (qCombineFirst(_, _)),
     "q_concat_outer" -> (qConcatOuter(_, _)),
     "q_rank_pct" -> (qRankPct(_, _)))
@@ -746,6 +788,27 @@ object PandasExt extends QueryModule {
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          |ORDER BY event_id""".stripMargin
     },
+    "q_rolling_corr" ->
+      """WITH e AS (SELECT event_id, user_id, ts, value,
+        |    CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events),
+        |l AS (SELECT *, lag(x) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS y FROM e),
+        |f AS (SELECT * FROM l WHERE y IS NOT NULL),
+        |s AS (SELECT event_id, user_id, value,
+        |    count(*) OVER w AS k,
+        |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |    sum(x * y) OVER w AS sxy,
+        |    sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, value,
+        |  CAST(7 * sxy - sx * sy AS DOUBLE)
+        |    / nullif(sqrt(CAST(7 * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(7 * syy - sy * sy AS DOUBLE)), 0.0) AS corr
+        |FROM s WHERE k = 7
+        |ORDER BY event_id""".stripMargin,
     "q_merge_indicator" ->
       """WITH act AS (SELECT user_id AS key, count(*) AS n_events
         |  FROM events GROUP BY user_id),

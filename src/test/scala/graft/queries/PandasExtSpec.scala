@@ -187,6 +187,38 @@ class PandasExtSpec extends SparkSpec {
     }
   }
 
+  test("q_rolling_corr equals the Pearson formula recomputed per user over 7-pair frames") {
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts_ns", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = events.groupBy(_._2).iterator.flatMap { case (_, evs) =>
+      val seq = evs.sortBy(e => (e._3, e._1))
+      val cents = seq.map(e => math.round(e._4 * 100))
+      // pairs (x_i, y_i = x_{i-1}); full 7-pair trailing frames only
+      val pairs = (1 until seq.length).map(i => (seq(i)._1, cents(i), cents(i - 1)))
+      pairs.indices.drop(6).map { j =>
+        val w = pairs.slice(j - 6, j + 1)
+        val (sx, sy) = (w.map(_._2).sum, w.map(_._3).sum)
+        val sxy = w.map(p => p._2 * p._3).sum
+        val sxx = w.map(p => p._2 * p._2).sum
+        val syy = w.map(p => p._3 * p._3).sum
+        val den = math.sqrt((7L * sxx - sx * sx).toDouble) *
+          math.sqrt((7L * syy - sy * sy).toDouble)
+        w(6)._1 -> (if (den == 0.0) None
+          else Some((7L * sxy - sx * sy).toDouble / den))
+      }
+    }.toMap
+    val got = PandasExt.qRollingCorr(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (id, w) => assert(got(id) == w, s"event $id") }
+    // correlations are well-defined and bounded
+    assert(got.values.flatten.forall(c => c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12))
+  }
+
   test("q_ewm equals the pandas adjust-mode formula recomputed per user (BigInt)") {
     val sf = "/root/testdata/sf0.001"
     // per-user event sequence in the query's order
