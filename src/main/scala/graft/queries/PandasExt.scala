@@ -458,16 +458,19 @@ object PandasExt extends QueryModule {
       .withColumn("x", round(col("value") * 100).cast("long"))
       .withColumn("y", lag(col("x"), 1).over(ord))
       .filter(col("y").isNotNull)
-    // re-rank AFTER the lag filter so the 7-row frame holds 7 usable pairs
-    val ord2 = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    val frame2 = ord2.rowsBetween(-(n - 1), Window.currentRow)
-    val withSums = ev
-      .withColumn("k", count(lit(1)).over(frame2))
-      .withColumn("sx", sum(col("x")).over(frame2))
-      .withColumn("sy", sum(col("y")).over(frame2))
-      .withColumn("sxy", sum(col("x") * col("y")).over(frame2))
-      .withColumn("sxx", sum(col("x") * col("x")).over(frame2))
-      .withColumn("syy", sum(col("y") * col("y")).over(frame2))
+    // frames rank AFTER the lag filter so each holds 7 usable pairs;
+    // all six aggregates in ONE projection → a single Window node
+    // (withColumn chaining would stack six sequential Window operators)
+    val frame2 = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val withSums = ev.select(
+        col("event_id"), col("user_id"), col("value"),
+        count(lit(1)).over(frame2).as("k"),
+        sum(col("x")).over(frame2).as("sx"),
+        sum(col("y")).over(frame2).as("sy"),
+        sum(col("x") * col("y")).over(frame2).as("sxy"),
+        sum(col("x") * col("x")).over(frame2).as("sxx"),
+        sum(col("y") * col("y")).over(frame2).as("syy"))
       .filter(col("k") === n)
     val nn = lit(n.toLong)
     val num = (nn * col("sxy") - col("sx") * col("sy")).cast("double")
