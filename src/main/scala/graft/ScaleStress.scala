@@ -249,7 +249,8 @@ object ScaleStress {
       "q_shift_diff", "q_dedup_exact", "q_dedup_simhash", "q_dedup_jaccard",
       "q_dedup_index_append", "q_heavy_hitters", "q_multimodal_dedup",
       "q_dedup_embed_hybrid", "q_shard_manifest",
-      "q_dedup_substring", "q_dedup_substring_cut").foreach { q =>
+      "q_dedup_substring", "q_dedup_substring_cut",
+      "q_dedup_substring_rewrite", "q_ewm", "q_rolling_corr").foreach { q =>
       check(s"invariance_$q") {
         legFp(spark, dir, q, 16) == legFp(spark, dir, q, 48)
       }
@@ -304,6 +305,27 @@ object ScaleStress {
         .select("doc_id")
       val missing = members.join(wholeRuns, Seq("doc_id"), "left_anti").count()
       members.count() > 800 && missing == 0
+    }
+    // keep-one rewrite at 10×: every clean pair's SEED doc (canonical —
+    // lower id, no cuts from its own copy) survives verbatim and the
+    // COPY doc is emptied (it is a full duplicate of the seed text)
+    check("planted_substring_rewrite") {
+      val pairs = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 97 === 3 && col("doc_id") >= 97)
+        .filter(!((col("doc_id") - 3) % 89 === 7 && col("doc_id") - 3 >= 89))
+        .select(col("doc_id").as("copy_id"), (col("doc_id") - 3).as("seed_id"))
+      val rw = SparkEntry.queries("q_dedup_substring_rewrite")(spark, dir)
+      val seedsIntact = rw.join(pairs.select(col("seed_id").as("doc_id")), "doc_id")
+        .filter(col("kept_chars") =!= col("n_chars")).count()
+      val copiesEmpty = rw.join(pairs.select(col("copy_id").as("doc_id")), "doc_id")
+        .filter(col("kept_chars") =!= 0L).count()
+      // copies are verbatim duplicates of their seed, so every copy
+      // window is in the dup set → copiesEmpty is strict. Seeds must
+      // stay verbatim: THIS check found the 2^31 Karp–Rabin birthday
+      // collisions (77% of seeds falsely cut at 6.5M windows) that
+      // forced the positional hash to 62 bits — keep it strict so a
+      // hash-width regression trips again.
+      pairs.count() > 400 && seedsIntact == 0 && copiesEmpty == 0
     }
     check("planted_substring_cut_zero") {
       val copies = Tables.documents(spark, dir)

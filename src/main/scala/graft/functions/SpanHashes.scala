@@ -71,30 +71,67 @@ object SpanHashMath {
     new GenericArrayData(out)
   }
 
-  /** POSITIONAL window hashes: element i = hash of the window starting
-    * at code point i (length n−W+1; empty below W code points). Same
-    * hash family and values as [[spanHashes]] but keeping position and
-    * multiplicity, so a consumer can merge adjacent duplicated windows
-    * into maximal duplicated SUBSTRING runs (exact-substring dedup à la
-    * the suffix-array method — "repeated spans ≥ L chars are copies").
+  /** Second independent hash family for the WIDE positional hash:
+    * different base and (prime) modulus, same window math.
+    */
+  val P2 = 2147483629L // prime < 2^31
+  val B2 = 263L
+  val Pow2: Array[Long] = {
+    val a = new Array[Long](W)
+    var v = 1L
+    var j = W - 1
+    while (j >= 0) { a(j) = v; v = v * B2 % P2; j -= 1 }
+    a
+  }
+  val PowTop2: Long = Pow2(0)
+
+  /** POSITIONAL window hashes: element i = 62-bit hash of the window
+    * starting at code point i (length n−W+1; empty below W code
+    * points), keeping position and multiplicity so a consumer can merge
+    * adjacent duplicated windows into maximal duplicated SUBSTRING runs
+    * (exact-substring dedup à la the suffix-array method).
+    *
+    * WIDE on purpose: the value is h1·P2 + h2 with two independent
+    * Karp–Rabin families (h1 = [[spanHashes]]' family, recoverable as
+    * `value DIV P2`). A single 2^31-modulus hash birthday-collides at
+    * ~10⁴ false pairs per ~10⁷ windows — found by the 10× scale-stress
+    * (planted seeds lost chars to windows they never shared; invisible
+    * at the oracle scale because BOTH engines compute the same colliding
+    * hash). The 62-bit product space pushes the expected corpus-wide
+    * false pair below 10⁻⁵ at 10⁷ windows; at true 100 TB window counts
+    * (≳10¹³) widen again — two independent 61-bit families or a
+    * confirm-on-text pass. Every intermediate here and in the DuckDB
+    * spelling stays under 2^63: h1 < 2^31, h1·P2 < 2^62, products in
+    * the rolling update < 2^40.
+    *
     * True rolling update, O(n): H(i+1) = (H(i) − cp(i)·B^(W−1))·B +
-    * cp(i+W) mod P; intermediates stay < 2^40, exact in a Long.
+    * cp(i+W) mod P, per family.
     */
   def spanHashesPos(s: UTF8String): ArrayData = {
     val cps = s.toString.codePoints().toArray
     val n = cps.length
     if (n < W) return new GenericArrayData(Array.empty[Long])
     val out = new Array[Long](n - W + 1)
-    var sum = 0L
+    var h1 = 0L
+    var h2 = 0L
     var j = 0
-    while (j < W) { sum += cps(j).toLong * Pow(j); j += 1 }
-    out(0) = sum % P
+    while (j < W) {
+      h1 += cps(j).toLong * Pow(j) % P
+      h2 += cps(j).toLong * Pow2(j) % P2
+      j += 1
+    }
+    h1 %= P
+    h2 %= P2
+    out(0) = h1 * P2 + h2
     var i = 1
     while (i <= n - W) {
-      var h = (out(i - 1) - cps(i - 1).toLong * PowTop % P) % P
-      if (h < 0) h += P
-      h = (h * B + cps(i + W - 1).toLong) % P
-      out(i) = h
+      h1 = (h1 - cps(i - 1).toLong * PowTop % P) % P
+      if (h1 < 0) h1 += P
+      h1 = (h1 * B + cps(i + W - 1).toLong) % P
+      h2 = (h2 - cps(i - 1).toLong * PowTop2 % P2) % P2
+      if (h2 < 0) h2 += P2
+      h2 = (h2 * B2 + cps(i + W - 1).toLong) % P2
+      out(i) = h1 * P2 + h2
       i += 1
     }
     new GenericArrayData(out)

@@ -1218,21 +1218,29 @@ object CorpusQuality extends QueryModule {
        |      )) % 2147483647)""".stripMargin
   }
 
-  /** CTE chain `pos/ph` — positional window hashes with the occurrence
-    * key `okey = doc_id·2²⁰ + pos` (the DuckDB spelling of the
-    * positional variant of [[sqlSpanHashes]]).
+  /** CTE chain `pos/ph` — WIDE (62-bit, two-family) positional window
+    * hashes with the occurrence key `okey = doc_id·2²⁰ + pos` — the
+    * DuckDB spelling of [[graft.functions.SpanHashMath.spanHashesPos]]
+    * (h1·P2 + h2; every intermediate < 2⁶³, see the kernel's scaladoc
+    * for the 10×-found birthday-collision rationale).
     */
   private def sqlPosHashCtes: String = {
-    val pows = graft.functions.SpanHashMath.Pow.mkString("[", ", ", "]")
+    val M = graft.functions.SpanHashMath
+    val pows = M.Pow.mkString("[", ", ", "]")
+    val pows2 = M.Pow2.mkString("[", ", ", "]")
     s"""pos AS (SELECT doc_id, text,
        |    unnest(range(0, greatest(length(text) - 31, 0))) AS i
        |  FROM documents),
        |ph AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
        |    doc_id * 1048576 + CAST(i AS BIGINT) AS okey,
-       |    list_sum(list_transform(range(0, 32), j ->
+       |    (list_sum(list_transform(range(0, 32), j ->
        |      CAST(ascii(substr(text, CAST(i + j + 1 AS INTEGER), 1)) AS BIGINT)
        |        * ($pows)[CAST(j + 1 AS INTEGER)]
-       |    )) % 2147483647 AS h
+       |    )) % ${M.P}) * ${M.P2}
+       |    + (list_sum(list_transform(range(0, 32), j ->
+       |      CAST(ascii(substr(text, CAST(i + j + 1 AS INTEGER), 1)) AS BIGINT)
+       |        * ($pows2)[CAST(j + 1 AS INTEGER)]
+       |    )) % ${M.P2}) AS h
        |  FROM pos)""".stripMargin
   }
 

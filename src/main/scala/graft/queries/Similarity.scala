@@ -91,7 +91,7 @@ object Similarity extends QueryModule {
     * suite's posting index: at corpus scale the quantized vectors are a
     * written artifact, not something re-derived per query. Spill-safe.
     */
-  private def quantized(s: SparkSession, dir: String): DataFrame =
+  private[queries] def quantized(s: SparkSession, dir: String): DataFrame =
     graft.Caches.memo(s, dir, "quantized_vecs")(
       Tables.embeddings(s, dir)
         .select(col("vec_id"), expr(qvecExpr).as("qv"))

@@ -452,7 +452,15 @@ object TextAnalysis extends QueryModule {
     * index (the posting-artifact pattern) replaces the token scan when
     * the query rate amortizes the build — same plan from the join on.
     */
-  def qBm25Search(s: SparkSession, dir: String): DataFrame = {
+  def qBm25Search(s: SparkSession, dir: String): DataFrame =
+    bm25Scores(s, dir)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+
+  /** The full BM25 score table (doc_id, n_hit, score) for [[Bm25Terms]]
+    * — shared by the plain ranking and the hybrid-retrieval rerank.
+    */
+  private[queries] def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val lens = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("dl"))
@@ -473,9 +481,40 @@ object TextAnalysis extends QueryModule {
           |       * (10*tl*tf + 3*tl + 9*dl*n_docs)) AS BIGINT)""".stripMargin))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit"), sum(col("s_micro")).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(Bm25TopK)
   }
+
+  /** HYBRID retrieval — the two-stage ranking a production search/RAG
+    * pipeline runs: lexical BM25 recall (top-[[HybridCandK]] candidates
+    * by the exact-integer score, total-ordered by (score, doc_id)) then
+    * a semantic RERANK of just those candidates by exact
+    * quantized-integer cosine against the query document's embedding
+    * (vec 0 — the "more like this" query), final top-[[Bm25TopK]] by
+    * (cos, bm25, doc_id). Both stages reuse the standing artifacts the
+    * separate queries maintain (token scan → posting pattern; the
+    * memoized quantized-vector table), and the rerank touches ONLY the
+    * candidate vectors: the broadcast candidate list prunes the
+    * embedding scan, so stage-2 cost is O(candidates), never O(corpus)
+    * — the property that makes reranking affordable at any scale.
+    */
+  def qHybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val cand = bm25Scores(s, dir)
+      .orderBy(col("score").desc, col("doc_id")).limit(HybridCandK)
+      .withColumnRenamed("score", "bm25_micro")
+    val emb = Similarity.quantized(s, dir)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("qv").as("qe"), col("n2").as("qn2"))
+    broadcast(cand)
+      .join(emb, cand("doc_id") === emb("vec_id"))
+      .crossJoin(broadcast(qv))
+      .filter(col("doc_id") =!= 0)
+      .withColumn("cos", graft.functions.GraftFunctions.dotl(col("qe"), col("qv"))
+        .cast("double") / (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .orderBy(col("cos").desc, col("bm25_micro").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .select("doc_id", "n_hit", "bm25_micro", "cos")
+  }
+
+  private val HybridCandK = 50
 
   /** Corpus-wide heavy hitters (frequent bigram collocations) via the
     * TWO-PHASE pigeonhole pattern — the way to find every term above a
@@ -538,6 +577,7 @@ object TextAnalysis extends QueryModule {
     "q_heavy_hitters" -> (qHeavyHitters(_, _)),
     "q_collocations_pmi" -> (qCollocationsPmi(_, _)),
     "q_bm25_search" -> (qBm25Search(_, _)),
+    "q_hybrid_search" -> (qHybridSearch(_, _)),
     "q_quality_classifier" -> (qQualityClassifier(_, _)),
     "q_text_charclass" -> (qTextCharclass(_, _)),
     "q_text_tfidf" -> (qTextTfidf(_, _)),
@@ -554,30 +594,63 @@ object TextAnalysis extends QueryModule {
 
   private val stopSql = inList(stopwords)
 
+  /** Shared BM25 oracle CTE chain ending in `scored(doc_id, n_hit,
+    * score)` — the DuckDB spelling of [[bm25Scores]].
+    */
+  private lazy val sqlBm25Ctes: String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |    FROM documents),
+       |  lens AS (SELECT doc_id,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |    FROM documents),
+       |  tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |      CAST(sum(dl) AS BIGINT) AS tl FROM lens),
+       |  hits AS (SELECT doc_id, term FROM tok
+       |    WHERE term IN ${inList(Bm25Terms)}),
+       |  tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |    FROM hits GROUP BY doc_id, term),
+       |  dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |    FROM hits GROUP BY term),
+       |  scored AS (SELECT doc_id, count(*) AS n_hit,
+       |    CAST(sum(CAST((CAST(2*n_docs - 2*df + 1 AS HUGEINT) * 22 * tf * tl
+       |              * 1000000)
+       |        // (CAST(2*df + 1 AS HUGEINT)
+       |            * (10*tl*tf + 3*tl + 9*dl*n_docs)) AS BIGINT))
+       |      AS BIGINT) AS score
+       |  FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id), tot
+       |  GROUP BY doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_bm25_search" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-         |    FROM documents),
-         |  lens AS (SELECT doc_id,
-         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-         |    FROM documents),
-         |  tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |      CAST(sum(dl) AS BIGINT) AS tl FROM lens),
-         |  hits AS (SELECT doc_id, term FROM tok
-         |    WHERE term IN ${inList(Bm25Terms)}),
-         |  tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |    FROM hits GROUP BY doc_id, term),
-         |  dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-         |    FROM hits GROUP BY term)
-         |SELECT doc_id, count(*) AS n_hit,
-         |  CAST(sum(CAST((CAST(2*n_docs - 2*df + 1 AS HUGEINT) * 22 * tf * tl
-         |            * 1000000)
-         |      // (CAST(2*df + 1 AS HUGEINT)
-         |          * (10*tl*tf + 3*tl + 9*dl*n_docs)) AS BIGINT))
-         |    AS BIGINT) AS score
-         |FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id), tot
-         |GROUP BY doc_id
+      s"""WITH $sqlBm25Ctes
+         |SELECT doc_id, n_hit, score FROM scored
          |ORDER BY score DESC, doc_id
+         |LIMIT $Bm25TopK""".stripMargin,
+    // Stage 1 = the identical BM25 CTE chain; stage 2 reranks only the
+    // top-$HybridCandK candidates by exact quantized-integer cosine
+    // against vec 0 (quantization spelling identical to Similarity's).
+    "q_hybrid_search" ->
+      s"""WITH $sqlBm25Ctes,
+         |cand AS (SELECT doc_id, n_hit, score AS bm25_micro
+         |  FROM scored ORDER BY score DESC, doc_id LIMIT $HybridCandK),
+         |qe AS (SELECT
+         |    list_transform(embedding, x ->
+         |      CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qe
+         |  FROM embeddings WHERE vec_id = 0),
+         |ev AS (SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |rr AS (SELECT c.doc_id, c.n_hit, c.bm25_micro,
+         |    CAST(list_sum(list_transform(range(0, 64),
+         |      i -> ev.qv[i + 1] * qe.qe[i + 1])) AS DOUBLE)
+         |      / (sqrt(CAST(list_sum(list_transform(qe.qe, v -> v * v)) AS DOUBLE))
+         |         * sqrt(CAST(list_sum(list_transform(ev.qv, v -> v * v)) AS DOUBLE)))
+         |      AS cos
+         |  FROM cand c JOIN ev ON ev.vec_id = c.doc_id, qe
+         |  WHERE c.doc_id <> 0)
+         |SELECT doc_id, n_hit, bm25_micro, cos FROM rr
+         |ORDER BY cos DESC, bm25_micro DESC, doc_id
          |LIMIT $Bm25TopK""".stripMargin,
     "q_gopher_rules" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w

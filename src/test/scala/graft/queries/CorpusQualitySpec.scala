@@ -221,12 +221,19 @@ class CorpusQualitySpec extends SparkSpec {
     texts.zip(got).foreach { case (s, (pos, dis)) =>
       val cps = s.codePoints().toArray
       val brute = (0 to cps.length - SpanHashMath.W).map { i =>
-        (0 until SpanHashMath.W)
+        val h1 = (0 until SpanHashMath.W)
           .map(j => cps(i + j).toLong * SpanHashMath.Pow(j))
           .sum % SpanHashMath.P
+        val h2 = (0 until SpanHashMath.W)
+          .map(j => BigInt(cps(i + j).toLong) * SpanHashMath.Pow2(j))
+          .sum % SpanHashMath.P2
+        h1 * SpanHashMath.P2 + h2.toLong
       }
       assert(pos == brute, s"positional hashes for: $s")
-      assert(pos.distinct.sorted == dis, s"distinct parity for: $s")
+      // family 1 is recoverable as DIV P2 and must match the narrow
+      // distinct-set expression exactly
+      assert(pos.map(_ / SpanHashMath.P2).distinct.sorted == dis,
+        s"family-1 parity for: $s")
     }
   }
 

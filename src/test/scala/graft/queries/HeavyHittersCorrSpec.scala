@@ -104,4 +104,44 @@ class HeavyHittersCorrSpec extends SparkSpec {
     // zero-length-normalization ceiling 10^6 · idf_max · (k1+1)/1
     assert(got.forall(_._3 > 0))
   }
+
+  test("hybrid search: results come from the BM25 candidate set, reranked by exact cosine") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val cand = TextAnalysis.bm25Scores(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .sortBy { case (id, s) => (-s, id) }.take(50)
+    val candIds = cand.map(_._1).toSet
+    val got = TextAnalysis.qHybridSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.length <= 10)
+    // stage-1 containment and the query doc's self-exclusion
+    assert(got.forall(r => candIds.contains(r._1)))
+    assert(!got.exists(_._1 == 0L))
+    // rerank order: non-increasing (cos, bm25) with doc_id tiebreak
+    got.sliding(2).foreach {
+      case Array((ida, ba, ca), (idb, bb, cb)) =>
+        assert(ca > cb || (ca == cb && (ba > bb || (ba == bb && ida < idb))))
+      case _ =>
+    }
+    // cosine of quantized unit-ish vectors stays in [-1, 1] + slack
+    assert(got.forall(r => r._3 >= -1.000001 && r._3 <= 1.000001))
+    // exact-cosine recompute for the winner, straight from the parquet
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // Spark SQL round() is HALF_UP (away from zero), unlike math.round
+    // which sends negative halves toward +∞ — and the quantizer DOES
+    // round values ending in .5 when floats scale by 2^20
+    def qv(id: Long): Array[Long] = emb(id).map(x =>
+      java.math.BigDecimal.valueOf(x.toDouble * 1048576.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val q0 = qv(0L)
+    got.foreach { case (id, _, c) => assert(c == cos(q0, qv(id)), s"doc $id") }
+  }
 }
