@@ -28,6 +28,23 @@ import org.apache.spark.sql.functions._
   * Materialized once per corpus and shared across queries: the deduped
   * posting index ([[postings]]) and the confirmed near-dup pair set
   * ([[confirmedPairs]]).
+  *
+  * HASH-WIDTH AT SCALE (the bug class the round-9 10× harness caught in
+  * the substring family — `SpanHashMath.spanHashesPos`): the shingle
+  * hashes here are 60-bit md5 prefixes REDUCED MOD 2³¹−1 so the MinHash
+  * permutations (A·h + B mod P) stay inside exact Long arithmetic.
+  * That 2³¹ space birthday-collides around ~10⁵ distinct shingles per
+  * collision at 10⁷ shingles — tolerable HERE because every collision
+  * only (a) merges two shingles in a signature (a bounded perturbation
+  * of an already-approximate MinHash) or (b) adds a candidate pair that
+  * the confirm stage re-checks, so the failure mode is a slight recall/
+  * precision wobble, never a silent wrong cut. Where a collision WOULD
+  * silently corrupt output — character-granular substring cuts — the
+  * hash is 62-bit ([[graft.functions.SpanHashMath.spanHashesPos]]). At
+  * true 100 TB shingle counts (≳10¹²), widen the confirm-stage hash
+  * sets to the full 60-bit value (drop the mod; the intersection count
+  * does no modular arithmetic) and keep only the permutation inputs
+  * reduced.
   */
 object Fingerprints extends QueryModule {
 
@@ -987,7 +1004,7 @@ object Fingerprints extends QueryModule {
   /** Shared CTE chain: documents → shingles → minhash sigs → LSH band
     * candidate pairs (no trailing ORDER BY, embeddable).
     */
-  private def sqlMinhashCtes: String = {
+  private[queries] def sqlMinhashCtes: String = {
     val sigSelects = (0 until NumHashes).map(j =>
       s"list_min(list_transform(hs, x -> (${A(j)} * x + ${B(j)}) % $P)) AS sig$j").mkString(",\n  ")
     val bandSelects = (0 until NumBands).map(b =>

@@ -129,6 +129,55 @@ object StreamingQ extends QueryModule {
           "AS BIGINT) AS DECIMAL(38,0))) % 2147483647 AS BIGINT)").as("checksum"))
       .orderBy("source")
 
+  /** Streaming NEAR-DUP ingest gate, driver-checked: each arriving
+    * document (the 10% "today's crawl" slice, doc_id % 10 = 7) is
+    * routed by LSH band collision against the STANDING band index of
+    * the other 90% — [[StreamOps.nearDupIngestGate]] verbatim: in-row
+    * signatures + a stream-static equi-join on (band, v), NO streaming
+    * state, memory bounded by the standing index however long the
+    * stream runs. The oracle recomputes both sides' signatures from
+    * `documents` alone, so a green row certifies the in-row streaming
+    * signature path is bit-identical to the batch aggregation.
+    */
+  def qStreamNeardupGate(s: SparkSession, dir: String): DataFrame =
+    StreamDrain.drained(s, dir, "stream_neardup_gate", "documents",
+        mode = "append") { st =>
+      val standing = StreamOps.minhashBands(
+        graft.Tables.documents(s, dir)
+          .filter(col("doc_id") % 10 =!= 7).select("doc_id", "text"))
+      StreamOps.nearDupIngestGate(
+          st.filter(col("doc_id") % 10 === 7).select("doc_id", "text"),
+          standing)
+        .select(col("doc_id"), col("band"), col("standing_doc"))
+    }.distinct().orderBy("doc_id", "band", "standing_doc")
+
+  /** Sink COMPACTION round trip, driver-checked: the streaming parquet
+    * sink's many per-batch files are rewritten into a few range-
+    * clustered files ([[graft.sources.Io.compactedParquet]] — the
+    * OPTIMIZE pass every landing table needs before its small files
+    * throttle downstream scans), and the per-source manifest is
+    * recomputed FROM THE COMPACTED FILES against the same
+    * documents-derived oracle as [[qStreamShardSink]]. Green row =
+    * compaction preserved content exactly (no row lost/duplicated by
+    * the rewrite); an IoSpec property separately bounds the output
+    * file count.
+    */
+  def qSinkCompaction(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoSide(s, dir, "sink_compacted") {
+      val sunk = StreamDrain.drainedFiles(s, dir, "stream_shard_sink",
+        "documents")(st => st)
+      val out = java.nio.file.Files.createTempDirectory("graft_compact")
+      out.toFile.deleteOnExit()
+      graft.sources.Io.compactedParquet(sunk, s"$out/data", "doc_id", 4)
+      s.read.parquet(s"$out/data")
+    }
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        expr("CAST(sum(CAST(CAST(conv(substring(md5(text), 1, 15), 16, 10) " +
+          "AS BIGINT) AS DECIMAL(38,0))) % 2147483647 AS BIGINT)").as("checksum"))
+      .orderBy("source")
+
   override def prewarm(s: SparkSession, dir: String): Unit = {
     // these drains are independent of every other artifact — they run
     // at the head of prep and overlap the index chains. The decontam
@@ -148,6 +197,8 @@ object StreamingQ extends QueryModule {
     "q_stream_dedup_keys" -> (qStreamDedupKeys(_, _)),
     "q_stream_sessionize" -> (qStreamSessionize(_, _)),
     "q_stream_shard_sink" -> (qStreamShardSink(_, _)),
+    "q_stream_neardup_gate" -> (qStreamNeardupGate(_, _)),
+    "q_sink_compaction" -> (qSinkCompaction(_, _)),
     "q_stream_decontaminate" -> (qStreamDecontaminate(_, _)))
 
   // identical SQL to the batch twins — equivalence is the claim
@@ -155,6 +206,13 @@ object StreamingQ extends QueryModule {
     "q_stream_dedup_keys" ->
       """SELECT DISTINCT user_id FROM events ORDER BY user_id""",
     "q_stream_shard_sink" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15))::BIGINT
+        |    AS DECIMAL(38,0))) % 2147483647 AS BIGINT) AS checksum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // identical manifest — compaction must be content-preserving
+    "q_sink_compaction" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
         |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15))::BIGINT
@@ -188,6 +246,14 @@ object StreamingQ extends QueryModule {
          |WHERE s2.session_id < mx.last_sess
          |ORDER BY s2.user_id, s2.session_id""".stripMargin,
     "q_stream_decontaminate" -> Fingerprints.sqlDecontaminate,
+    // both sides' signatures recomputed from documents alone — the
+    // bands CTE is the batch minhash spelling verbatim
+    "q_stream_neardup_gate" ->
+      s"""${Fingerprints.sqlMinhashCtes}
+         |SELECT DISTINCT q.doc_id, q.band, v.doc_id AS standing_doc
+         |FROM bands q JOIN bands v ON q.band = v.band AND q.v = v.v
+         |WHERE q.doc_id % 10 = 7 AND v.doc_id % 10 <> 7
+         |ORDER BY 1, 2, 3""".stripMargin,
     "q_stream_tumbling" ->
       s"""WITH e AS (${Windows.evSql})
          |SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,

@@ -496,7 +496,17 @@ object TextAnalysis extends QueryModule {
     * embedding scan, so stage-2 cost is O(candidates), never O(corpus)
     * — the property that makes reranking affordable at any scale.
     */
-  def qHybridSearch(s: SparkSession, dir: String): DataFrame = {
+  def qHybridSearch(s: SparkSession, dir: String): DataFrame =
+    hybridScored(s, dir)
+      .orderBy(col("cos").desc, col("bm25_micro").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .select("doc_id", "n_hit", "bm25_micro", "cos")
+
+  /** The scored candidate table both hybrid rankers consume: BM25
+    * top-[[HybridCandK]] candidates decorated with the exact quantized
+    * cosine against the query document's (vec 0) embedding.
+    */
+  private def hybridScored(s: SparkSession, dir: String): DataFrame = {
     val cand = bm25Scores(s, dir)
       .orderBy(col("score").desc, col("doc_id")).limit(HybridCandK)
       .withColumnRenamed("score", "bm25_micro")
@@ -509,9 +519,32 @@ object TextAnalysis extends QueryModule {
       .filter(col("doc_id") =!= 0)
       .withColumn("cos", graft.functions.GraftFunctions.dotl(col("qe"), col("qv"))
         .cast("double") / (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
-      .orderBy(col("cos").desc, col("bm25_micro").desc, col("doc_id"))
+  }
+
+  /** Reciprocal-rank FUSION of the two hybrid stages — the standard
+    * rank-level combiner (Cormack et al.: rrf = Σ 1/(60 + rankᵢ)) used
+    * when lexical and semantic scores live on incomparable scales.
+    * Both rank windows run over the CANDIDATE table only (≤
+    * [[HybridCandK]] rows — the single-partition window is bounded by
+    * the candidate budget, never the corpus), ranks are exact integers
+    * with doc_id tie-breaks, and the fused score is the same two
+    * integer divisions on any engine — bit-deterministic.
+    */
+  def qRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = hybridScored(s, dir)
+    val rBm = row_number().over(
+      Window.orderBy(col("bm25_micro").desc, col("doc_id")))
+    val rCos = row_number().over(
+      Window.orderBy(col("cos").desc, col("doc_id")))
+    scored
+      .withColumn("r_bm25", rBm)
+      .withColumn("r_cos", rCos)
+      .withColumn("rrf",
+        lit(1.0) / (lit(60) + col("r_bm25")) + lit(1.0) / (lit(60) + col("r_cos")))
+      .orderBy(col("rrf").desc, col("doc_id"))
       .limit(Bm25TopK)
-      .select("doc_id", "n_hit", "bm25_micro", "cos")
+      .select("doc_id", "r_bm25", "r_cos", "rrf")
   }
 
   private val HybridCandK = 50
@@ -578,6 +611,7 @@ object TextAnalysis extends QueryModule {
     "q_collocations_pmi" -> (qCollocationsPmi(_, _)),
     "q_bm25_search" -> (qBm25Search(_, _)),
     "q_hybrid_search" -> (qHybridSearch(_, _)),
+    "q_rrf_fusion" -> (qRrfFusion(_, _)),
     "q_quality_classifier" -> (qQualityClassifier(_, _)),
     "q_text_charclass" -> (qTextCharclass(_, _)),
     "q_text_tfidf" -> (qTextTfidf(_, _)),
@@ -620,6 +654,31 @@ object TextAnalysis extends QueryModule {
        |  FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id), tot
        |  GROUP BY doc_id)""".stripMargin
 
+  /** Shared hybrid-retrieval oracle: BM25 CTEs + candidate top-K +
+    * quantized query/corpus vectors + `rr(doc_id, n_hit, bm25_micro,
+    * cos)` — the DuckDB spelling of [[hybridScored]].
+    */
+  private lazy val sqlHybridCtes: String =
+    s"""WITH $sqlBm25Ctes,
+       |cand AS (SELECT doc_id, n_hit, score AS bm25_micro
+       |  FROM scored ORDER BY score DESC, doc_id LIMIT $HybridCandK),
+       |qe AS (SELECT
+       |    list_transform(embedding, x ->
+       |      CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qe
+       |  FROM embeddings WHERE vec_id = 0),
+       |ev AS (SELECT vec_id,
+       |    list_transform(embedding, x ->
+       |      CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |rr AS (SELECT c.doc_id, c.n_hit, c.bm25_micro,
+       |    CAST(list_sum(list_transform(range(0, 64),
+       |      i -> ev.qv[i + 1] * qe.qe[i + 1])) AS DOUBLE)
+       |      / (sqrt(CAST(list_sum(list_transform(qe.qe, v -> v * v)) AS DOUBLE))
+       |         * sqrt(CAST(list_sum(list_transform(ev.qv, v -> v * v)) AS DOUBLE)))
+       |      AS cos
+       |  FROM cand c JOIN ev ON ev.vec_id = c.doc_id, qe
+       |  WHERE c.doc_id <> 0)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_bm25_search" ->
       s"""WITH $sqlBm25Ctes
@@ -630,28 +689,22 @@ object TextAnalysis extends QueryModule {
     // top-$HybridCandK candidates by exact quantized-integer cosine
     // against vec 0 (quantization spelling identical to Similarity's).
     "q_hybrid_search" ->
-      s"""WITH $sqlBm25Ctes,
-         |cand AS (SELECT doc_id, n_hit, score AS bm25_micro
-         |  FROM scored ORDER BY score DESC, doc_id LIMIT $HybridCandK),
-         |qe AS (SELECT
-         |    list_transform(embedding, x ->
-         |      CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qe
-         |  FROM embeddings WHERE vec_id = 0),
-         |ev AS (SELECT vec_id,
-         |    list_transform(embedding, x ->
-         |      CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
-         |  FROM embeddings),
-         |rr AS (SELECT c.doc_id, c.n_hit, c.bm25_micro,
-         |    CAST(list_sum(list_transform(range(0, 64),
-         |      i -> ev.qv[i + 1] * qe.qe[i + 1])) AS DOUBLE)
-         |      / (sqrt(CAST(list_sum(list_transform(qe.qe, v -> v * v)) AS DOUBLE))
-         |         * sqrt(CAST(list_sum(list_transform(ev.qv, v -> v * v)) AS DOUBLE)))
-         |      AS cos
-         |  FROM cand c JOIN ev ON ev.vec_id = c.doc_id, qe
-         |  WHERE c.doc_id <> 0)
+      s"""$sqlHybridCtes
          |SELECT doc_id, n_hit, bm25_micro, cos FROM rr
          |ORDER BY cos DESC, bm25_micro DESC, doc_id
          |LIMIT $Bm25TopK""".stripMargin,
+    "q_rrf_fusion" ->
+      s"""$sqlHybridCtes,
+         |rk AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id)
+         |      AS INTEGER) AS r_bm25,
+         |    CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+         |      AS INTEGER) AS r_cos
+         |  FROM rr)
+         |SELECT doc_id, r_bm25, r_cos,
+         |  CAST(1.0 AS DOUBLE) / (60 + r_bm25)
+         |    + CAST(1.0 AS DOUBLE) / (60 + r_cos) AS rrf
+         |FROM rk ORDER BY rrf DESC, doc_id LIMIT $Bm25TopK""".stripMargin,
     "q_gopher_rules" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
          |  FROM documents),

@@ -365,6 +365,22 @@ class StreamingSpec extends SparkSpec {
     assert(reread == n, "orphan (uncommitted) file leaked into the batch read")
   }
 
+  test("sink compaction: bounded file count, rows and content preserved") {
+    val sf = "/root/testdata/sf0.001"
+    val manifest = graft.queries.StreamingQ.qSinkCompaction(spark, sf).collect()
+    val nDocs = manifest.map(_.getLong(1)).sum
+    assert(nDocs == spark.read.parquet(s"$sf/documents.parquet").count())
+    // the memoized compacted frame (same key the query built) exposes
+    // the rewritten files: must be ≤ the 4 range buckets requested,
+    // versus the streaming sink's one-file-per-batch sprawl
+    val compacted = graft.Caches.memoSide(spark, sf, "sink_compacted") {
+      fail("compacted frame should already be memoized"): org.apache.spark.sql.DataFrame
+    }
+    assert(compacted.inputFiles.length <= 4,
+      s"expected <=4 compacted files, got ${compacted.inputFiles.length}")
+    assert(compacted.count() == nDocs)
+  }
+
   test("sliding counts place each event in two windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.Event]
