@@ -180,15 +180,26 @@ object StreamingQ extends QueryModule {
 
   override def prewarm(s: SparkSession, dir: String): Unit = {
     // these drains are independent of every other artifact — they run
-    // at the head of prep and overlap the index chains. The decontam
-    // drain is NOT prewarmed: it waits on the posting index, and
-    // appending it here would extend prep's critical path — the warmup
-    // rep pays its one-time drain instead.
-    qStreamTumbling(s, dir).count()
-    qStreamSliding(s, dir).count()
-    qStreamDedupKeys(s, dir).count()
-    qStreamSessionize(s, dir).count()
-    qStreamShardSink(s, dir).count(); ()
+    // at the head of prep and overlap the index chains, and they are
+    // independent of EACH OTHER, so they drain CONCURRENTLY (separate
+    // Structured Streaming queries share the session fine; the memo is
+    // computeIfAbsent-safe): prep pays max(drain), not Σ(drain) — five
+    // sequential drains had tripled the module's prep wall. The
+    // decontam drain is NOT prewarmed: it waits on the posting index,
+    // and appending it here would extend prep's critical path — the
+    // warmup rep pays its one-time drain instead (same for the
+    // neardup-gate and compaction drains, which reuse other artifacts).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val drains = Seq[() => Long](
+      () => qStreamTumbling(s, dir).count(),
+      () => qStreamSliding(s, dir).count(),
+      () => qStreamDedupKeys(s, dir).count(),
+      () => qStreamSessionize(s, dir).count(),
+      () => qStreamShardSink(s, dir).count())
+    Await.result(Future.sequence(drains.map(f => Future(f()))), 10.minutes)
+    ()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
