@@ -250,7 +250,9 @@ object ScaleStress {
       "q_dedup_index_append", "q_heavy_hitters", "q_multimodal_dedup",
       "q_dedup_embed_hybrid", "q_shard_manifest",
       "q_dedup_substring", "q_dedup_substring_cut",
-      "q_dedup_substring_rewrite", "q_ewm", "q_rolling_corr").foreach { q =>
+      "q_dedup_substring_rewrite", "q_ewm", "q_rolling_corr",
+      "q_hybrid_search", "q_rrf_fusion", "q_stream_neardup_gate",
+      "q_sink_compaction").foreach { q =>
       check(s"invariance_$q") {
         legFp(spark, dir, q, 16) == legFp(spark, dir, q, 48)
       }
