@@ -252,10 +252,19 @@ object ScaleStress {
       "q_dedup_substring", "q_dedup_substring_cut",
       "q_dedup_substring_rewrite", "q_ewm", "q_rolling_corr",
       "q_hybrid_search", "q_rrf_fusion", "q_stream_neardup_gate",
-      "q_sink_compaction").foreach { q =>
+      "q_sink_compaction", "q_dedup_substring_append").foreach { q =>
       check(s"invariance_$q") {
         legFp(spark, dir, q, 16) == legFp(spark, dir, q, 48)
       }
+    }
+
+    // append-maintained positional artifact ≡ from-scratch rebuild at
+    // 10× (the oracle proves it at sf0.01; this re-proves it where the
+    // standing/increment split is 45k/5k docs)
+    check("substring_append_vs_rebuild") {
+      val a = fingerprint(SparkEntry.queries("q_dedup_substring_append")(spark, dir))
+      val b = fingerprint(SparkEntry.queries("q_dedup_substring")(spark, dir))
+      a._1 > 400 && a == b
     }
 
     // ---- planted-duplicate recall ----

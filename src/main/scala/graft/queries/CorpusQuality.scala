@@ -541,14 +541,25 @@ object CorpusQuality extends QueryModule {
     * — the honest minimum for character-granular dedup; nothing is ever
     * quadratic in documents.
     */
-  private[queries] def dupPositions(docs: DataFrame): DataFrame = {
-    val ph = docs.select(col("doc_id"),
-      posexplode(spanhashesPos(col("text"))).as(Seq("pos", "h")))
+  private[queries] def dupPositions(docs: DataFrame): DataFrame =
+    dupPositionsFromPh(posHashes(docs))
+
+  /** The positional-hash TABLE (doc_id, pos, h) — the standing artifact
+    * character-granular dedup maintains at scale (append-only: a new
+    * batch only ADDS rows, so maintenance is a union + re-aggregation
+    * whose map-side partials touch the increment).
+    */
+  private[queries] def posHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(spanhashesPos(col("text"))).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+
+  private[queries] def dupPositionsFromPh(ph: DataFrame): DataFrame = {
     val dup = ph.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("h")
     ph.join(dup, Seq("h"), "left_semi")
-      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+      .select(col("doc_id"), col("pos"))
   }
 
   /** Exact-substring dedup, run LISTING: maximal cross-document
@@ -574,15 +585,40 @@ object CorpusQuality extends QueryModule {
     * chars over any (doc_id, text) frame — split out so specs can plant
     * shared-substring fixtures.
     */
-  private[queries] def substringRuns(docs: DataFrame, minRun: Int): DataFrame = {
+  private[queries] def substringRuns(docs: DataFrame, minRun: Int): DataFrame =
+    runsFromPositions(dupPositions(docs), minRun)
+
+  private[queries] def runsFromPositions(dpos: DataFrame, minRun: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    dupPositions(docs)
+    dpos
       .withColumn("grp", col("pos") - row_number().over(w))
       .groupBy("doc_id", "grp")
       .agg(min(col("pos")).as("start"),
         (max(col("pos")) - min(col("pos")) + lit(SpanHashMathW)).as("dup_len"))
       .filter(col("dup_len") >= minRun)
       .select(col("doc_id"), col("start"), col("dup_len"))
+  }
+
+  /** INCREMENTAL maintenance of the exact-substring artifact, proven by
+    * value equality with the from-scratch rebuild (the oracle is
+    * [[qDedupSubstring]]'s SQL verbatim — the q_dedup_index_append
+    * pattern at character granularity): the standing positional-hash
+    * table (docs with doc_id % 10 ≠ 7, memoized once — in production a
+    * written artifact) is UNIONED with the arriving batch's table and
+    * the duplicated-hash summary re-aggregates over the merge. The ph
+    * table is append-only (a new batch only adds rows), so maintenance
+    * cost is the increment's scan plus the re-aggregation whose
+    * map-side partials are increment-sized; nothing about the standing
+    * corpus's text is ever re-read.
+    */
+  def qDedupSubstringAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val standing = graft.Caches.memo(s, dir, "posph_standing")(
+      posHashes(docs.filter(col("doc_id") % 10 =!= 7)))
+    val increment = posHashes(docs.filter(col("doc_id") % 10 === 7))
+    runsFromPositions(
+        dupPositionsFromPh(standing.unionByName(increment)), MinRun)
+      .orderBy("doc_id", "start")
   }
 
   /** Exact-substring dedup, CUT summary: per document, how many
@@ -827,6 +863,7 @@ object CorpusQuality extends QueryModule {
     "q_dedup_substring" -> (qDedupSubstring(_, _)),
     "q_dedup_substring_cut" -> (qDedupSubstringCut(_, _)),
     "q_dedup_substring_rewrite" -> (qDedupSubstringRewrite(_, _)),
+    "q_dedup_substring_append" -> (qDedupSubstringAppend(_, _)),
     "q_decontaminate_spans" -> (qDecontaminateSpans(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -1132,6 +1169,19 @@ object CorpusQuality extends QueryModule {
     // Spark window logic verbatim: strict adjacency (pos − row_number)
     // for the run listing, gap ≤ W merge (lag + running sum) for the
     // character-coverage cut.
+    // From-scratch rebuild over the FULL corpus — equality with the
+    // Spark side's append-maintained positional artifact proves
+    // append ≡ rebuild at character granularity.
+    "q_dedup_substring_append" ->
+      s"""WITH $sqlDupPositions,
+         |g AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM dpos)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start,
+         |  CAST(max(pos) - min(pos) + 32 AS BIGINT) AS dup_len
+         |FROM g GROUP BY doc_id, grp
+         |HAVING max(pos) - min(pos) + 32 >= 64
+         |ORDER BY doc_id, start""".stripMargin,
     "q_dedup_substring" ->
       s"""WITH $sqlDupPositions,
          |g AS (SELECT doc_id, pos,

@@ -365,6 +365,18 @@ class StreamingSpec extends SparkSpec {
     assert(reread == n, "orphan (uncommitted) file leaked into the batch read")
   }
 
+  test("concurrent prewarm: racing drains memoize to one result") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val sf = "/root/testdata/sf0.001"
+    val counts = Await.result(Future.sequence(
+      (1 to 4).map(_ => Future(
+        graft.queries.StreamingQ.qStreamTumbling(spark, sf).count()))), 5.minutes)
+    assert(counts.distinct.size == 1, s"racing drains disagreed: $counts")
+    assert(counts.head > 0)
+  }
+
   test("sink compaction: bounded file count, rows and content preserved") {
     val sf = "/root/testdata/sf0.001"
     val manifest = graft.queries.StreamingQ.qSinkCompaction(spark, sf).collect()
