@@ -166,8 +166,10 @@ object StreamingQ extends QueryModule {
     graft.Caches.memoSide(s, dir, "sink_compacted") {
       val sunk = StreamDrain.drainedFiles(s, dir, "stream_shard_sink",
         "documents")(st => st)
-      val out = java.nio.file.Files.createTempDirectory("graft_compact")
-      out.toFile.deleteOnExit()
+      // Session-scoped scratch (StreamScratch): the dir is reclaimed on
+      // cache invalidation, not parked until JVM exit — a long-lived JVM
+      // cycling sessions no longer accumulates compaction output.
+      val out = graft.streaming.StreamScratch.dirFor(s, "compact")
       graft.sources.Io.compactedParquet(sunk, s"$out/data", "doc_id", 4)
       s.read.parquet(s"$out/data")
     }
@@ -189,7 +191,7 @@ object StreamingQ extends QueryModule {
     // and appending it here would extend prep's critical path — the
     // warmup rep pays its one-time drain instead (same for the
     // neardup-gate and compaction drains, which reuse other artifacts).
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val drains = Seq[() => Long](
@@ -198,7 +200,12 @@ object StreamingQ extends QueryModule {
       () => qStreamDedupKeys(s, dir).count(),
       () => qStreamSessionize(s, dir).count(),
       () => qStreamShardSink(s, dir).count())
-    Await.result(Future.sequence(drains.map(f => Future(f()))), 10.minutes)
+    // Each drain parks its thread in awaitTermination (up to 300 s) —
+    // `blocking` tells the global fork-join pool to grow past its core
+    // count, so on a host with fewer cores than drains they still run
+    // concurrently instead of serializing against the 10-minute Await.
+    Await.result(
+      Future.sequence(drains.map(f => Future(blocking(f())))), 10.minutes)
     ()
   }
 

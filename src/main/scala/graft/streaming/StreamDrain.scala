@@ -65,8 +65,7 @@ object StreamDrain {
       build: DataFrame => DataFrame): DataFrame =
     graft.Caches.memoSide(s, dir, kind) {
       val (watch, schema) = watchDirFor(s, dir, kind, table)
-      val out = Files.createTempDirectory(s"graft_sink_$kind")
-      out.toFile.deleteOnExit()
+      val out = StreamScratch.dirFor(s, s"sink_$kind")
       val q = build(s.readStream.schema(schema).parquet(watch))
         .writeStream.format("parquet")
         .option("path", s"$out/data")
@@ -88,8 +87,7 @@ object StreamDrain {
       table: String): (String, org.apache.spark.sql.types.StructType) = {
     val srcPath = s"$dir/$table.parquet"
     val schema = s.read.parquet(srcPath).schema
-    val watch = Files.createTempDirectory(s"graft_stream_$kind")
-    watch.toFile.deleteOnExit()
+    val watch = StreamScratch.dirFor(s, s"stream_$kind")
     val src = Paths.get(srcPath)
     if (Files.isDirectory(src)) {
       val it = Files.list(src).iterator()

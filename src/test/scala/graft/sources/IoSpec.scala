@@ -137,4 +137,27 @@ class IoSpec extends SparkSpec {
       .groupBy("f").count().collect().map(_.getLong(1))
     assert(perFile.forall(_ <= 2000L), perFile.mkString(","))
   }
+
+  test("stream scratch dirs are session-scoped: a second session in the " +
+      "same JVM leaves no orphans after its caches clear") {
+    import graft.streaming.StreamScratch
+    // Two sessions in one JVM (the long-lived-driver shape): each
+    // allocates sink/compaction scratch; invalidating ONE session's
+    // caches reclaims exactly its dirs and leaves the other's intact —
+    // the contract that replaced the deleteOnExit no-op (which parked
+    // every drain's parquet in /tmp until process exit).
+    val s2 = spark.newSession()
+    val a = StreamScratch.dirFor(spark, "compact_probe")
+    val b = StreamScratch.dirFor(s2, "compact_probe")
+    java.nio.file.Files.write(a.resolve("x.parquet"), Array[Byte](1, 2))
+    java.nio.file.Files.write(b.resolve("x.parquet"), Array[Byte](3, 4))
+    assert(StreamScratch.tracked(s2).nonEmpty)
+    graft.Caches.clear(s2)
+    assert(!java.nio.file.Files.exists(b), "second session's dir orphaned")
+    assert(StreamScratch.tracked(s2).isEmpty)
+    assert(java.nio.file.Files.exists(a.resolve("x.parquet")),
+      "first session's dir must survive the other session's clear")
+    graft.Caches.clear(spark)
+    assert(!java.nio.file.Files.exists(a))
+  }
 }
