@@ -52,7 +52,28 @@ object ScaleStress {
     * come from a 1000-token synthetic vocab keyed by (content seed,
     * position).
     */
+  /** Two documents of > 2²⁰ code points (ids n, n+1; identical text, a
+    * verbatim copy pair over an 'h'-prefixed vocab no other doc uses) —
+    * the planted trap for PACKED occurrence keys: `doc_id·2²⁰ + pos`
+    * aliases across documents once pos exceeds 2²⁰, electing the wrong
+    * canonical occurrence in the substring rewrite. The two-field
+    * (doc_id, pos) canon key must keep the seed verbatim and empty the
+    * copy, at any document length.
+    */
+  def genHugeDocs(s: SparkSession, n: Long): DataFrame =
+    s.range(2).toDF("k")
+      .select(
+        (col("k") + n).as("doc_id"),
+        expr("""array_join(transform(sequence(0, 229999),
+          |  j -> concat('h', pmod(xxhash64(j, 'huge'), 1000))), ' ')"""
+          .stripMargin).as("text"),
+        lit("en").as("lang"), lit("src_huge").as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
   def genDocuments(s: SparkSession, n: Long): DataFrame =
+    genDocumentsBase(s, n).unionByName(genHugeDocs(s, n))
+
+  private def genDocumentsBase(s: SparkSession, n: Long): DataFrame =
     s.range(n).toDF("doc_id")
       .withColumn("__exact", col("doc_id") % 97 === 3 && col("doc_id") >= 97)
       .withColumn("__near",
@@ -337,6 +358,21 @@ object ScaleStress {
       // forced the positional hash to 62 bits — keep it strict so a
       // hash-width regression trips again.
       pairs.count() > 400 && seedsIntact == 0 && copiesEmpty == 0
+    }
+    // Packed-key wrap trap: the ≥2²⁰-char copy pair (genHugeDocs). The
+    // copy must be emptied and the seed kept VERBATIM — a packed
+    // doc_id·2²⁰+pos canon key aliases these documents' occurrences
+    // into neighboring key spaces and corrupts the election; only the
+    // two-field (doc_id, pos) min survives this length.
+    check("planted_substring_bigdoc") {
+      val rw = SparkEntry.queries("q_dedup_substring_rewrite")(spark, dir)
+        .filter(col("doc_id") >= DocN)
+        .select("doc_id", "n_chars", "kept_chars")
+        .collect().sortBy(_.getLong(0))
+      rw.length == 2 &&
+        rw(0).getLong(1) > (1L << 20) &&
+        rw(0).getLong(2) == rw(0).getLong(1) &&
+        rw(1).getLong(2) == 0L
     }
     check("planted_substring_cut_zero") {
       val copies = Tables.documents(spark, dir)

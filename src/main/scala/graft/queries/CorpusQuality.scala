@@ -665,10 +665,15 @@ object CorpusQuality extends QueryModule {
     * is rebuilt with one pass of `aggregate` over the sorted interval
     * list — O(chars) per document, no per-character rows.
     *
-    * Canonical occurrence is encoded as min(doc_id·2²⁰ + pos): exact
-    * while docs stay under 2²⁰ code points (1 Mi — far above the
-    * corpus's documents; at production widths carry doc and pos as a
-    * two-field min instead). Shuffles: the (h)-keyed canon aggregate
+    * Canonical occurrence is the lexicographic min(struct(doc_id, pos))
+    * — a genuine two-field min, NOT a packed `doc_id·2²⁰ + pos` key: the
+    * packed spelling silently aliases into other documents' key space
+    * for documents ≥ 2²⁰ code points (routine in web corpora), electing
+    * the wrong canonical occurrence and cutting innocent text — the same
+    * oracle-blind failure class as the 2³¹ hash width (both engines
+    * compute the identical wrong key, so only a planted ≥1 Mi-char doc
+    * catches it; ScaleStress plants one). Shuffles: the (h)-keyed canon
+    * aggregate
     * and join (∝ corpus chars — the honest minimum for char-granular
     * provenance), one per-doc window, one per-doc interval collect.
     */
@@ -680,11 +685,15 @@ object CorpusQuality extends QueryModule {
     val ph = docs.select(col("doc_id"),
         posexplode(spanhashesPos(col("text"))).as(Seq("pos", "h")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
-      .withColumn("okey", col("doc_id") * lit(1048576L) + col("pos"))
+    // Two-field lexicographic min — Spark structs order field-by-field,
+    // so this is exact at ANY document length (no packed-key wrap).
     val canon = ph.groupBy("h").agg(
-        count_distinct(col("doc_id")).as("nd"), min(col("okey")).as("canon_key"))
-      .filter(col("nd") >= 2).select("h", "canon_key")
-    val cut = ph.join(canon, "h").filter(col("okey") =!= col("canon_key"))
+        count_distinct(col("doc_id")).as("nd"),
+        min(struct(col("doc_id"), col("pos"))).as("canon"))
+      .filter(col("nd") >= 2).select("h", "canon")
+    val cut = ph.join(canon, "h")
+      .filter(col("doc_id") =!= col("canon.doc_id")
+        || col("pos") =!= col("canon.pos"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val intervals = cut
       .withColumn("brk",
@@ -1178,9 +1187,9 @@ object CorpusQuality extends QueryModule {
          |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
          |  FROM dpos)
          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start,
-         |  CAST(max(pos) - min(pos) + 32 AS BIGINT) AS dup_len
+         |  CAST(max(pos) - min(pos) + $SpanHashMathW AS BIGINT) AS dup_len
          |FROM g GROUP BY doc_id, grp
-         |HAVING max(pos) - min(pos) + 32 >= 64
+         |HAVING max(pos) - min(pos) + $SpanHashMathW >= $MinRun
          |ORDER BY doc_id, start""".stripMargin,
     "q_dedup_substring" ->
       s"""WITH $sqlDupPositions,
@@ -1188,21 +1197,22 @@ object CorpusQuality extends QueryModule {
          |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
          |  FROM dpos)
          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start,
-         |  CAST(max(pos) - min(pos) + 32 AS BIGINT) AS dup_len
+         |  CAST(max(pos) - min(pos) + $SpanHashMathW AS BIGINT) AS dup_len
          |FROM g GROUP BY doc_id, grp
-         |HAVING max(pos) - min(pos) + 32 >= 64
+         |HAVING max(pos) - min(pos) + $SpanHashMathW >= $MinRun
          |ORDER BY doc_id, start""".stripMargin,
     "q_dedup_substring_cut" ->
       s"""WITH $sqlDupPositions,
          |b AS (SELECT doc_id, pos,
-         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 32
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |        <= $SpanHashMathW
          |      THEN 0 ELSE 1 END AS brk
          |  FROM dpos),
          |i AS (SELECT doc_id, pos,
          |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
          |  FROM b),
-         |runs AS (SELECT doc_id, max(pos) - min(pos) + 32 AS run_len
+         |runs AS (SELECT doc_id, max(pos) - min(pos) + $SpanHashMathW AS run_len
          |  FROM i GROUP BY doc_id, isl),
          |per_doc AS (SELECT doc_id, count(*) AS n_runs,
          |    sum(run_len) AS dup_chars
@@ -1214,22 +1224,29 @@ object CorpusQuality extends QueryModule {
          |    AS retained_frac
          |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
          |ORDER BY d.doc_id""".stripMargin,
-    // Same positional-hash feed; canonical occurrence = min(doc·2^20+pos)
-    // per duplicated hash; covered chars replayed as a per-character
+    // Same positional-hash feed; canonical occurrence = the two-field
+    // lexicographic min over (doc_id, pos), spelled as the portable
+    // two-aggregate chain (min doc, then min pos among that doc's
+    // occurrences) — value-identical to Spark's min(struct) at ANY
+    // document length; covered chars replayed as a per-character
     // range join (interval union ≡ union of window coverages, so the
     // oracle needs no island merge); text rebuilt by ordered string_agg.
     "q_dedup_substring_rewrite" ->
       s"""WITH $sqlPosHashCtes,
-         |canon AS (SELECT h, min(okey) AS canon_key FROM ph
-         |  GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |canon0 AS (SELECT h, min(doc_id) AS cdoc,
+         |    count(DISTINCT doc_id) AS nd
+         |  FROM ph GROUP BY h),
+         |canon AS (SELECT c.h, c.cdoc, min(ph.pos) AS cpos
+         |  FROM canon0 c JOIN ph ON ph.h = c.h AND ph.doc_id = c.cdoc
+         |  WHERE c.nd >= 2 GROUP BY c.h, c.cdoc),
          |cut AS (SELECT ph.doc_id, ph.pos FROM ph JOIN canon USING (h)
-         |  WHERE ph.okey <> canon.canon_key),
+         |  WHERE NOT (ph.doc_id = canon.cdoc AND ph.pos = canon.cpos)),
          |chars AS (SELECT doc_id, text,
          |    unnest(range(0, length(text))) AS cp
          |  FROM documents),
          |cov AS (SELECT DISTINCT c.doc_id, c.cp
          |  FROM chars c JOIN cut k ON k.doc_id = c.doc_id
-         |    AND c.cp BETWEEN k.pos AND k.pos + 31),
+         |    AND c.cp BETWEEN k.pos AND k.pos + ${SpanHashMathW - 1}),
          |kept AS (SELECT c.doc_id, c.cp,
          |    substr(c.text, CAST(c.cp + 1 AS INTEGER), 1) AS ch
          |  FROM chars c LEFT JOIN cov
@@ -1278,16 +1295,17 @@ object CorpusQuality extends QueryModule {
     val M = graft.functions.SpanHashMath
     val pows = M.Pow.mkString("[", ", ", "]")
     val pows2 = M.Pow2.mkString("[", ", ", "]")
+    // Window width interpolated from the kernel's W — changing the
+    // kernel constant re-derives the oracle with it (no silent desync).
     s"""pos AS (SELECT doc_id, text,
-       |    unnest(range(0, greatest(length(text) - 31, 0))) AS i
+       |    unnest(range(0, greatest(length(text) - ${M.W - 1}, 0))) AS i
        |  FROM documents),
        |ph AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-       |    doc_id * 1048576 + CAST(i AS BIGINT) AS okey,
-       |    (list_sum(list_transform(range(0, 32), j ->
+       |    (list_sum(list_transform(range(0, ${M.W}), j ->
        |      CAST(ascii(substr(text, CAST(i + j + 1 AS INTEGER), 1)) AS BIGINT)
        |        * ($pows)[CAST(j + 1 AS INTEGER)]
        |    )) % ${M.P}) * ${M.P2}
-       |    + (list_sum(list_transform(range(0, 32), j ->
+       |    + (list_sum(list_transform(range(0, ${M.W}), j ->
        |      CAST(ascii(substr(text, CAST(i + j + 1 AS INTEGER), 1)) AS BIGINT)
        |        * ($pows2)[CAST(j + 1 AS INTEGER)]
        |    )) % ${M.P2}) AS h
