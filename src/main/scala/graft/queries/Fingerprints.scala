@@ -30,21 +30,29 @@ import org.apache.spark.sql.functions._
   * ([[confirmedPairs]]).
   *
   * HASH-WIDTH AT SCALE (the bug class the round-9 10× harness caught in
-  * the substring family — `SpanHashMath.spanHashesPos`): the shingle
-  * hashes here are 60-bit md5 prefixes REDUCED MOD 2³¹−1 so the MinHash
-  * permutations (A·h + B mod P) stay inside exact Long arithmetic.
-  * That 2³¹ space birthday-collides around ~10⁵ distinct shingles per
-  * collision at 10⁷ shingles — tolerable HERE because every collision
-  * only (a) merges two shingles in a signature (a bounded perturbation
-  * of an already-approximate MinHash) or (b) adds a candidate pair that
-  * the confirm stage re-checks, so the failure mode is a slight recall/
-  * precision wobble, never a silent wrong cut. Where a collision WOULD
-  * silently corrupt output — character-granular substring cuts — the
-  * hash is 62-bit ([[graft.functions.SpanHashMath.spanHashesPos]]). At
-  * true 100 TB shingle counts (≳10¹²), widen the confirm-stage hash
-  * sets to the full 60-bit value (drop the mod; the intersection count
-  * does no modular arithmetic) and keep only the permutation inputs
-  * reduced.
+  * the substring family — `SpanHashMath.spanHashesPos`, where 2³¹
+  * Karp–Rabin birthday collisions falsely cut 77% of planted seeds):
+  * this family is WIDE end to end, the same two-family construction as
+  * the substring fix, so there is no "widen it later" note left to
+  * become a bug.
+  *
+  *  - the shingle hash `h` is the FULL 60-bit md5 prefix, no modulus —
+  *    confirm-stage intersection counts and posting-index joins
+  *    birthday-collide only around 2³⁰ DISTINCT shingles per collision,
+  *    and a collision there merely merges two shingles in an exact-
+  *    Jaccard count (bounded perturbation, oracle-identical);
+  *  - the MinHash permutations are two independent families reduced mod
+  *    two distinct 31-bit primes and recombined as a 62-bit value
+  *    `((A·(h mod P) + B) mod P) · P₂ + ((A₂·(h mod P₂) + B₂) mod P₂)`
+  *    — the [[graft.functions.SpanHashMath]] pattern: since 60-bit h <
+  *    P·P₂, CRT makes h → (h mod P, h mod P₂) injective, so two
+  *    DISTINCT shingles can only collide in a signature coordinate by a
+  *    2⁻⁶² accident, not by the old 2³¹ reduction. Every intermediate
+  *    stays < 2⁶³ (A, h mod P < 2³¹ ⇒ products < 2⁶²), so DuckDB
+  *    replays the exact arithmetic in BIGINT.
+  *
+  * LSH band values are therefore PAIRS of 62-bit signatures (v1, v2) —
+  * two join columns, not a packed long (sig·P + sig no longer fits).
   */
 object Fingerprints extends QueryModule {
 
@@ -52,10 +60,21 @@ object Fingerprints extends QueryModule {
   // the stream side MUST produce bit-identical band values or the
   // stream-static join against the standing index silently misses.
   private[graft] val P = 2147483647L // 2^31 − 1
+  private[graft] val P2 = 2147483629L // prime < 2^31 (SpanHashMath.P2)
   private[graft] def A(j: Int): Long = (2654435761L * (j + 1)) % P
   private[graft] def B(j: Int): Long = (1013904223L * (j + 1)) % P
+  private[graft] def A2(j: Int): Long = (2246822519L * (j + 1)) % P2
+  private[graft] def B2(j: Int): Long = (3266489917L * (j + 1)) % P2
   private[graft] val NumHashes = 16
   private[graft] val NumBands = 8 // bands of 2 hashes
+
+  /** The 62-bit two-family MinHash permutation of hash column/value `x`
+    * — identical SQL text on the Spark and DuckDB sides, all
+    * intermediates < 2⁶³ (see the object scaladoc).
+    */
+  private[graft] def sigOf(j: Int, x: String): String =
+    s"((${A(j)} * ($x % $P) + ${B(j)}) % $P) * $P2" +
+      s" + ((${A2(j)} * ($x % $P2) + ${B2(j)}) % $P2)"
 
   /** The inverted-index primitive: one (doc_id, n, h) row per shingle
     * OCCURRENCE of each document, h = 60-bit md5 hash mod P, n = the
@@ -112,7 +131,10 @@ object Fingerprints extends QueryModule {
           expr("concat_ws(' ', element_at(words, i + 1), element_at(words, i + 2), element_at(words, i + 3))"))
           .otherwise(col("text")).as("sg"))
       .select(col("doc_id"), col("n"),
-        expr(s"CAST(conv(substring(md5(sg), 1, 15), 16, 10) AS BIGINT) % $P").as("h"))
+        // FULL 60-bit md5 prefix — no 2^31 reduction (object scaladoc:
+        // the confirm-stage hash sets stay wide; only the MinHash
+        // permutation inputs reduce, inside sigOf).
+        expr("CAST(conv(substring(md5(sg), 1, 15), 16, 10) AS BIGINT)").as("h"))
 
   /** The deduped posting index — one (doc_id, n, h) row per distinct
     * (document, shingle-hash) — MATERIALIZED once per (session, corpus)
@@ -176,15 +198,17 @@ object Fingerprints extends QueryModule {
     */
   private def minhashPairs(idx: DataFrame): DataFrame = {
     val sigAggs = (0 until NumHashes).map(j =>
-      min(expr(s"(${A(j)} * h + ${B(j)}) % $P")).as(s"sig$j"))
+      min(expr(sigOf(j, "h"))).as(s"sig$j"))
     val sigs = idx.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-    val bandCols = (0 until NumBands).map(b =>
-      (col(s"sig${2 * b}") * P + col(s"sig${2 * b + 1}")).as(s"band$b"))
-    val stackArgs = (0 until NumBands).map(b => s"$b, band$b").mkString(", ")
-    val bands = sigs.select(col("doc_id") +: bandCols: _*)
-      .selectExpr("doc_id", s"stack($NumBands, $stackArgs) AS (band, v)")
+    // band value = the PAIR of 62-bit signatures (two join columns —
+    // a packed sig·P + sig long no longer fits; see object scaladoc)
+    val stackArgs = (0 until NumBands)
+      .map(b => s"$b, sig${2 * b}, sig${2 * b + 1}").mkString(", ")
+    val bands = sigs.selectExpr(
+      "doc_id", s"stack($NumBands, $stackArgs) AS (band, v1, v2)")
     bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.v") === col("y.v")
+        col("x.band") === col("y.band") && col("x.v1") === col("y.v1")
+          && col("x.v2") === col("y.v2")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
@@ -733,7 +757,7 @@ object Fingerprints extends QueryModule {
   def qSourceSketchSim(s: SparkSession, dir: String): DataFrame = {
     val srcOf = Tables.documents(s, dir).select("doc_id", "source")
     val sigAggs = (0 until NumHashes).map(j =>
-      min(expr(s"(${A(j)} * h + ${B(j)}) % $P")).as(s"sig$j"))
+      min(expr(sigOf(j, "h"))).as(s"sig$j"))
     val sigs = postings(s, dir).join(srcOf, "doc_id")
       .groupBy("source").agg(sigAggs.head, sigAggs.tail: _*)
     val matches = (0 until NumHashes).map(j =>
@@ -990,7 +1014,7 @@ object Fingerprints extends QueryModule {
       |  ELSE [text] END""".stripMargin
 
   private[queries] val sqlHs =
-    s"list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $P)"
+    "list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)"
 
   // Outer CAST: DuckDB list_sum returns HUGEINT, which the driver's
   // comparator reads as float64 and hash-mismatches Spark's int64 even on
@@ -1006,9 +1030,9 @@ object Fingerprints extends QueryModule {
     */
   private[queries] def sqlMinhashCtes: String = {
     val sigSelects = (0 until NumHashes).map(j =>
-      s"list_min(list_transform(hs, x -> (${A(j)} * x + ${B(j)}) % $P)) AS sig$j").mkString(",\n  ")
+      s"list_min(list_transform(hs, x -> ${sigOf(j, "x")})) AS sig$j").mkString(",\n  ")
     val bandSelects = (0 until NumBands).map(b =>
-      s"SELECT doc_id, $b AS band, sig${2 * b} * $P + sig${2 * b + 1} AS v FROM sigs")
+      s"SELECT doc_id, $b AS band, sig${2 * b} AS v1, sig${2 * b + 1} AS v2 FROM sigs")
       .mkString("\n  UNION ALL ")
     s"""WITH shingled AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
        |hashed AS (SELECT doc_id, len(list_distinct(sh)) AS n, $sqlHs AS hs FROM shingled),
@@ -1020,7 +1044,8 @@ object Fingerprints extends QueryModule {
        |pairs AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id)""".stripMargin
+       |    ON x.band = y.band AND x.v1 = y.v1 AND x.v2 = y.v2
+       |    AND x.doc_id < y.doc_id)""".stripMargin
   }
 
   /** The corpus-clean CTE chain (stages 1–4), ending with `surv`
@@ -1205,7 +1230,7 @@ object Fingerprints extends QueryModule {
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
     "q_source_sketch_sim" -> {
       val sigSelects = (0 until NumHashes).map(j =>
-        s"min((${A(j)} * h + ${B(j)}) % $P) AS sig$j").mkString(",\n  ")
+        s"min(${sigOf(j, "h")}) AS sig$j").mkString(",\n  ")
       val matchSum = (0 until NumHashes).map(j =>
         s"(CASE WHEN a.sig$j = b.sig$j THEN 1 ELSE 0 END)").mkString(" + ")
       s"""WITH shingled AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
