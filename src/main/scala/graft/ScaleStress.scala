@@ -187,7 +187,8 @@ object ScaleStress {
   }
 
   private var failures = 0
-  private val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+  private val results =
+    scala.collection.mutable.LinkedHashMap[String, (Boolean, Double)]()
 
   private def check(name: String)(body: => Boolean): Unit = {
     val t0 = System.nanoTime()
@@ -195,7 +196,7 @@ object ScaleStress {
       try (body, "")
       catch { case e: Throwable => (false, s" ${e.getClass.getSimpleName}: ${e.getMessage}") }
     val secs = (System.nanoTime() - t0) / 1e9
-    timings(name) = secs
+    results(name) = (ok, secs)
     if (!ok) failures += 1
     println(f"CHECK $name%-28s ${if (ok) "PASS" else "FAIL"} $secs%8.1f s$err")
   }
@@ -411,10 +412,53 @@ object ScaleStress {
       val missing = planted.join(found, Seq("ida", "idb"), "left_anti").count()
       planted.count() > 200 && missing == 0
     }
+    // Widened-family recall: the 62-bit two-family MinHash LSH (16
+    // hashes / 8 bands) must still CANDIDATE nearly every planted
+    // one-word-edit near-dup pair — widening the value space must not
+    // have broken the banding (a family bug that, say, made v2 constant
+    // would over-merge; one that decorrelated the permutations would
+    // under-recall). Planted pairs share all but ~3 shingles (J ≈ 0.75
+    // at the 20-word floor, higher for longer docs), so the expected
+    // LSH miss rate is < 1%; the check is deterministic (no RNG —
+    // signatures are pure functions of the text), so the bound is a
+    // regression pin, not a flaky probability.
+    check("planted_minhash_recall") {
+      val planted = spark.range(DocN).toDF("doc_b")
+        .filter(col("doc_b") % 89 === 7 && col("doc_b") >= 89
+          && col("doc_b") % 97 =!= 3 && (col("doc_b") - 7) % 97 =!= 3)
+        .select((col("doc_b") - 7).as("doc_a"), col("doc_b"))
+      val found = SparkEntry.queries("q_dedup_minhash")(spark, dir)
+        .select("doc_a", "doc_b")
+      val nPlanted = planted.count()
+      val missing = planted.join(found, Seq("doc_a", "doc_b"), "left_anti").count()
+      println(f"  minhash recall: ${nPlanted - missing}/$nPlanted planted pairs candidated")
+      nPlanted > 400 && missing.toDouble / nPlanted <= 0.02
+    }
 
     val wall = (System.nanoTime() - t0) / 1e9
-    val per = timings.map { case (k, v) => f""""$k":$v%.1f""" }.mkString(",")
-    println(f"""{"scale_stress":"$dir","checks":${timings.size},"failures":$failures,"wall_sec":$wall%.1f,"timings":{$per}}""")
+    val per = results.map { case (k, (_, v)) => f""""$k":$v%.1f""" }.mkString(",")
+    println(f"""{"scale_stress":"$dir","checks":${results.size},"failures":$failures,"wall_sec":$wall%.1f,"timings":{$per}}""")
+    // machine-readable gate record (SCALE_rNN.json): one object per
+    // check with pass/fail + seconds, same facts as the CHECK lines
+    sys.env.get("SPARK_GRAFT_SCALE_JSON").foreach { path =>
+      val checksJson = results.map { case (k, (ok, v)) =>
+        f"""    {"name":"$k","pass":$ok,"secs":$v%.1f}"""
+      }.mkString(",\n")
+      val json =
+        f"""{
+           |  "dir": "$dir",
+           |  "n_checks": ${results.size},
+           |  "failures": $failures,
+           |  "wall_sec": $wall%.1f,
+           |  "checks": [
+           |$checksJson
+           |  ]
+           |}
+           |""".stripMargin
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"SCALE JSON -> $path")
+    }
     spark.stop()
     if (failures > 0) sys.exit(1)
   }

@@ -141,7 +141,7 @@ object Aggregations extends QueryModule {
     * (non-null by schema) document columns with an explicit separator,
     * identically on both engines.
     */
-  private val ChkP = 2147483647L
+  private val ChkP = Q.ChkP
 
   def qTableChecksum(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)

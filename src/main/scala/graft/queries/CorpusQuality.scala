@@ -1278,11 +1278,11 @@ object CorpusQuality extends QueryModule {
     */
   private def sqlSpanHashes: String = {
     val pows = graft.functions.SpanHashMath.Pow.mkString("[", ", ", "]")
-    s"""list_transform(range(0, greatest(length(text) - 31, 0)), i ->
-       |      list_sum(list_transform(range(0, 32), j ->
+    s"""list_transform(range(0, greatest(length(text) - ${graft.functions.SpanHashMath.W - 1}, 0)), i ->
+       |      list_sum(list_transform(range(0, ${graft.functions.SpanHashMath.W}), j ->
        |        CAST(ascii(substr(text, CAST(i + j + 1 AS INTEGER), 1)) AS BIGINT)
        |          * ($pows)[CAST(j + 1 AS INTEGER)]
-       |      )) % 2147483647)""".stripMargin
+       |      )) % ${graft.functions.SpanHashMath.P})""".stripMargin
   }
 
   /** CTE chain `pos/ph` — WIDE (62-bit, two-family) positional window

@@ -76,6 +76,16 @@ object Fingerprints extends QueryModule {
     s"((${A(j)} * ($x % $P) + ${B(j)}) % $P) * $P2" +
       s" + ((${A2(j)} * ($x % $P2) + ${B2(j)}) % $P2)"
 
+  /** The 60-bit shingle hash of string expression `x` — the ONE spelling
+    * shared by the batch posting index and the streaming in-row twin
+    * ([[graft.streaming.StreamOps.shingleHashes]]); round 10 shipped the
+    * two hand-synced and they drifted (stream kept an old mod-2³¹
+    * reduction → the ingest decontamination gate went silently inert).
+    * Identical SQL text on the Spark and DuckDB sides.
+    */
+  private[graft] def hashOfSql(x: String): String =
+    s"CAST(conv(substring(md5($x), 1, 15), 16, 10) AS BIGINT)"
+
   /** The inverted-index primitive: one (doc_id, n, h) row per shingle
     * OCCURRENCE of each document, h = 60-bit md5 hash mod P, n = the
     * doc's distinct-SHINGLE-STRING count (native `array_distinct` over
@@ -134,7 +144,7 @@ object Fingerprints extends QueryModule {
         // FULL 60-bit md5 prefix — no 2^31 reduction (object scaladoc:
         // the confirm-stage hash sets stay wide; only the MinHash
         // permutation inputs reduce, inside sigOf).
-        expr("CAST(conv(substring(md5(sg), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        expr(hashOfSql("sg")).as("h"))
 
   /** The deduped posting index — one (doc_id, n, h) row per distinct
     * (document, shingle-hash) — MATERIALIZED once per (session, corpus)
@@ -196,16 +206,34 @@ object Fingerprints extends QueryModule {
     * hash aggregate computing all 16 mins (partial map-side), not
     * per-doc higher-order folds (interpreted, the round-1 hot spot).
     */
-  private def minhashPairs(idx: DataFrame): DataFrame = {
+  /** The (doc_id, band, v1, v2) LSH band table of a (doc_id, h) index —
+    * band value = the PAIR of 62-bit signatures (two join columns; a
+    * packed sig·P + sig long no longer fits, see object scaladoc).
+    * Signatures are ONE codegen'd hash aggregate computing all 16 mins
+    * (partial map-side). Exposed `private[graft]`: it is the STANDING
+    * band index the streaming ingest gate joins against, and the
+    * batch↔stream parity spec compares [[graft.streaming.StreamOps
+    * .minhashBands]] against exactly this table.
+    */
+  private[graft] def bandTable(idx: DataFrame): DataFrame = {
     val sigAggs = (0 until NumHashes).map(j =>
       min(expr(sigOf(j, "h"))).as(s"sig$j"))
     val sigs = idx.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-    // band value = the PAIR of 62-bit signatures (two join columns —
-    // a packed sig·P + sig long no longer fits; see object scaladoc)
     val stackArgs = (0 until NumBands)
       .map(b => s"$b, sig${2 * b}, sig${2 * b + 1}").mkString(", ")
-    val bands = sigs.selectExpr(
+    sigs.selectExpr(
       "doc_id", s"stack($NumBands, $stackArgs) AS (band, v1, v2)")
+  }
+
+  /** [[bandTable]] over an arbitrary documents frame (shingle → 60-bit
+    * hash → dedup → 16 signature mins) — the batch-aggregation spelling
+    * of the signatures the stream computes in-row.
+    */
+  private[graft] def bandTableOf(s: SparkSession, docs: DataFrame): DataFrame =
+    bandTable(shingleIndexOf(s, docs).dropDuplicates("doc_id", "h"))
+
+  private def minhashPairs(idx: DataFrame): DataFrame = {
+    val bands = bandTable(idx)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.v1") === col("y.v1")
           && col("x.v2") === col("y.v2")

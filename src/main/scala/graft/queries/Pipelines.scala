@@ -299,8 +299,7 @@ object Pipelines extends QueryModule {
       count(lit(1)).as("n_docs"),
       countDistinct(col("seq")).as("n_seqs"),
       sum(col("n_tok")).as("tok_total"),
-      expr("CAST(sum(CAST(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) " +
-        "AS DECIMAL(38,0))) % 2147483647 AS BIGINT)").as("checksum"))
+      Q.checksum("text").as("checksum"))
     val byShard = rows.groupBy("shard_id").agg(
       count(lit(1)).as("shard_docs"),
       sum(col("n_tok")).as("shard_toks"))
@@ -685,8 +684,7 @@ object Pipelines extends QueryModule {
          |    count(*) AS n_docs,
          |    count(DISTINCT seq) AS n_seqs,
          |    CAST(sum(n_tok) AS BIGINT) AS tok_total,
-         |    CAST(sum(CAST(('0x' || substr(md5(text), 1, 15))::BIGINT
-         |      AS DECIMAL(38,0))) % 2147483647 AS BIGINT) AS checksum
+         |    ${Q.sqlChecksum("text")} AS checksum
          |  FROM a GROUP BY shard_id, source),
          |g AS (
          |  SELECT shard_id, count(*) AS shard_docs,

@@ -64,4 +64,27 @@ object Q {
     s"(($s2) - (($s1)*($s1))/($n)) / (($n) - 1.0)"
   }
   def sqlDstd(e: String): String = s"sqrt(${sqlDvar(e)})"
+
+  /** Modulus of the order-independent content checksum (2³¹−1) —
+    * ONE definition for every manifest/handshake spelling on both
+    * engines (the round-10 lesson: hand-synced constants drift).
+    */
+  val ChkP = 2147483647L
+
+  /** Order-independent content checksum aggregate of text column `c`:
+    * commutative DECIMAL(38,0) sum of per-row 60-bit md5 prefixes
+    * ([[Fingerprints.hashOfSql]]), reduced mod [[ChkP]] — same rows in
+    * any order/partitioning ⇒ same value; any changed row flips it.
+    * Spark spelling.
+    */
+  def checksum(c: String): Column =
+    expr(s"CAST(sum(CAST(${Fingerprints.hashOfSql(c)} AS DECIMAL(38,0)))" +
+      s" % $ChkP AS BIGINT)")
+
+  /** DuckDB spelling of [[checksum]] (same 60-bit md5 prefix read via
+    * the 0x-literal cast).
+    */
+  def sqlChecksum(c: String): String =
+    s"CAST(sum(CAST(('0x' || substr(md5($c), 1, 15))::BIGINT" +
+      s" AS DECIMAL(38,0))) % $ChkP AS BIGINT)"
 }

@@ -125,24 +125,26 @@ object StreamingQ extends QueryModule {
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(length(col("text")).cast("long")).as("n_chars"),
-        expr("CAST(sum(CAST(CAST(conv(substring(md5(text), 1, 15), 16, 10) " +
-          "AS BIGINT) AS DECIMAL(38,0))) % 2147483647 AS BIGINT)").as("checksum"))
+        Q.checksum("text").as("checksum"))
       .orderBy("source")
 
   /** Streaming NEAR-DUP ingest gate, driver-checked: each arriving
     * document (the 10% "today's crawl" slice, doc_id % 10 = 7) is
     * routed by LSH band collision against the STANDING band index of
     * the other 90% — [[StreamOps.nearDupIngestGate]] verbatim: in-row
-    * signatures + a stream-static equi-join on (band, v), NO streaming
-    * state, memory bounded by the standing index however long the
-    * stream runs. The oracle recomputes both sides' signatures from
-    * `documents` alone, so a green row certifies the in-row streaming
-    * signature path is bit-identical to the batch aggregation.
+    * signatures + a stream-static equi-join on (band, v1, v2), NO
+    * streaming state, memory bounded by the standing index however long
+    * the stream runs. The standing side is the BATCH band table
+    * ([[Fingerprints.bandTableOf]] — the materialized artifact the
+    * batch dedup maintains), so this one query crosses the batch and
+    * stream signature paths; with the oracle recomputing both sides
+    * from `documents` alone, a green row certifies the in-row streaming
+    * signatures are bit-identical to the batch aggregation.
     */
   def qStreamNeardupGate(s: SparkSession, dir: String): DataFrame =
     StreamDrain.drained(s, dir, "stream_neardup_gate", "documents",
         mode = "append") { st =>
-      val standing = StreamOps.minhashBands(
+      val standing = Fingerprints.bandTableOf(s,
         graft.Tables.documents(s, dir)
           .filter(col("doc_id") % 10 =!= 7).select("doc_id", "text"))
       StreamOps.nearDupIngestGate(
@@ -176,8 +178,7 @@ object StreamingQ extends QueryModule {
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(length(col("text")).cast("long")).as("n_chars"),
-        expr("CAST(sum(CAST(CAST(conv(substring(md5(text), 1, 15), 16, 10) " +
-          "AS BIGINT) AS DECIMAL(38,0))) % 2147483647 AS BIGINT)").as("checksum"))
+        Q.checksum("text").as("checksum"))
       .orderBy("source")
 
   override def prewarm(s: SparkSession, dir: String): Unit = {
@@ -224,17 +225,15 @@ object StreamingQ extends QueryModule {
     "q_stream_dedup_keys" ->
       """SELECT DISTINCT user_id FROM events ORDER BY user_id""",
     "q_stream_shard_sink" ->
-      """SELECT source, count(*) AS n_docs,
+      s"""SELECT source, count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
-        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15))::BIGINT
-        |    AS DECIMAL(38,0))) % 2147483647 AS BIGINT) AS checksum
+        |  ${Q.sqlChecksum("text")} AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // identical manifest — compaction must be content-preserving
     "q_sink_compaction" ->
-      """SELECT source, count(*) AS n_docs,
+      s"""SELECT source, count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
-        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15))::BIGINT
-        |    AS DECIMAL(38,0))) % 2147483647 AS BIGINT) AS checksum
+        |  ${Q.sqlChecksum("text")} AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // The batch q_sessionize CTE verbatim, minus each user's final
     // (still-open) session — the closed-session contract.
@@ -269,7 +268,8 @@ object StreamingQ extends QueryModule {
     "q_stream_neardup_gate" ->
       s"""${Fingerprints.sqlMinhashCtes}
          |SELECT DISTINCT q.doc_id, q.band, v.doc_id AS standing_doc
-         |FROM bands q JOIN bands v ON q.band = v.band AND q.v = v.v
+         |FROM bands q JOIN bands v
+         |  ON q.band = v.band AND q.v1 = v.v1 AND q.v2 = v.v2
          |WHERE q.doc_id % 10 = 7 AND v.doc_id % 10 <> 7
          |ORDER BY 1, 2, 3""".stripMargin,
     "q_stream_tumbling" ->

@@ -826,12 +826,12 @@ object TextAnalysis extends QueryModule {
     "q_text_rollhash" -> {
       val pows = graft.functions.RollingHashMath.Pow.mkString("[", ", ", "]")
       s"""SELECT doc_id,
-         |  CAST(CASE WHEN length(text) < 8 THEN -1 ELSE (
-         |    list_min(list_transform(range(0, length(text) - 7), i ->
-         |      list_sum(list_transform(range(0, 8), j ->
+         |  CAST(CASE WHEN length(text) < ${graft.functions.RollingHashMath.W} THEN -1 ELSE (
+         |    list_min(list_transform(range(0, length(text) - ${graft.functions.RollingHashMath.W - 1}), i ->
+         |      list_sum(list_transform(range(0, ${graft.functions.RollingHashMath.W}), j ->
          |        CAST(ascii(substr(text, CAST(i + j + 1 AS INTEGER), 1)) AS BIGINT)
          |          * ($pows)[CAST(j + 1 AS INTEGER)]
-         |      )) % 2147483647))
+         |      )) % ${graft.functions.RollingHashMath.P}))
          |  ) END AS BIGINT) AS rh
          |FROM documents ORDER BY doc_id""".stripMargin
     },

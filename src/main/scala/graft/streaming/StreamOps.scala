@@ -72,21 +72,24 @@ object StreamOps {
     docs.join(blocklist, Seq(fpCol), "left_anti")
 
   /** Per-document distinct shingle hashes as an IN-ROW array — the same
-    * 3-word-shingle · md5-mod-P pipeline as the batch posting index
+    * 3-word-shingle · 60-bit-md5 pipeline as the batch posting index
     * ([[graft.queries.Fingerprints]] `shingleIndexOf`; distinctness
     * applied after hashing, matching the index's (doc_id, h) dedup), but
     * computed without any explode so it is usable in a fully STATELESS
-    * streaming map.
+    * streaming map. The hash spelling is INTERPOLATED from
+    * [[graft.queries.Fingerprints.hashOfSql]] — batch and stream cannot
+    * drift (round 10 hand-synced them; the stream kept an old mod-2³¹
+    * reduction and the decontamination gate went silently inert).
     */
   val shingleHashes: Column = expr(
-    """array_distinct(transform(
+    s"""array_distinct(transform(
       |  CASE WHEN size(split(text, ' ')) >= 3
       |    THEN transform(sequence(0, size(split(text, ' ')) - 3),
       |      i -> concat_ws(' ', element_at(split(text, ' '), i + 1),
       |             element_at(split(text, ' '), i + 2),
       |             element_at(split(text, ' '), i + 3)))
       |    ELSE array(text) END,
-      |  sg -> CAST(conv(substring(md5(sg), 1, 15), 16, 10) AS BIGINT) % 2147483647))""".stripMargin)
+      |  sg -> ${graft.queries.Fingerprints.hashOfSql("sg")}))""".stripMargin)
 
   /** Streaming decontamination under the BATCH overlap rule (see
     * `Fingerprints.qDecontaminate`): drop an arriving document when ≥
@@ -107,23 +110,26 @@ object StreamOps {
       .filter(col("__hits") < minHits)
       .drop("__hits")
 
-  /** Per-document MinHash LSH band values as (doc_id, band, v) rows —
-    * the SAME 16-hash / 8-band construction as the batch pipeline
-    * (constants shared from [[graft.queries.Fingerprints]]; the min is
-    * duplicate-insensitive, so the in-row `array_distinct` hash set
-    * yields bit-identical signatures to the batch aggregation over the
-    * deduped posting index). Everything before the final posexplode is
-    * an in-row expression — usable in a fully stateless streaming map.
+  /** Per-document MinHash LSH band values as (doc_id, band, v1, v2)
+    * rows — the SAME 16-hash / 8-band two-family 62-bit construction as
+    * the batch pipeline (each permutation is `Fingerprints.sigOf`
+    * VERBATIM over the in-row hash array; the min is duplicate-
+    * insensitive, so the in-row `array_distinct` hash set yields
+    * bit-identical signatures to the batch aggregation over the deduped
+    * posting index — pinned by the parity spec against
+    * [[graft.queries.Fingerprints.bandTable]]). Everything before the
+    * final stack is an in-row expression — usable in a fully stateless
+    * streaming map.
     */
   def minhashBands(docs: DataFrame): DataFrame = {
     import graft.queries.{Fingerprints => F}
-    val sigExprs = (0 until F.NumHashes).map(j =>
-      s"array_min(transform(__sh, h -> (${F.A(j)} * h + ${F.B(j)}) % ${F.P}))")
-    val bandArray = (0 until F.NumBands)
-      .map(b => s"(${sigExprs(2 * b)} * ${F.P} + ${sigExprs(2 * b + 1)})")
-      .mkString("array(", ", ", ")")
+    val sigCols = (0 until F.NumHashes).map(j =>
+      expr(s"array_min(transform(__sh, h -> ${F.sigOf(j, "h")}))").as(s"sig$j"))
+    val stackArgs = (0 until F.NumBands)
+      .map(b => s"$b, sig${2 * b}, sig${2 * b + 1}").mkString(", ")
     docs.withColumn("__sh", shingleHashes)
-      .select(col("doc_id"), posexplode(expr(bandArray)).as(Seq("band", "v")))
+      .select(col("doc_id") +: sigCols: _*)
+      .selectExpr("doc_id", s"stack(${F.NumBands}, $stackArgs) AS (band, v1, v2)")
   }
 
   /** Streaming NEAR-DUP ingest gate — the LSH candidate check a corpus
@@ -134,16 +140,16 @@ object StreamOps {
     * confirm path; docs with no collision are admitted immediately.
     * Emits the collision records (arriving doc, band, standing doc) —
     * the routing feed. Shape: in-row signatures + a stream-STATIC
-    * equi-join on (band, v) — NO streaming state, no stream-side
+    * equi-join on (band, v1, v2) — NO streaming state, no stream-side
     * shuffle beyond the join; memory is bounded regardless of how long
     * the stream runs, and the static side is the same artifact the
     * batch dedup already maintains.
     */
   def nearDupIngestGate(docs: DataFrame, standingBands: DataFrame): DataFrame =
     minhashBands(docs).join(
-      standingBands.select(col("band"), col("v"),
+      standingBands.select(col("band"), col("v1"), col("v2"),
         col("doc_id").as("standing_doc")),
-      Seq("band", "v"))
+      Seq("band", "v1", "v2"))
 
   /** Watermarked stream-stream interval join — each click pairs with
     * the same user's views inside [click.ts − maxAge, click.ts]. The

@@ -74,21 +74,23 @@ class CurationSpec extends SparkSpec {
       .join(graft.Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
       .select("source", "h").collect()
       .map(r => r.getString(0) -> r.getLong(1))
-    // driver replay of one signature coordinate (j=0 constants are part
-    // of the oracle SQL, so read them back from it)
-    val sql = Fingerprints.oracleSql("q_source_sketch_sim")
-    val m = """min\((\d+) \* h \+ (\d+)\) % (\d+)\) AS sig0""".r
-      .findFirstMatchIn(sql.replace("min((", "min(")).get
-    val (a0, b0, p) = (m.group(1).toLong, m.group(2).toLong, m.group(3).toLong)
+    // driver replay of one signature coordinate — the j=0 two-family
+    // 62-bit permutation from the Fingerprints-owned constants directly
+    // (regex-scraping the oracle SQL broke silently when the spelling
+    // widened in round 10)
+    import graft.queries.{Fingerprints => F}
+    def sig0(h: Long): Long =
+      ((F.A(0) * (h % F.P) + F.B(0)) % F.P) * F.P2 +
+        ((F.A2(0) * (h % F.P2) + F.B2(0)) % F.P2)
     val bySrc = post.groupBy(_._1).map { case (s0, hs) =>
-      s0 -> hs.map { case (_, h) => (a0 * h + b0) % p }.min
+      s0 -> hs.map { case (_, h) => sig0(h) }.min
     }
     // mergeability: min over the union ≡ min of per-half mins
     bySrc.foreach { case (s0, full) =>
       val hs = post.filter(_._1 == s0).map(_._2)
       val (lo, hi) = hs.partition(_ % 2 == 0)
       val halves = Seq(lo, hi).filter(_.nonEmpty)
-        .map(_.map(h => (a0 * h + b0) % p).min).min
+        .map(_.map(sig0).min).min
       assert(full == halves, s"sketch of $s0 is not a mergeable min")
     }
     // the query's n_match over a source paired with ITSELF would be 16;

@@ -131,18 +131,43 @@ class StreamingSpec extends SparkSpec {
       val want = graft.queries.Fingerprints.qDecontaminate(spark, sf).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
       assert(got == want, s"stream kept ${got.size} docs, batch ${want.size}")
+      // the equality must DISCRIMINATE: if the batch rule drops nothing
+      // at this scale, stream≡batch holds vacuously for any broken hash
+      // (exactly how round 10's mod-2³¹ drift slipped past this spec —
+      // the gate admitted everything on both sides)
+      val arriving = batchDocs.filter(col("doc_id") >= 20).count()
+      assert(want.size < arriving,
+        s"vacuous fixture: batch decontamination dropped 0 of $arriving docs")
     } finally q.stop()
   }
 
-  test("near-dup ingest gate: stream collisions equal the batch band join, stateless") {
+  test("near-dup ingest gate: stream bands ≡ BATCH band table; collisions match, stateless") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
     val docsPath = s"$sf/documents.parquet"
     val batchDocs = spark.read.parquet(docsPath)
+    // THE invariant (Fingerprints object scaladoc): the stream's in-row
+    // signature path must be bit-identical to the batch aggregation over
+    // the deduped posting index — compare StreamOps.minhashBands against
+    // Fingerprints.bandTable over the whole corpus, not the stream
+    // operator against itself (round 10's self-comparison stayed green
+    // while both sides drifted from batch together).
+    def bandKey(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
+        r.getAs[Long]("v1"), r.getAs[Long]("v2"))
+    val streamBands = StreamOps.minhashBands(
+      batchDocs.select("doc_id", "text")).collect().map(bandKey).toSet
+    val batchBands = graft.queries.Fingerprints.bandTableOf(
+      spark, batchDocs.select("doc_id", "text")).collect().map(bandKey).toSet
+    assert(streamBands == batchBands,
+      s"stream in-row bands diverge from the batch band table: " +
+        s"${(streamBands diff batchBands).size} stream-only, " +
+        s"${(batchBands diff streamBands).size} batch-only")
     val b = math.floor(batchDocs.count() * 0.8).toLong
-    // standing index = batch band table over the first 80% (the artifact
+    // standing index = BATCH band table over the first 80% (the artifact
     // the batch dedup pipeline maintains); arriving batch = last 20%
-    val standing = StreamOps.minhashBands(batchDocs.filter(col("doc_id") < b))
+    val standing = graft.queries.Fingerprints.bandTableOf(
+      spark, batchDocs.filter(col("doc_id") < b).select("doc_id", "text"))
     val watchDir = tmpDir("neardup_stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(docsPath),
@@ -156,7 +181,7 @@ class StreamingSpec extends SparkSpec {
     try {
       assert(q.awaitTermination(120000), "availableNow drain timed out")
       def key(r: org.apache.spark.sql.Row) =
-        (r.getAs[Int]("band"), r.getAs[Long]("v"),
+        (r.getAs[Int]("band"), r.getAs[Long]("v1"), r.getAs[Long]("v2"),
           r.getAs[Long]("doc_id"), r.getAs[Long]("standing_doc"))
       val got = spark.table("neardup_gate").collect().map(key).toSet
       // batch replay of the identical plan over the same split
