@@ -186,13 +186,36 @@ object Bench {
     // anchor (`seq`/`seq_sum`; pooled `queries` numbers include pool
     // contention by design and must not be compared against it). Also
     // the heavy-leg overflow classifier.
-    val warm = cold.map { case (name, fn, okCold) =>
+    val warm0 = cold.map { case (name, fn, okCold) =>
       val t0 = System.nanoTime()
       val ok = okCold && (try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false })
       (name, fn, if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue)
     }
+    // Load-robust anchor (round 11): a transient host-load spike lands
+    // in whichever queries it overlapped, inflating seq_sum and the
+    // heavy classifier. Re-measure the slowest few outliers once more
+    // and keep each query's MIN — a second sample at a different moment
+    // bounds one-sided steal (a genuine plan regression is slow BOTH
+    // times; a spike rarely hits the same query twice). BASELINE.md
+    // documents the rule.
+    val reMeasure = warm0.filter(_._3 != Double.MaxValue)
+      .sortBy(-_._3).take(10).map(_._1).toSet
+    val warm = warm0.map { case (name, fn, t) =>
+      if (t != Double.MaxValue && reMeasure(name)) {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val t2 = if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
+        (name, fn, math.min(t, t2))
+      } else (name, fn, t)
+    }
     val seqSum = warm.collect { case (_, _, t) if t != Double.MaxValue => t }.sum
+    // Trivial-query sentinels: q_head (limit-100 scan) and q_group_sum
+    // (5-group agg) are sub-0.1 s warm on a quiet host at every SF; a
+    // warm rep over ~1 s can only be host steal.
+    val sentinelSlow = warm.exists { case (n, _, t) =>
+      (n == "q_head" || n == "q_group_sum") && t != Double.MaxValue && t > 1.0 }
     val overflow = warm.sortBy(-_._3)
       .filter(w => !PinnedHeavy(w._1) &&
         (w._3 >= HeavyFloorSec || w._3 == Double.MaxValue))
@@ -247,7 +270,18 @@ object Bench {
     val total = heavyWall + lightWall
     val qSum = results.collect { case (_, v) if v >= 0 => v }.sum
     val load1 = osBean.getSystemLoadAverage
-    val loadJson = s""","load":[${f2(load0)},${f2(load1)}],"cpus":$cpus"""
+    // The non-comparable-sample flag (round 11, after round 10's 3.13×
+    // false alarm at load 8.9→16.9): trivial sentinels over ~1 s warm,
+    // or 1-min load above 4 at the START of the run, mean the sample
+    // measures the host, not the plans — the reader (and the driver's
+    // baseline compare) should discount it and re-run quiet. The END
+    // load is deliberately NOT a trigger: the bench's own 32-thread
+    // timed phase always drives the 1-min average up by its finish
+    // (measured ~10 on an otherwise-idle box), so it cannot separate
+    // host steal from self-load — the sentinels cover mid-run spikes.
+    val loadSkewed = sentinelSlow || load0 > 4.0
+    val loadJson = s""","load":[${f2(load0)},${f2(load1)}],"cpus":$cpus""" +
+      (if (loadSkewed) ""","load_skewed":true""" else "")
 
     // Full-precision detail for offline reading (best effort — the
     // printed line is the artifact of record).
@@ -262,7 +296,7 @@ object Bench {
         s""""$k":$t""" }.mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(DetailFile),
-        s"""{"protocol":2,"total":$total,"q_sum":$qSum,"seq_sum":$seqSum,"heavy_wall":$heavyWall,"light_wall":$lightWall,"pool":$poolSize,"heavy":$heavyJson,"prep":$prepSec,"prep_by_module":$prepJson,"load":[$load0,$load1],"sf":"$sfDir","queries":$detail,"seq":$seqJson}\n"""
+        s"""{"protocol":2,"total":$total,"q_sum":$qSum,"seq_sum":$seqSum,"heavy_wall":$heavyWall,"light_wall":$lightWall,"pool":$poolSize,"heavy":$heavyJson,"prep":$prepSec,"prep_by_module":$prepJson,"load":[$load0,$load1],"load_skewed":$loadSkewed,"sf":"$sfDir","queries":$detail,"seq":$seqJson}\n"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => }
 

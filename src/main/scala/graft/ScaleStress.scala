@@ -155,7 +155,19 @@ object ScaleStress {
           .as("o_orderpriority"))
   }
 
+  /** Bump whenever ANY generator changes — a version stamp in the output
+    * dir forces full regeneration, so planted-structure changes can
+    * never run against a stale fixture (round 10 added the >2²⁰-char
+    * copy pair but the cached corpus predated it: the bigdoc check
+    * silently tested 0 rows and FAILED on its first recorded run).
+    */
+  private val GenVersion = "2"
+
   def generate(s: SparkSession, dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val vfile = Paths.get(dir, "_GEN_VERSION")
+    val stale = !Files.exists(vfile) ||
+      new String(Files.readAllBytes(vfile)).trim != GenVersion
     val todo = Seq(
       ("documents", () => genDocuments(s, DocN)),
       ("embeddings", () => genEmbeddings(s, EmbN)),
@@ -163,12 +175,14 @@ object ScaleStress {
       ("orders", () => genOrders(s, OrdN)))
     todo.foreach { case (name, make) =>
       val path = s"$dir/$name.parquet"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))) {
+      if (stale || !Files.exists(Paths.get(s"$path/_SUCCESS"))) {
         val t0 = System.nanoTime()
         make().write.mode("overwrite").parquet(path)
         println(f"GEN $name%-12s ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
     }
+    Files.createDirectories(Paths.get(dir))
+    Files.write(vfile, GenVersion.getBytes)
   }
 
   /** Order-independent result fingerprint: (row count, commutative
@@ -239,13 +253,15 @@ object ScaleStress {
         r.getLong(2) == 0L && r.getLong(3) == OrdN - 1
     }
     check("ordinal_density_documents") {
+      // DocN base docs + the 2 planted >2²⁰-char copy docs (genHugeDocs)
+      val n = DocN + 2
       val ord = operators.Ordinal.withOrdinal(
         Tables.documents(spark, dir).select("doc_id", "source"),
         Seq(col("doc_id")))
       val r = ord.agg(count(lit(1)), countDistinct(col("ord")),
         min(col("ord")), max(col("ord"))).first()
-      r.getLong(0) == DocN && r.getLong(1) == DocN &&
-        r.getLong(2) == 0L && r.getLong(3) == DocN - 1
+      r.getLong(0) == n && r.getLong(1) == n &&
+        r.getLong(2) == 0L && r.getLong(3) == n - 1
     }
 
     // ---- scan ≡ window: distributed prefix scan vs the one-partition
@@ -403,6 +419,16 @@ object ScaleStress {
       val (sn, ss) = fingerprint(streamed)
       bn > 1000 && (bn, bs) == (sn, ss)
     }
+    // Full ledger (event-time-timeout flush) ≡ the complete batch
+    // sessionization at 10× — including every user's FINAL session,
+    // which the closed-only ledger above deliberately withholds.
+    check("stream_sessionize_full_vs_batch") {
+      val batch = SparkEntry.queries("q_sessionize")(spark, dir)
+      val streamed = SparkEntry.queries("q_stream_sessionize_full")(spark, dir)
+      val (bn, bs) = fingerprint(batch)
+      val (sn, ss) = fingerprint(streamed)
+      bn > 1000 && (bn, bs) == (sn, ss)
+    }
     check("planted_embed_pairs") {
       val planted = spark.range(EmbN).toDF("idb")
         .filter(col("idb") % 83 === 7 && col("idb") >= 83)
@@ -411,6 +437,18 @@ object ScaleStress {
         .select("ida", "idb")
       val missing = planted.join(found, Seq("ida", "idb"), "left_anti").count()
       planted.count() > 200 && missing == 0
+    }
+    // Candidate budget: after refinement, NO (band, bkt, sub) bucket of
+    // the hybrid embedding path may exceed the cap on the i.i.d.-uniform
+    // worst case (this corpus) — the bound that makes candidate cost
+    // linear in the corpus instead of ∝ Σ|bucket|² (measured ~40× for
+    // 10× data before the budget). planted_embed_pairs above re-proves
+    // recall stayed total under the active refinement (identical
+    // vectors can never be split apart).
+    check("hybrid_bucket_cap") {
+      val (mx, cap) = queries.Similarity.hybridBucketProfile(spark, dir)
+      println(s"  max refined (band,bkt,sub) bucket = $mx (cap $cap)")
+      mx <= cap
     }
     // Widened-family recall: the 62-bit two-family MinHash LSH (16
     // hashes / 8 bands) must still CANDIDATE nearly every planted

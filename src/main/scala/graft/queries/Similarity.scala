@@ -135,9 +135,19 @@ object Similarity extends QueryModule {
     * exact integer plane dots to 0).
     */
   private def sign(j: Int, i: Int): Long = {
-    val x = (j + 1) * 2654435761L + (i + 1) * 97531L
-    val h = x ^ (x >>> 13) ^ (x >>> 29)
-    if ((h & 1L) == 0L) 1L else -1L
+    // splitmix64 finalizer — a full-avalanche mixer. The round-1 weak
+    // mixer (x ^ x>>>13 ^ x>>>29 of a LINEAR combination) left adjacent
+    // planes' sign patterns heavily correlated: its low bit is the
+    // parity of (i + j) xor two carry bits, so the 8 planes of a band
+    // agreed on most dims, band buckets clumped far beyond binomial
+    // (measured: only 128 of 256 byte values occur, max load 18× the
+    // mean on i.i.d. vectors at 10×), and refinement planes from the
+    // same family could never split what the band planes clumped.
+    var z = ((j + 1).toLong << 32) ^ (i + 1).toLong ^ 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    if ((z & 1L) == 0L) 1L else -1L
   }
   private def planeLit(j: Int): String =
     (0 until Dim).map(i => sign(j, i)).mkString("array(", ", ", ")")
@@ -645,6 +655,21 @@ object Similarity extends QueryModule {
   private val HybPlaneOff = 1000
   private val HybT = 0.9
 
+  /** Candidate BUDGET for the hybrid path: per-(band, bucket) membership
+    * cap before refinement kicks in, extra sign planes per refinement
+    * level, refinement plane-id offset, and the level bound (cap·2⁸ᵈ at
+    * d = 4 exceeds any real bucket). Rationale: with a fixed 2⁸ buckets
+    * per band, bucket size grows ∝ corpus and candidate cost ∝ Σ|bucket|²
+    * — the one measured superlinear leg (≈40× cost for 10× margin-less
+    * i.i.d. vectors at round 9). Splitting every over-cap bucket with
+    * additional deterministic hyperplanes bounds per-bucket pair count by
+    * cap²/2, making candidate cost linear in the corpus again.
+    */
+  private val HybBucketCap = 32
+  private val HybSplitBits = 8
+  private val HybSplitOff = 5000
+  private val HybMaxDepth = 4
+
   /** The deterministic near-dup plant: every 5th vector re-appears
     * (id + 1,000,000) with per-dim scale factors 1 + 0.06·((i mod 4) −
     * 1.5) ∈ {0.91, 0.97, 1.03, 1.09} — cos(v, v′) ≥ 0.98 for any mass
@@ -677,6 +702,23 @@ object Similarity extends QueryModule {
         .withColumn("n2", G.dotl(col("qv"), col("qv")))
     }
 
+  /** The budget-refined hybrid band table — memoized per corpus: the
+    * refinement loop runs count actions, so consumers (the dedup query
+    * and the ScaleStress fan-out bound) share one build.
+    */
+  private[graft] def hybridBands(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, dir, "hybrid_bands")(
+      refineBuckets(bandedOf(hybridVecs(s, dir), HybBands, HybRows, HybPlaneOff)))
+
+  /** Per-(band, bkt, sub) sizes of the refined table plus the cap — the
+    * ScaleStress fan-out assertion reads this.
+    */
+  private[graft] def hybridBucketProfile(s: SparkSession, dir: String): (Long, Int) = {
+    val mx = hybridBands(s, dir).groupBy("band", "bkt", "sub")
+      .agg(count(lit(1)).as("cnt")).agg(max("cnt")).first().getLong(0)
+    (mx, HybBucketCap)
+  }
+
   /** Sign-LSH band/bucket rows for an arbitrary quantized frame —
     * [[banded]] generalized to the hybrid's geometry.
     */
@@ -707,13 +749,57 @@ object Similarity extends QueryModule {
     * nothing. [[qDedupEmbed]] stays the exact ground-truth baseline for
     * zero-margin thresholds.
     */
+  /** Budget refinement: extend every over-cap (band, bkt, sub) bucket's
+    * key with [[HybSplitBits]] additional deterministic sign planes,
+    * repeating (fresh planes per level) until all buckets fit the cap or
+    * [[HybMaxDepth]] levels ran. Members of one bucket move TOGETHER, so
+    * the decision is a pure function of the data (partition-invariant),
+    * and EXACT duplicates can never be separated (identical vectors ⇒
+    * identical refinement bits at every level) — planted-recall checks
+    * stay strict. Near-identical pairs inside an over-cap bucket keep
+    * colliding in that band w.p. ≥ 0.94^bits per level and keep their 11
+    * other band chances; at test scales (sf ≤ 0.1 driver gates) no
+    * bucket exceeds the cap, so refinement is provably inert where the
+    * brute-force oracle demands exact equality. The sub encoding
+    * `sub·2^bits + bits + 1` keeps levels injective (unrefined = 0).
+    * Driver-side loop is bounded by maxDepth; each level is one
+    * count-aggregate + one key join — the BSP discipline the label-prop
+    * and k-means legs already use.
+    */
+  private def refineBuckets(bands0: DataFrame): DataFrame = {
+    var cur = bands0.withColumn("sub", lit(0L))
+    var depth = 0
+    var done = false
+    while (depth < HybMaxDepth && !done) {
+      val over = cur.groupBy("band", "bkt", "sub")
+        .agg(count(lit(1)).as("__cnt")).filter(col("__cnt") > HybBucketCap)
+        .select("band", "bkt", "sub")
+      if (over.isEmpty) done = true
+      else {
+        val base = HybSplitOff + depth * HybSplitBits
+        val extra = (0 until HybSplitBits).map { k =>
+          when(G.dotl(col("qv"), expr(planeLit(base + k))) > 0, lit(1L << k))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+        cur = cur
+          .join(over.withColumn("__over", lit(1)), Seq("band", "bkt", "sub"), "left")
+          .withColumn("sub", when(col("__over").isNotNull,
+            col("sub") * (1L << HybSplitBits) + extra + lit(1L)).otherwise(col("sub")))
+          .drop("__over")
+        depth += 1
+      }
+    }
+    cur
+  }
+
   def qDedupEmbedHybrid(s: SparkSession, dir: String): DataFrame = {
     val vecs = hybridVecs(s, dir)
-    val bands = bandedOf(vecs, HybBands, HybRows, HybPlaneOff)
+    val bands = hybridBands(s, dir)
     // candidates: ID pairs only through the band join + distinct —
     // vectors attach after, exactly like qDedupEmbedLsh
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt")
+          && col("x.sub") === col("y.sub")
           && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("ida"), col("y.vec_id").as("idb"))
       .dropDuplicates("ida", "idb")

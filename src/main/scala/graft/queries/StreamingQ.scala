@@ -108,6 +108,47 @@ object StreamingQ extends QueryModule {
         Windows.SessionGapUs).toDF()
     }.orderBy("user_id", "session_id")
 
+  /** One far-future heartbeat row (`user_id = -1`, ts = corpus max +
+    * gap + 1 h) in the SOURCE schema — staged as a trailing file so the
+    * event-time-timeout ledger's final watermark passes every real
+    * user's `lastTs + gap` and all final sessions flush ([[StreamOps
+    * .sessionizeFull]] scaladoc). The heartbeat user's own state can
+    * never flush and is filtered from the result.
+    */
+  private def sessionSentinel(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val bumpUs = Windows.SessionGapUs + 3600L * 1000000L
+    val bumped = raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", col("ts") + lit(bumpUs * 1000L))
+      case _ => raw.withColumn("ts",
+        col("ts") + expr(s"INTERVAL ${bumpUs / 1000000L} seconds"))
+    }
+    bumped.orderBy(col("ts").desc).limit(1)
+      .withColumn("event_id", lit(-1L))
+      .withColumn("user_id", lit(-1L))
+  }
+
+  /** Streaming FULL-session ledger, driver-checked against the batch
+    * [[Windows.qSessionize]] oracle VERBATIM: the event-time-timeout
+    * sessionizer ([[StreamOps.sessionizeFull]]) emits sessions closed
+    * by later events as they close AND flushes idle users' final
+    * sessions once the watermark passes their gap horizon — the
+    * production flush [[qStreamSessionize]]'s closed-only ledger
+    * deliberately omits. Deterministic under the availableNow drain:
+    * the staged heartbeat row ([[sessionSentinel]]) pins the final
+    * watermark above every pending timeout, so the drained table is
+    * the complete batch sessionization, hash-exact.
+    */
+  def qStreamSessionizeFull(s: SparkSession, dir: String): DataFrame =
+    StreamDrain.drained(s, dir, "stream_sessionize_full", "events",
+        mode = "append", extra = Some(sessionSentinel(s, dir))) { st =>
+      import s.implicits._
+      StreamOps.sessionizeFull(
+        normTs(st).select("event_id", "user_id", "event_type", "value", "ts")
+          .as[StreamOps.Event],
+        Windows.SessionGapUs).toDF()
+    }.filter(col("user_id") >= 0).orderBy("user_id", "session_id")
+
   /** Streaming INGEST-SINK round trip, driver-checked: arriving
     * documents land in an exactly-once parquet sink
     * ([[StreamDrain.drainedFiles]] — checkpoint WAL + `_spark_metadata`
@@ -200,6 +241,7 @@ object StreamingQ extends QueryModule {
       () => qStreamSliding(s, dir).count(),
       () => qStreamDedupKeys(s, dir).count(),
       () => qStreamSessionize(s, dir).count(),
+      () => qStreamSessionizeFull(s, dir).count(),
       () => qStreamShardSink(s, dir).count())
     // Each drain parks its thread in awaitTermination (up to 300 s) —
     // `blocking` tells the global fork-join pool to grow past its core
@@ -215,6 +257,7 @@ object StreamingQ extends QueryModule {
     "q_stream_sliding" -> (qStreamSliding(_, _)),
     "q_stream_dedup_keys" -> (qStreamDedupKeys(_, _)),
     "q_stream_sessionize" -> (qStreamSessionize(_, _)),
+    "q_stream_sessionize_full" -> (qStreamSessionizeFull(_, _)),
     "q_stream_shard_sink" -> (qStreamShardSink(_, _)),
     "q_stream_neardup_gate" -> (qStreamNeardupGate(_, _)),
     "q_sink_compaction" -> (qSinkCompaction(_, _)),
@@ -263,6 +306,8 @@ object StreamingQ extends QueryModule {
          |WHERE s2.session_id < mx.last_sess
          |ORDER BY s2.user_id, s2.session_id""".stripMargin,
     "q_stream_decontaminate" -> Fingerprints.sqlDecontaminate,
+    // the batch sessionization oracle VERBATIM — the full-ledger claim
+    "q_stream_sessionize_full" -> Windows.oracleSql("q_sessionize"),
     // both sides' signatures recomputed from documents alone — the
     // bands CTE is the batch minhash spelling verbatim
     "q_stream_neardup_gate" ->

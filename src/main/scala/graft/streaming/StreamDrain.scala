@@ -32,13 +32,32 @@ object StreamDrain {
     *               dedup: those emit rows the moment they pass, nothing
     *               is held back by a watermark, so the drained table is
     *               the full batch-equivalent result
+    * @param extra  optional extra rows staged as one more file in the
+    *               watch dir (same schema as the source) — the heartbeat
+    *               / sentinel hook event-time-timeout drains need to push
+    *               the final watermark past every pending timeout.
+    *               BY-NAME: building the sentinel frame reads the source
+    *               schema (a job), which must only happen inside the
+    *               once-per-corpus memo, never on warm re-construction
+    *               (the PlanGuard action-free contract).
     * @param build  the streaming transform
     */
   def drained(s: SparkSession, dir: String, kind: String, table: String,
-      mode: String = "complete")(
+      mode: String = "complete", extra: => Option[DataFrame] = None)(
       build: DataFrame => DataFrame): DataFrame =
     graft.Caches.memo(s, dir, kind) {
       val (watch, schema) = watchDirFor(s, dir, kind, table)
+      extra.foreach { df =>
+        val tmp = StreamScratch.dirFor(s, s"extra_$kind")
+        df.write.mode("overwrite").parquet(s"$tmp/w")
+        val it = Files.list(Paths.get(s"$tmp/w")).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet"))
+            Files.copy(p,
+              Paths.get(watch).resolve("zz_extra_" + p.getFileName.toString))
+        }
+      }
       val qname = kind + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = build(s.readStream.schema(schema).parquet(watch))
         .writeStream.format("memory").queryName(qname)

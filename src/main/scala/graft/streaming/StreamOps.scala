@@ -234,34 +234,97 @@ object StreamOps {
     * order, so they line up with the batch twin's running counter.
     * Sums fold in DECIMAL(28,4) unscaled units ([[scaled4]]).
     */
+  private def emitSession(uid: Long, st: ClosedSessState): ClosedSession =
+    ClosedSession(uid, st.emitted + 1, st.n,
+      microsTs(st.start), microsTs(st.lastUs),
+      new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(st.sumUnscaled), 4).doubleValue())
+
+  /** The shared per-group batch fold of both session ledgers: fold this
+    * batch's (sorted) events into the open-session state, emitting the
+    * sessions CLOSED by a later event (gap strict >, ties by event_id,
+    * decimal-exact sums) and leaving the trailing open session in state.
+    */
+  private def foldClosedBatch(uid: Long, rows: Iterator[Event],
+      state: GroupState[ClosedSessState], gapUs: Long): Iterator[ClosedSession] = {
+    val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+    var cur = state.getOption
+    var out = List.empty[ClosedSession]
+    sorted.foreach { e =>
+      val t = micros(e.ts)
+      cur match {
+        case Some(st) if t - st.lastUs > gapUs =>
+          out ::= emitSession(uid, st)
+          cur = Some(ClosedSessState(t, t, 1, scaled4(e.value), st.emitted + 1))
+        case Some(st) =>
+          cur = Some(st.copy(lastUs = math.max(st.lastUs, t), n = st.n + 1,
+            sumUnscaled = st.sumUnscaled + scaled4(e.value)))
+        case None =>
+          cur = Some(ClosedSessState(t, t, 1, scaled4(e.value), 0))
+      }
+    }
+    cur.foreach(state.update)
+    out.reverse.iterator
+  }
+
   def sessionizeClosed(events: Dataset[Event], gapUs: Long): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[ClosedSessState, ClosedSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        foldClosedBatch(_, _, _, gapUs))
+  }
+
+  /** FULL-session ledger via EVENT-TIME timeout — the production flush
+    * [[sessionizeClosed]] deliberately omits: same fold (gap strict >,
+    * ties by event_id, decimal-exact sums, per-user close-order
+    * ordinals), plus each open session arms an event-time timeout at
+    * `lastTs + gap`; when the WATERMARK passes it — meaning no on-time
+    * event can still join the session — the state flushes as the user's
+    * final session and is removed. State per user is one open session,
+    * freed on flush: bounded by ACTIVE users, the property that lets
+    * this run forever while idle users' sessions still emit.
+    *
+    * The watermark delay is 0 here (the drained file source replays a
+    * landing dir whose per-user order is the contract; production sets
+    * a real out-of-orderness budget — the fold itself absorbs late
+    * arrivals that do get through, see [[foldSession]]). On a BOUNDED
+    * drain the watermark stops at the stream's max event time, so the
+    * ledger equals the full batch sessionization exactly when a
+    * max-event-time heartbeat ≥ every `lastTs + gap` rides at the end
+    * of the stream (the sentinel row the driver query stages); the
+    * heartbeat user's own session can never flush (the watermark cannot
+    * pass its `ts + gap`) so it stays invisibly open — on an infinite
+    * stream the heartbeat is just the upstream liveness tick every
+    * event-time pipeline already carries.
+    */
+  def sessionizeFull(events: Dataset[Event], gapUs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ClosedSessState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[Event], state: GroupState[ClosedSessState]) =>
-          val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
-          var cur = state.getOption
-          var out = List.empty[ClosedSession]
-          sorted.foreach { e =>
-            val t = micros(e.ts)
-            cur match {
-              case Some(st) if t - st.lastUs > gapUs =>
-                out ::= ClosedSession(uid, st.emitted + 1, st.n,
-                  microsTs(st.start), microsTs(st.lastUs),
-                  new java.math.BigDecimal(
-                    java.math.BigInteger.valueOf(st.sumUnscaled), 4).doubleValue())
-                cur = Some(ClosedSessState(t, t, 1, scaled4(e.value), st.emitted + 1))
-              case Some(st) =>
-                cur = Some(st.copy(lastUs = math.max(st.lastUs, t), n = st.n + 1,
-                  sumUnscaled = st.sumUnscaled + scaled4(e.value)))
-              case None =>
-                cur = Some(ClosedSessState(t, t, 1, scaled4(e.value), 0))
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(emitSession(uid, st))
+          } else {
+            val out = foldClosedBatch(uid, rows, state, gapUs)
+            state.getOption.foreach { st =>
+              // flush once the watermark passes the gap horizon (ms
+              // ceiling + 1 so an exactly-on-gap event — same session
+              // under the strict-> rule — can never race the flush);
+              // clamp above the current watermark (required by the API)
+              // for sessions already closed-by-time when they land.
+              state.setTimeoutTimestamp(math.max(
+                (st.lastUs + gapUs) / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
             }
+            out
           }
-          cur.foreach(state.update)
-          out.reverse.iterator
       }
   }
 

@@ -371,6 +371,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeFull: event-time timeout flushes idle users' final sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 10L * 60 * 1000000 // 10 min
+    val input = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionizeFull(input.toDS(), gapUs)
+      .writeStream.format("memory").queryName("full_sess_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two open sessions; nothing flushes (watermark behind)
+      input.addData(
+        StreamOps.Event(1, 7, "click", 1.25, ts("2024-01-01 10:00:00")),
+        StreamOps.Event(2, 7, "click", 2.5, ts("2024-01-01 10:05:00")),
+        StreamOps.Event(3, 8, "view", 9.0, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("full_sess_test").count() == 0)
+      // heartbeat batches: advance the watermark past both users'
+      // lastTs + gap — their FINAL sessions must flush via the timeout
+      // path (no later event ever closes them). The second heartbeat
+      // closes the first heartbeat's own gap-exceeding session through
+      // the ordinary event fold (expected); the 13:00 heartbeat's
+      // session stays open forever (the watermark can't pass it).
+      input.addData(StreamOps.Event(90, 99, "hb", 0.0, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      input.addData(StreamOps.Event(91, 99, "hb", 0.0, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("full_sess_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(rows == Seq((7L, 1L, 2L, 3.75), (8L, 1L, 1L, 9.0),
+          (99L, 1L, 1L, 0.0)),
+        s"timeout flush emitted $rows")
+    } finally q.stop()
+  }
+
+  test("full-session ledger drain equals batch sessionization on the corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQ.qStreamSessionizeFull(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.queries.Windows.qSessionize(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want,
+      s"full ledger ${got.size} rows vs batch ${want.size}")
+  }
+
   test("file-sink drain: read-back honors the commit log; orphan files stay invisible") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = "/root/testdata/sf0.001"
