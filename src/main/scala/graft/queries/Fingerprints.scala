@@ -83,8 +83,18 @@ object Fingerprints extends QueryModule {
     * reduction → the ingest decontamination gate went silently inert).
     * Identical SQL text on the Spark and DuckDB sides.
     */
+  /** Hex digits of the md5 prefix kept by [[hashOfSql]] — 15 nibbles =
+    * 60 bits, the widest prefix that stays unsigned-safe in an int64 on
+    * both engines.
+    */
+  private[graft] val HashHexPrefix = 15
+
   private[graft] def hashOfSql(x: String): String =
-    s"CAST(conv(substring(md5($x), 1, 15), 16, 10) AS BIGINT)"
+    s"CAST(conv(substring(md5($x), 1, $HashHexPrefix), 16, 10) AS BIGINT)"
+
+  /** DuckDB spelling of [[hashOfSql]]. */
+  private[graft] def sqlHashOf(x: String): String =
+    s"('0x' || substr(md5($x), 1, $HashHexPrefix))::BIGINT"
 
   /** The inverted-index primitive: one (doc_id, n, h) row per shingle
     * OCCURRENCE of each document, h = 60-bit md5 hash mod P, n = the
@@ -1042,7 +1052,7 @@ object Fingerprints extends QueryModule {
       |  ELSE [text] END""".stripMargin
 
   private[queries] val sqlHs =
-    "list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)"
+    s"list_transform(sh, s -> ${sqlHashOf("s")})"
 
   // Outer CAST: DuckDB list_sum returns HUGEINT, which the driver's
   // comparator reads as float64 and hash-mismatches Spark's int64 even on

@@ -173,7 +173,86 @@ object GroupBys extends QueryModule {
       .toDF
       .orderBy("l_returnflag")
 
+  /** HyperLogLog geometry: 2⁸ registers (index = low 8 bits of the
+    * 60-bit md5 hash), rank = leading-zero count of the remaining 52
+    * bits + 1 ∈ [1, 53] (0 = empty register). One definition feeds both
+    * engines.
+    */
+  private val HllRegs = 256
+  private val HllRank = 53 // 60 hash bits − 8 index bits + 1
+
+  /** α·m²·2⁵³ as ONE double expression spelled identically on both
+    * engines (every literal cast to DOUBLE so neither engine parses a
+    * DECIMAL; the IEEE op sequence is then bit-identical).
+    */
+  private val HllNum =
+    "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)" +
+      " / CAST(256.0 AS DOUBLE))) * CAST(65536.0 AS DOUBLE)" +
+      " * CAST(9007199254740992.0 AS DOUBLE)"
+
+  /** The full estimator over the (d = Σ2^(53−M) BIGINT, v = empty-
+    * register count) aggregate row: raw α·m²/Σ2⁻ᴹ, replaced by
+    * LinearCounting m·ln(m/V) in the standard small-range regime
+    * (raw ≤ 2.5m and V > 0) where raw HLL overestimates badly.
+    * ONE spelling for both engines; `ln` is the one libm call, so the
+    * result rounds at the playbook's 1e-4 grain (everything feeding
+    * it — d, v, the raw quotient — is bit-identical cross-engine).
+    */
+  private val hllEstimate: String = {
+    val raw = s"($HllNum) / CAST(d AS DOUBLE)"
+    val lc = s"CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / CAST(v AS DOUBLE))"
+    s"round(CASE WHEN v > 0 AND ($raw) <= CAST(640.0 AS DOUBLE)" +
+      s" THEN $lc ELSE $raw END, 4)"
+  }
+
+  /** HyperLogLog distinct-user sketch per event_type, next to the exact
+    * count it approximates (the q_count_distinct pair) — the mergeable
+    * cardinality sketch a 100 TB pipeline keeps per shard/day: state is
+    * the (group, register) → max-rank table, 2⁸ rows per group
+    * REGARDLESS of cardinality, mergeable by element-wise max (a spec
+    * proves split-merge ≡ whole), and the register aggregation takes
+    * map-side partials so the shuffle carries ≤ groups·2⁸ rows. The
+    * whole estimator is deterministic cross-engine: md5-derived integer
+    * ranks (rank via the binary-string length of the 52-bit remainder —
+    * `conv(_,10,2)` / `bin()` are both unpadded), an EXACT BIGINT
+    * denominator Σ 2^(53−M) ≤ 2⁶¹ (int64→double casts are identical
+    * IEEE round-to-nearest on both engines), and the standard
+    * estimator — raw α·m²/Σ2⁻ᴹ with the LinearCounting small-range
+    * replacement ([[hllEstimate]]). The output carries the exact count
+    * + relative error, so the driver gate certifies the arithmetic
+    * bit-for-bit, not a tolerance.
+    */
+  def qHllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val regs = ev
+      .select(col("event_type"),
+        expr(Fingerprints.hashOfSql("CAST(user_id AS STRING)")).as("h"))
+      .select(col("event_type"),
+        expr(s"CAST(h % $HllRegs AS INT)").as("reg"),
+        expr(s"h DIV $HllRegs").as("w"))
+      .select(col("event_type"), col("reg"),
+        expr(s"CASE WHEN w = 0 THEN $HllRank" +
+          s" ELSE $HllRank - length(conv(w, 10, 2)) END").as("rho"))
+      .groupBy("event_type", "reg").agg(max("rho").as("m"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(s.range(HllRegs).select(col("id").cast("int").as("reg")))
+    val est = grid.join(regs, Seq("event_type", "reg"), "left")
+      .withColumn("m", coalesce(col("m"), lit(0)))
+      .groupBy("event_type")
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRank - m)")).as("d"),
+        sum(expr("CASE WHEN m = 0 THEN 1 ELSE 0 END")).as("v"))
+      .withColumn("est_distinct", expr(hllEstimate))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(exact, "event_type")
+      .withColumn("rel_err",
+        expr("round(abs(est_distinct - n_exact) / n_exact, 4)"))
+      .select("event_type", "est_distinct", "n_exact", "rel_err")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_distinct" -> (qHllDistinct(_, _)),
     "q_group_agg_mixed" -> (qGroupAggMixed(_, _)),
     "q_rollup" -> (qRollup(_, _)),
     "q_cube" -> (qCube(_, _)),
@@ -188,6 +267,33 @@ object GroupBys extends QueryModule {
     "q_group_mode" -> (qGroupMode(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_hll_distinct" ->
+      s"""WITH h AS (SELECT event_type, user_id,
+         |    ${Fingerprints.sqlHashOf("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |r AS (SELECT event_type, CAST(h % $HllRegs AS INTEGER) AS reg,
+         |    h // $HllRegs AS w FROM h),
+         |rr AS (SELECT event_type, reg, CASE WHEN w = 0 THEN $HllRank
+         |    ELSE $HllRank - length(bin(w)) END AS rho FROM r),
+         |mx AS (SELECT event_type, reg, max(rho) AS m
+         |  FROM rr GROUP BY event_type, reg),
+         |grid AS (SELECT t.event_type, g.reg
+         |  FROM (SELECT DISTINCT event_type FROM events) t,
+         |    (SELECT CAST(unnest(range(0, $HllRegs)) AS INTEGER) AS reg) g),
+         |f AS (SELECT grid.event_type, grid.reg, coalesce(mx.m, 0) AS m
+         |  FROM grid LEFT JOIN mx
+         |    ON grid.event_type = mx.event_type AND grid.reg = mx.reg),
+         |d AS (SELECT event_type,
+         |    CAST(sum(CAST(1 AS BIGINT) << ($HllRank - m)) AS BIGINT) AS d,
+         |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+         |  FROM f GROUP BY event_type),
+         |e AS (SELECT event_type, $hllEstimate AS est_distinct FROM d),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |  FROM events GROUP BY event_type)
+         |SELECT e.event_type, e.est_distinct, ex.n_exact,
+         |  round(abs(e.est_distinct - ex.n_exact) / ex.n_exact, 4) AS rel_err
+         |FROM e JOIN ex ON e.event_type = ex.event_type
+         |ORDER BY e.event_type""".stripMargin,
     "q_group_agg_mixed" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_discount) AS l_discount,

@@ -85,6 +85,6 @@ object Q {
     * the 0x-literal cast).
     */
   def sqlChecksum(c: String): String =
-    s"CAST(sum(CAST(('0x' || substr(md5($c), 1, 15))::BIGINT" +
+    s"CAST(sum(CAST(${Fingerprints.sqlHashOf(c)}" +
       s" AS DECIMAL(38,0))) % $ChkP AS BIGINT)"
 }

@@ -1076,6 +1076,17 @@ object Similarity extends QueryModule {
     * rows against the standing band rows (shuffle keys are (band,
     * bucket) ints), cosine on candidates only, per-probe top-k window
     * over batch-sized groups.
+    *
+    * Candidate-volume note (the hybrid path's [[refineBuckets]] budget
+    * in ANN terms): this probe's fan-out is bounded by standing-bucket
+    * size ∝ n / 2^AnnRows, so at corpus scale the lever is the band
+    * GEOMETRY (more rows per band ⇒ smaller buckets; recall recovered
+    * by more bands or multi-probe) — a data-dependent bucket split
+    * would change which candidates each probe sees and thereby its
+    * top-k, so the budget belongs in the geometry for fixed-recall ANN,
+    * unlike the dedup gate where refinement only prunes already-
+    * impossible pairs. The plane-sign mixer fix (splitmix64) is what
+    * makes the binomial bucket-size story actually hold.
     */
   def qEmbedIncremental(s: SparkSession, dir: String): DataFrame = {
     // The 80% split point stays IN the plan (a 1-row aggregate broadcast

@@ -149,6 +149,28 @@ object StreamingQ extends QueryModule {
         Windows.SessionGapUs).toDF()
     }.filter(col("user_id") >= 0).orderBy("user_id", "session_id")
 
+  /** Stream-STREAM interval join, driver-checked: clicks pair with the
+    * same user's views inside [click − 30 min, click] —
+    * [[StreamOps.intervalJoin]] verbatim over two filtered branches of
+    * the landing stream (the two-stream shape; a self-join is how one
+    * topic's event types join in production). The interval bound +
+    * watermarks make the join STATE finite (each side buffers only rows
+    * younger than watermark + maxAge — the contract that runs on an
+    * infinite stream); inner matches emit the moment both rows exist,
+    * so the availableNow drain yields exactly the batch theta join and
+    * the oracle replays it from `events` alone.
+    */
+  def qStreamIntervalJoin(s: SparkSession, dir: String): DataFrame =
+    StreamDrain.drained(s, dir, "stream_interval_join", "events",
+        mode = "append") { st =>
+      val e = normTs(st)
+      StreamOps.intervalJoin(
+          e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "view"))
+        .select("click_id", "user_id", "click_ts", "click_value",
+          "view_ts", "view_value")
+    }.orderBy("click_id", "view_ts", "view_value")
+
   /** Streaming INGEST-SINK round trip, driver-checked: arriving
     * documents land in an exactly-once parquet sink
     * ([[StreamDrain.drainedFiles]] — checkpoint WAL + `_spark_metadata`
@@ -242,6 +264,7 @@ object StreamingQ extends QueryModule {
       () => qStreamDedupKeys(s, dir).count(),
       () => qStreamSessionize(s, dir).count(),
       () => qStreamSessionizeFull(s, dir).count(),
+      () => qStreamIntervalJoin(s, dir).count(),
       () => qStreamShardSink(s, dir).count())
     // Each drain parks its thread in awaitTermination (up to 300 s) —
     // `blocking` tells the global fork-join pool to grow past its core
@@ -258,6 +281,7 @@ object StreamingQ extends QueryModule {
     "q_stream_dedup_keys" -> (qStreamDedupKeys(_, _)),
     "q_stream_sessionize" -> (qStreamSessionize(_, _)),
     "q_stream_sessionize_full" -> (qStreamSessionizeFull(_, _)),
+    "q_stream_interval_join" -> (qStreamIntervalJoin(_, _)),
     "q_stream_shard_sink" -> (qStreamShardSink(_, _)),
     "q_stream_neardup_gate" -> (qStreamNeardupGate(_, _)),
     "q_sink_compaction" -> (qSinkCompaction(_, _)),
@@ -308,6 +332,19 @@ object StreamingQ extends QueryModule {
     "q_stream_decontaminate" -> Fingerprints.sqlDecontaminate,
     // the batch sessionization oracle VERBATIM — the full-ledger claim
     "q_stream_sessionize_full" -> Windows.oracleSql("q_sessionize"),
+    // the interval join as a plain theta join over events
+    "q_stream_interval_join" ->
+      s"""WITH e AS (${Windows.evSql}),
+         |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts,
+         |    value AS click_value FROM e WHERE event_type = 'click'),
+         |v AS (SELECT user_id, ts AS view_ts, value AS view_value
+         |  FROM e WHERE event_type = 'view')
+         |SELECT c.click_id, c.user_id, c.click_ts, c.click_value,
+         |  v.view_ts, v.view_value
+         |FROM c JOIN v ON v.user_id = c.user_id
+         |  AND v.view_ts <= c.click_ts
+         |  AND v.view_ts >= c.click_ts - INTERVAL 30 MINUTE
+         |ORDER BY c.click_id, v.view_ts, v.view_value""".stripMargin,
     // both sides' signatures recomputed from documents alone — the
     // bands CTE is the batch minhash spelling verbatim
     "q_stream_neardup_gate" ->
