@@ -290,7 +290,9 @@ object ScaleStress {
       "q_dedup_substring", "q_dedup_substring_cut",
       "q_dedup_substring_rewrite", "q_ewm", "q_rolling_corr",
       "q_hybrid_search", "q_rrf_fusion", "q_stream_neardup_gate",
-      "q_sink_compaction", "q_dedup_substring_append").foreach { q =>
+      "q_sink_compaction", "q_dedup_substring_append",
+      "q_bm25_multi", "q_hll_distinct", "q_stream_interval_join",
+      "q_stream_sessionize_full").foreach { q =>
       check(s"invariance_$q") {
         legFp(spark, dir, q, 16) == legFp(spark, dir, q, 48)
       }
