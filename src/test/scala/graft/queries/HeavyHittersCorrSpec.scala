@@ -105,6 +105,29 @@ class HeavyHittersCorrSpec extends SparkSpec {
     assert(got.forall(_._3 > 0))
   }
 
+  test("multi-query BM25: query 0 projects to exactly the single-query ranking") {
+    // MultiQueries(0) is Bm25Terms verbatim, so the N-query pass must
+    // reproduce q_bm25_search's ranking as its query_id = 0 slice —
+    // the "adding queries never perturbs existing rankings" contract.
+    val single = TextAnalysis.qBm25Search(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hit"),
+        r.getAs[Long]("score"))).toSeq
+    val multi = TextAnalysis.qBm25Multi(spark, sf).collect()
+      .filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hit"),
+        r.getAs[Long]("score"))).toSeq
+    assert(multi == single, s"multi q0 $multi\nsingle $single")
+    // every query returns a full (or corpus-exhausting) ranked page with
+    // contiguous ranks from 1
+    val byQ = TextAnalysis.qBm25Multi(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (q, rows) =>
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.length), s"query $q ranks $ranks")
+    }
+  }
+
   test("hybrid search: results come from the BM25 candidate set, reranked by exact cosine") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
