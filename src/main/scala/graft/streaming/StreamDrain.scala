@@ -98,6 +98,30 @@ object StreamDrain {
       s.read.parquet(s"$out/data")
     }
 
+  /** foreachBatch drain — the THIRD canonical sink next to the memory
+    * and file sinks: run the stream through a caller-provided per-batch
+    * SINK action (the arbitrary-sink API a production pipeline uses for
+    * MERGE/upsert into a keyed table), under a checkpoint so batch ids
+    * are stable, then hand back the caller's final read. Memoized like
+    * the other drains.
+    */
+  def drainedBatches(s: SparkSession, dir: String, kind: String,
+      table: String)(sink: (DataFrame, Long) => Unit)(
+      result: => DataFrame): DataFrame =
+    graft.Caches.memoSide(s, dir, kind) {
+      val (watch, schema) = watchDirFor(s, dir, kind, table)
+      val q = s.readStream.schema(schema).parquet(watch)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation",
+          StreamScratch.dirFor(s, s"chk_$kind").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(300000),
+        s"availableNow foreachBatch drain of $kind timed out")
+      finally q.stop()
+      result
+    }
+
   /** Stage `dir/table.parquet`'s files into a fresh watch dir (the
     * landing-dir stand-in a file-source stream monitors) and return it
     * with the source schema.

@@ -151,6 +151,22 @@ object StreamOps {
         col("doc_id").as("standing_doc")),
       Seq("band", "v1", "v2"))
 
+  /** One step of the foreachBatch UPSERT sink's merge: current state ∪
+    * batch, keep each user's max-(ts, event_id) row. Unique (ts,
+    * event_id) per user makes the keep-rule a total order, so the merge
+    * is associative — the final state is the same under ANY batching
+    * (spec-pinned), which is what lets the sink absorb an infinite
+    * CDC/ingest stream without coordination.
+    */
+  def upsertMerge(cur: DataFrame, batch: DataFrame): DataFrame =
+    cur.unionByName(batch)
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"),
+        col("event_type"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.event_type").as("event_type"),
+        col("m.value").as("value"), col("m.ts").as("ts"),
+        col("m.event_id").as("event_id"))
+
   /** Watermarked stream-stream interval join — each click pairs with
     * the same user's views inside [click.ts − maxAge, click.ts]. The
     * interval bound plus the watermarks is what makes the join state

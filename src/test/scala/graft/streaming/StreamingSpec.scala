@@ -415,6 +415,30 @@ class StreamingSpec extends SparkSpec {
       s"full ledger ${got.size} rows vs batch ${want.size}")
   }
 
+  test("upsert merge is batching-independent and equals the one-window latest-row") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "event_type", "value", "ts", "event_id")
+    val empty = ev.filter(col("event_id") < 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // merge(merge(∅, A), B) ≡ merge(∅, A ∪ B) ≡ merge(merge(∅, B), A)
+    val a = ev.filter(col("event_id") % 2 === 0)
+    val b = ev.filter(col("event_id") % 2 =!= 0)
+    val oneShot = rows(StreamOps.upsertMerge(empty, ev))
+    assert(rows(StreamOps.upsertMerge(StreamOps.upsertMerge(empty, a), b)) == oneShot)
+    assert(rows(StreamOps.upsertMerge(StreamOps.upsertMerge(empty, b), a)) == oneShot)
+    // and the state IS each user's latest row
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val want = rows(ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .select("user_id", "event_type", "value", "ts", "event_id"))
+    assert(oneShot == want)
+  }
+
   test("file-sink drain: read-back honors the commit log; orphan files stay invisible") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = "/root/testdata/sf0.001"
