@@ -440,6 +440,22 @@ object ScaleStress {
       val missing = planted.join(found, Seq("ida", "idb"), "left_anti").count()
       planted.count() > 200 && missing == 0
     }
+    // SimHash recall floor: verbatim copy pairs have hamming distance 0,
+    // so EVERY planted exact pair must appear in the simhash dedup —
+    // strict, like the exact/jaccard/minhash/embed planted checks (the
+    // pigeonhole join is oracle-proven lossless for hamming ≤ 3; this
+    // pins that the fingerprint itself can't drift into splitting
+    // identical documents at scale).
+    check("planted_simhash_exact_pairs") {
+      val planted = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 97 === 3 && col("doc_id") >= 97)
+        .filter(!((col("doc_id") - 3) % 89 === 7 && col("doc_id") - 3 >= 89))
+        .select((col("doc_id") - 3).as("doc_a"), col("doc_id").as("doc_b"))
+      val found = SparkEntry.queries("q_dedup_simhash")(spark, dir)
+        .filter(col("hamming") === 0).select("doc_a", "doc_b")
+      val missing = planted.join(found, Seq("doc_a", "doc_b"), "left_anti").count()
+      planted.count() > 400 && missing == 0
+    }
     // Candidate budget: after refinement, NO (band, bkt, sub) bucket of
     // the hybrid embedding path may exceed the cap on the i.i.d.-uniform
     // worst case (this corpus) — the bound that makes candidate cost
