@@ -169,7 +169,7 @@ object Fingerprints extends QueryModule {
     * run candidate generation + confirm against the materialized table.
     * MEMORY_AND_DISK: partitions spill, never recompute.
     */
-  private[queries] def postings(s: SparkSession, dir: String): DataFrame =
+  private[graft] def postings(s: SparkSession, dir: String): DataFrame =
     graft.Caches.memo(s, dir, "postings")(
       shingleIndex(s, dir).dropDuplicates("doc_id", "h"))
 

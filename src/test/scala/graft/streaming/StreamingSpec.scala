@@ -105,10 +105,16 @@ class StreamingSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     val docsPath = s"$sf/documents.parquet"
     val batchDocs = spark.read.parquet(docsPath)
-    // the static eval-set hashes — tiny by contract, so collecting and
-    // shipping them as a literal mirrors the broadcast a cluster does
-    val bench = batchDocs.filter(col("doc_id") < 20)
-      .select(explode(StreamOps.shingleHashes).as("h")).distinct()
+    // the static eval-set hashes come from the BATCH posting artifact
+    // (exactly what the driver query broadcasts) — NOT from
+    // StreamOps.shingleHashes: deriving both sides from the stream
+    // operator made the test self-consistent under any stream-side hash
+    // drift (round 10's mod-2³¹ regression sailed through); against the
+    // batch set, a drifted stream hash empties every intersection and
+    // the batch-drops assertion below trips. Tiny by contract, so
+    // collecting mirrors the broadcast a cluster does.
+    val bench = graft.queries.Fingerprints.postings(spark, sf)
+      .filter(col("doc_id") < 20).select("h").distinct()
       .collect().map(_.getLong(0)).toSeq
     // the file source wants a directory to watch — stage the corpus
     // file into scratch (read-only testdata stays untouched)
