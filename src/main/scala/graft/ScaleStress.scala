@@ -292,7 +292,8 @@ object ScaleStress {
       "q_hybrid_search", "q_rrf_fusion", "q_stream_neardup_gate",
       "q_sink_compaction", "q_dedup_substring_append",
       "q_bm25_multi", "q_hll_distinct", "q_stream_interval_join",
-      "q_stream_sessionize_full", "q_stream_upsert").foreach { q =>
+      "q_stream_sessionize_full", "q_stream_upsert",
+      "q_stream_hll").foreach { q =>
       check(s"invariance_$q") {
         legFp(spark, dir, q, 16) == legFp(spark, dir, q, 48)
       }

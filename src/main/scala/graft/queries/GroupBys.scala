@@ -222,10 +222,14 @@ object GroupBys extends QueryModule {
     * + relative error, so the driver gate certifies the arithmetic
     * bit-for-bit, not a tolerance.
     */
-  def qHllDistinct(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val regs = ev
-      .select(col("event_type"),
+  /** The (event_type, reg, m = max rank) register table of a frame with
+    * (event_type, user_id) — the MERGEABLE sketch state, shared by the
+    * batch query, the mergeability spec, and the streaming twin (where
+    * the same groupBy-max runs as a complete-mode streaming aggregate
+    * with state ≤ groups·2⁸ rows).
+    */
+  private[graft] def hllRegisters(df: DataFrame): DataFrame =
+    df.select(col("event_type"),
         expr(Fingerprints.hashOfSql("CAST(user_id AS STRING)")).as("h"))
       .select(col("event_type"),
         expr(s"CAST(h % $HllRegs AS INT)").as("reg"),
@@ -234,6 +238,13 @@ object GroupBys extends QueryModule {
         expr(s"CASE WHEN w = 0 THEN $HllRank" +
           s" ELSE $HllRank - length(conv(w, 10, 2)) END").as("rho"))
       .groupBy("event_type", "reg").agg(max("rho").as("m"))
+
+  /** The batch finisher over a register table: grid-fill empty
+    * registers, exact-integer denominator, [[hllEstimate]], exact count
+    * + relative error columns.
+    */
+  private[graft] def hllFinish(s: SparkSession, regs: DataFrame,
+      ev: DataFrame): DataFrame = {
     val grid = ev.select("event_type").distinct()
       .crossJoin(s.range(HllRegs).select(col("id").cast("int").as("reg")))
     val est = grid.join(regs, Seq("event_type", "reg"), "left")
@@ -249,6 +260,11 @@ object GroupBys extends QueryModule {
         expr("round(abs(est_distinct - n_exact) / n_exact, 4)"))
       .select("event_type", "est_distinct", "n_exact", "rel_err")
       .orderBy("event_type")
+  }
+
+  def qHllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    hllFinish(s, hllRegisters(ev), ev)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -216,6 +216,24 @@ object StreamingQ extends QueryModule {
         .select(col("doc_id"), col("band"), col("standing_doc"))
     }.distinct().orderBy("doc_id", "band", "standing_doc")
 
+  /** STREAMING HyperLogLog, driver-checked against the batch sketch's
+    * oracle verbatim: the register build ([[GroupBys.hllRegisters]] —
+    * one groupBy-max) runs as a complete-mode streaming aggregate, so
+    * the standing state is ≤ event_types · 2⁸ register rows REGARDLESS
+    * of how many users or events the stream ever carries — the
+    * bounded-state answer to "distinct users per type, forever" that an
+    * exact streaming distinct (state ∝ users) cannot give. The
+    * estimator finisher runs batch-side over the drained register
+    * table, exactly as a consumer reads a continuously-maintained
+    * sketch sink.
+    */
+  def qStreamHll(s: SparkSession, dir: String): DataFrame = {
+    val regs = StreamDrain.drained(s, dir, "stream_hll", "events")(st =>
+      GroupBys.hllRegisters(st.select("event_type", "user_id")))
+    GroupBys.hllFinish(s, regs,
+      graft.Tables.events(s, dir).select("event_type", "user_id"))
+  }
+
   /** Streaming UPSERT (merge) sink via foreachBatch, driver-checked:
     * every arriving micro-batch MERGEs into a standing per-user
     * latest-state table — union current ∪ batch, keep each user's
@@ -308,6 +326,7 @@ object StreamingQ extends QueryModule {
       () => qStreamSessionizeFull(s, dir).count(),
       () => qStreamIntervalJoin(s, dir).count(),
       () => qStreamUpsert(s, dir).count(),
+      () => qStreamHll(s, dir).count(),
       () => qStreamShardSink(s, dir).count())
     // Each drain parks its thread in awaitTermination (up to 300 s) —
     // `blocking` tells the global fork-join pool to grow past its core
@@ -326,6 +345,7 @@ object StreamingQ extends QueryModule {
     "q_stream_sessionize_full" -> (qStreamSessionizeFull(_, _)),
     "q_stream_interval_join" -> (qStreamIntervalJoin(_, _)),
     "q_stream_upsert" -> (qStreamUpsert(_, _)),
+    "q_stream_hll" -> (qStreamHll(_, _)),
     "q_stream_shard_sink" -> (qStreamShardSink(_, _)),
     "q_stream_neardup_gate" -> (qStreamNeardupGate(_, _)),
     "q_sink_compaction" -> (qSinkCompaction(_, _)),
@@ -376,6 +396,8 @@ object StreamingQ extends QueryModule {
     "q_stream_decontaminate" -> Fingerprints.sqlDecontaminate,
     // the batch sessionization oracle VERBATIM — the full-ledger claim
     "q_stream_sessionize_full" -> Windows.oracleSql("q_sessionize"),
+    // the batch HLL sketch oracle VERBATIM — stream ≡ batch registers
+    "q_stream_hll" -> GroupBys.oracleSql("q_hll_distinct"),
     // final upsert state = each user's latest event, one window
     "q_stream_upsert" ->
       s"""WITH e AS (${Windows.evSql}),
