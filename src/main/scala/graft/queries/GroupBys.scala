@@ -267,8 +267,143 @@ object GroupBys extends QueryModule {
     hllFinish(s, hllRegisters(ev), ev)
   }
 
+  // ---- mergeable fixed-bucket QUANTILE sketch (the percentile analog
+  // of the HLL cardinality sketch above) ----
+
+  /** Bucket width in DECIMAL(28,4) unscaled units (25 000 = 2.5 value
+    * units): the sketch's value-error bound is W/2 = 1.25, and state per
+    * group is (value range)/2.5 buckets regardless of row count.
+    */
+  private[graft] val QsW = 25000L
+
+  /** The quantiles the checked query reports, as exact rationals
+    * (num/den) so every rank comparison is integer arithmetic.
+    */
+  private[graft] val QsQuantiles = Seq((1L, 2L, "p50"), (9L, 10L, "p90"),
+    (99L, 100L, "p99"))
+
+  /** value in DECIMAL(28,4) unscaled units — the same canonical-string
+    * HALF_UP rounding every decimal sum in the repo performs, so the
+    * sketch's bucketing is bit-deterministic cross-engine.
+    */
+  private val qsUnscaled = "CAST(CAST(value AS DECIMAL(28,4)) * 10000 AS BIGINT)"
+
+  /** The (event_type, bucket) → count table of a frame with
+    * (event_type, value) — the MERGEABLE quantile-sketch state, shared
+    * by the batch query, the mergeability spec, and the streaming twin
+    * (where the same groupBy-count runs as a complete-mode streaming
+    * aggregate with state ≤ groups · buckets rows forever). Counts merge
+    * by per-bucket sum, exactly like HLL registers merge by max.
+    * Bucketing is integer floor division of the non-negative unscaled
+    * value (`DIV` truncates toward zero = floors on the sketch's
+    * non-negative domain; shift/scale a signed domain in before
+    * sketching — the DuckDB twin `//` floors, so a negative value would
+    * be the one spelling divergence).
+    */
+  private[graft] def quantileBuckets(df: DataFrame): DataFrame =
+    df.select(col("event_type"), expr(s"($qsUnscaled) DIV $QsW").as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Batch finisher over a bucket table: per group, the estimate for
+    * quantile q is the midpoint of the smallest bucket whose cumulative
+    * count reaches rank ⌈q·n⌉ — that bucket CONTAINS the exact rank-q
+    * element, so |est − exact| ≤ W/2 (1.25 value units) by construction,
+    * and the output carries the exact percentile + absolute error so the
+    * driver gate certifies the arithmetic bit-for-bit. Every rank test
+    * is integer (`cum·den ≥ num·n`); the only doubles are the final
+    * unscale divisions, identical IEEE on both engines.
+    *
+    * The exact column sorts each group (row_number window) — telemetry
+    * for the gate; the SKETCH path is the 100 TB product: one map-side-
+    * combining hash-agg whose shuffle carries ≤ groups·buckets rows,
+    * with no per-group sort anywhere.
+    */
+  private[graft] def quantileFinish(regs: DataFrame, ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = regs
+      .withColumn("cum", sum("cnt").over(wc))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+    val estAggs = QsQuantiles.map { case (num, den, nm) =>
+      min(when(col("cum") * den >= col("n") * num, col("bucket"))).as(s"b_$nm")
+    }
+    val est = cum.groupBy("event_type").agg(estAggs.head, estAggs.tail: _*)
+    val ranked = ev
+      .select(col("event_type"), expr(qsUnscaled).as("u"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("u")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val exAggs = QsQuantiles.map { case (num, den, nm) =>
+      min(when(col("rn") * den >= col("n") * num, col("u"))).as(s"x_$nm")
+    }
+    val exact = ranked.groupBy("event_type").agg(exAggs.head, exAggs.tail: _*)
+    est.join(exact, "event_type")
+      .select(col("event_type") +: QsQuantiles.flatMap { case (_, _, nm) =>
+        val e = (col(s"b_$nm") * QsW + lit(QsW / 2)).cast("double") / lit(10000.0)
+        val x = col(s"x_$nm").cast("double") / lit(10000.0)
+        Seq(e.as(s"est_$nm"), x.as(s"exact_$nm"),
+          round(abs(e - x), 4).as(s"err_$nm"))
+      }: _*)
+      .orderBy("event_type")
+  }
+
+  /** Per-event_type p50/p90/p99 from the mergeable fixed-bucket sketch,
+    * next to the exact percentiles it approximates — the streaming-safe
+    * percentile a 100 TB pipeline keeps per shard/day where exact
+    * `percentile_disc` (group-sized sort state) has no incremental
+    * answer. A spec proves split-merge ≡ whole and the W/2 error bound.
+    */
+  def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_type", "value")
+    quantileFinish(quantileBuckets(ev), ev)
+  }
+
+  /** DuckDB spelling of the whole sketch + exact chain — shared verbatim
+    * by the batch and streaming twins.
+    */
+  private[graft] lazy val sqlQuantileSketch: String = {
+    val ests = QsQuantiles.map { case (num, den, nm) =>
+      s"min(CASE WHEN cum * $den >= n * $num THEN bucket END) AS b_$nm"
+    }.mkString(",\n    ")
+    val exacts = QsQuantiles.map { case (num, den, nm) =>
+      s"min(CASE WHEN rn * $den >= n * $num THEN u END) AS x_$nm"
+    }.mkString(",\n    ")
+    val outs = QsQuantiles.map { case (_, _, nm) =>
+      s"""CAST(b_$nm * $QsW + ${QsW / 2} AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS est_$nm,
+         |  CAST(x_$nm AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS exact_$nm,
+         |  round(abs(CAST(b_$nm * $QsW + ${QsW / 2} AS DOUBLE) / CAST(10000.0 AS DOUBLE)
+         |    - CAST(x_$nm AS DOUBLE) / CAST(10000.0 AS DOUBLE)), 4) AS err_$nm""".stripMargin
+    }.mkString(",\n  ")
+    s"""WITH u AS (SELECT event_type,
+       |    CAST(CAST(value AS DECIMAL(28,4)) * 10000 AS BIGINT) AS u
+       |  FROM events),
+       |b AS (SELECT event_type, u // $QsW AS bucket, count(*) AS cnt
+       |  FROM u GROUP BY 1, 2),
+       |c AS (SELECT event_type, bucket, cnt,
+       |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM b),
+       |e AS (SELECT event_type,
+       |    $ests
+       |  FROM c GROUP BY event_type),
+       |r AS (SELECT event_type, u,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM u),
+       |x AS (SELECT event_type,
+       |    $exacts
+       |  FROM r GROUP BY event_type)
+       |SELECT e.event_type,
+       |  $outs
+       |FROM e JOIN x ON e.event_type = x.event_type
+       |ORDER BY e.event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll_distinct" -> (qHllDistinct(_, _)),
+    "q_quantile_sketch" -> (qQuantileSketch(_, _)),
     "q_group_agg_mixed" -> (qGroupAggMixed(_, _)),
     "q_rollup" -> (qRollup(_, _)),
     "q_cube" -> (qCube(_, _)),
@@ -283,6 +418,7 @@ object GroupBys extends QueryModule {
     "q_group_mode" -> (qGroupMode(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_quantile_sketch" -> sqlQuantileSketch,
     "q_hll_distinct" ->
       s"""WITH h AS (SELECT event_type, user_id,
          |    ${Fingerprints.sqlHashOf("CAST(user_id AS VARCHAR)")} AS h

@@ -234,6 +234,25 @@ object StreamingQ extends QueryModule {
       graft.Tables.events(s, dir).select("event_type", "user_id"))
   }
 
+  /** STREAMING quantile sketch, driver-checked against the batch
+    * sketch's oracle verbatim: the bucket build
+    * ([[GroupBys.quantileBuckets]] — one groupBy-count) runs as a
+    * complete-mode streaming aggregate, so the standing state is ≤
+    * event_types · (value range / 2.5) bucket rows REGARDLESS of how
+    * many events the stream ever carries — the bounded-state answer to
+    * "p50/p95/p99 per group, over a stream" that exact
+    * `percentile_disc` (group-sized sort state) cannot give. The
+    * finisher runs batch-side over the drained bucket table, exactly as
+    * a consumer reads a continuously-maintained sketch sink — the HLL
+    * twin's pattern ([[qStreamHll]]) on the percentile axis.
+    */
+  def qStreamQuantile(s: SparkSession, dir: String): DataFrame = {
+    val regs = StreamDrain.drained(s, dir, "stream_quantile", "events")(st =>
+      GroupBys.quantileBuckets(st.select("event_type", "value")))
+    GroupBys.quantileFinish(regs,
+      graft.Tables.events(s, dir).select("event_type", "value"))
+  }
+
   /** Streaming UPSERT (merge) sink via foreachBatch, driver-checked:
     * every arriving micro-batch MERGEs into a standing per-user
     * latest-state table — union current ∪ batch, keep each user's
@@ -327,6 +346,7 @@ object StreamingQ extends QueryModule {
       () => qStreamIntervalJoin(s, dir).count(),
       () => qStreamUpsert(s, dir).count(),
       () => qStreamHll(s, dir).count(),
+      () => qStreamQuantile(s, dir).count(),
       () => qStreamShardSink(s, dir).count())
     // Each drain parks its thread in awaitTermination (up to 300 s) —
     // `blocking` tells the global fork-join pool to grow past its core
@@ -346,6 +366,7 @@ object StreamingQ extends QueryModule {
     "q_stream_interval_join" -> (qStreamIntervalJoin(_, _)),
     "q_stream_upsert" -> (qStreamUpsert(_, _)),
     "q_stream_hll" -> (qStreamHll(_, _)),
+    "q_stream_quantile" -> (qStreamQuantile(_, _)),
     "q_stream_shard_sink" -> (qStreamShardSink(_, _)),
     "q_stream_neardup_gate" -> (qStreamNeardupGate(_, _)),
     "q_sink_compaction" -> (qSinkCompaction(_, _)),
@@ -398,6 +419,8 @@ object StreamingQ extends QueryModule {
     "q_stream_sessionize_full" -> Windows.oracleSql("q_sessionize"),
     // the batch HLL sketch oracle VERBATIM — stream ≡ batch registers
     "q_stream_hll" -> GroupBys.oracleSql("q_hll_distinct"),
+    // the batch quantile-sketch oracle VERBATIM — stream ≡ batch buckets
+    "q_stream_quantile" -> GroupBys.oracleSql("q_quantile_sketch"),
     // final upsert state = each user's latest event, one window
     "q_stream_upsert" ->
       s"""WITH e AS (${Windows.evSql}),

@@ -57,6 +57,33 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q_quantile_sketch: buckets merge by sum (split ∪ merge ≡ whole); error ≤ W/2") {
+    // Mergeability — the sketch's 100 TB contract: per-shard bucket
+    // tables combine by per-bucket count SUM into exactly the
+    // whole-corpus buckets (the quantile analog of the HLL max-merge).
+    val ev = Tables.events(spark, sf).select("event_type", "value")
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      GroupBys.quantileBuckets(df).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = buckets(ev)
+    val a = buckets(ev.filter(expr("CAST(value * 100 AS BIGINT) % 2 = 0")))
+    val b = buckets(ev.filter(expr("CAST(value * 100 AS BIGINT) % 2 <> 0")))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole, "merged half-buckets differ from the one-pass buckets")
+    // the structural error bound: the elected bucket CONTAINS the exact
+    // rank element, so |est − exact| ≤ W/2 (= 1.25 value units) at every
+    // reported quantile of every group — not a tolerance, a guarantee
+    val rows = GroupBys.qQuantileSketch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(3, 6, 9).foreach { errIdx => // err_p50, err_p90, err_p99
+        assert(r.getDouble(errIdx) <= 1.25 + 1e-9,
+          s"${r.getString(0)}: err column $errIdx = ${r.getDouble(errIdx)} > W/2")
+      }
+    }
+  }
+
   test("approx_percentile within rank tolerance of the exact order statistic") {
     val li = Tables.lineitem(spark, sf)
     val n = li.count()
