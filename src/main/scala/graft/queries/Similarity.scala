@@ -767,29 +767,43 @@ object Similarity extends QueryModule {
     * and k-means legs already use.
     */
   private def refineBuckets(bands0: DataFrame): DataFrame = {
-    var cur = bands0.withColumn("sub", lit(0L))
-    var depth = 0
-    var done = false
-    while (depth < HybMaxDepth && !done) {
-      val over = cur.groupBy("band", "bkt", "sub")
-        .agg(count(lit(1)).as("__cnt")).filter(col("__cnt") > HybBucketCap)
-        .select("band", "bkt", "sub")
-      if (over.isEmpty) done = true
-      else {
-        val base = HybSplitOff + depth * HybSplitBits
-        val extra = (0 until HybSplitBits).map { k =>
-          when(G.dotl(col("qv"), expr(planeLit(base + k))) > 0, lit(1L << k))
-            .otherwise(lit(0L))
-        }.reduce(_ + _)
-        cur = cur
-          .join(over.withColumn("__over", lit(1)), Seq("band", "bkt", "sub"), "left")
-          .withColumn("sub", when(col("__over").isNotNull,
-            col("sub") * (1L << HybSplitBits) + extra + lit(1L)).otherwise(col("sub")))
-          .drop("__over")
-        depth += 1
-      }
+    // Each level's over.isEmpty action runs on a PINNED frame, so level
+    // d pays only its own aggregate + join instead of recomputing the
+    // base quantize+band work d times over an iteratively deepening
+    // plan. The pins are loop-scoped: the returned frame is what the
+    // caller's memo persists (its one materialization replays the chain
+    // once), so nothing leaks past the build.
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += df
+      df
     }
-    cur
+    try {
+      var cur = pin(bands0.withColumn("sub", lit(0L)))
+      var depth = 0
+      var done = false
+      while (depth < HybMaxDepth && !done) {
+        val over = cur.groupBy("band", "bkt", "sub")
+          .agg(count(lit(1)).as("__cnt")).filter(col("__cnt") > HybBucketCap)
+          .select("band", "bkt", "sub")
+        if (over.isEmpty) done = true
+        else {
+          val base = HybSplitOff + depth * HybSplitBits
+          val extra = (0 until HybSplitBits).map { k =>
+            when(G.dotl(col("qv"), expr(planeLit(base + k))) > 0, lit(1L << k))
+              .otherwise(lit(0L))
+          }.reduce(_ + _)
+          cur = pin(cur
+            .join(over.withColumn("__over", lit(1)), Seq("band", "bkt", "sub"), "left")
+            .withColumn("sub", when(col("__over").isNotNull,
+              col("sub") * (1L << HybSplitBits) + extra + lit(1L)).otherwise(col("sub")))
+            .drop("__over"))
+          depth += 1
+        }
+      }
+      cur
+    } finally pinned.foreach(_.unpersist(false))
   }
 
   def qDedupEmbedHybrid(s: SparkSession, dir: String): DataFrame = {
@@ -1111,7 +1125,160 @@ object Similarity extends QueryModule {
       .orderBy("qid", "rank")
   }
 
+  // ---- budgeted MULTI-PROBE ANN ----
+
+  /** Multi-probe geometry: [[MpBands]] bands of [[MpRows]] planes (2⁶ =
+    * 64 buckets per band — 4× finer than the single-probe family's 2⁴),
+    * with each query probing its own bucket plus the [[MpH]]−1 buckets
+    * reached by flipping its lowest-|margin| sign bits (the sign dot
+    * closest to 0 is the one a true neighbor most likely lands on the
+    * other side of — Lv et al.'s multi-probe LSH argument, here with
+    * EXACT integer margins so probe order is deterministic and
+    * oracle-replayable). Candidate admission is bounded by an explicit
+    * per-(query, band) budget [[MpBudget]], filled in (probe rank,
+    * vec_id) order so the own bucket and lowest-margin probes are
+    * admitted first. This is the fixed-recall-ANN answer to the dedup
+    * gate's [[refineBuckets]] budget (which cannot apply here — see
+    * [[qEmbedIncremental]]'s scaladoc): the GEOMETRY shrinks buckets 4×
+    * and multi-probe buys the recall back, with the budget as the hard
+    * fan-out bound. Plane ids offset by [[MpPlaneOff]] — a fresh
+    * splitmix64 slice, uncorrelated with every other family.
+    */
+  private val MpBands = 4
+  private val MpRows = 6
+  private val MpH = 4
+  private val MpPlaneOff = 2000
+  private[graft] val MpBudget = 1024
+
+  /** Shared multi-probe pipeline, parameterized so the ScaleStress
+    * equal-budget comparison can run the SAME code as the single-probe
+    * control (`rows` = 4, `h` = 1 probes the one 2⁴-sized bucket per
+    * band — the same expected candidate volume as rows = 6, h = 4:
+    * 4·n/2⁶ per band either way — under the same admission budget).
+    */
+  private[queries] def multiProbeNeighbors(s: SparkSession, dir: String,
+      nQ: Long, rows: Int, h: Int, topK: Int): DataFrame = {
+    val emb = quantized(s, dir)
+    val dotCols = for (b <- 0 until MpBands; k <- 0 until rows)
+      yield G.dotl(col("qv"), expr(planeLit(MpPlaneOff + b * MpRows + k)))
+        .as(s"d${b}_$k")
+    val withDots = emb.select(
+      Seq(col("vec_id"), col("qv"), col("n2")) ++ dotCols: _*)
+    val withBkts = (0 until MpBands).foldLeft(withDots) { (df, b) =>
+      df.withColumn(s"bkt$b", (0 until rows).map(k =>
+        when(col(s"d${b}_$k") > 0, 1 << k).otherwise(0)).reduce(_ + _))
+    }
+    val standing = withBkts.selectExpr("vec_id", "qv", "n2",
+        s"stack($MpBands, ${(0 until MpBands).map(b => s"$b, bkt$b").mkString(", ")}) AS (band, bkt)")
+      .select(col("vec_id").as("vid"), col("qv").as("ve"),
+        col("n2").as("vn2"), col("band"), col("bkt"))
+    // probe p ≥ 1 flips the bit whose |dot| has rank p−1 (ties by bit
+    // index) — all integer comparisons, identical on both engines
+    def rankSql(b: Int, k: Int): String = (0 until rows).filter(_ != k).map { j =>
+      s"(CASE WHEN abs(d${b}_$j) < abs(d${b}_$k)" +
+        s" OR (abs(d${b}_$j) = abs(d${b}_$k) AND $j < $k) THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    def probeSql(b: Int, p: Int): String =
+      if (p == 0) s"bkt$b"
+      else {
+        val bit = (0 until rows).map(k =>
+          s"($k * (CASE WHEN (${rankSql(b, k)}) = ${p - 1} THEN 1 ELSE 0 END))")
+          .mkString(" + ")
+        s"(bkt$b ^ shiftleft(1, $bit))"
+      }
+    val stackArgs = (for (b <- 0 until MpBands; p <- 0 until h)
+      yield s"$b, $p, ${probeSql(b, p)}").mkString(", ")
+    val probes = withBkts.filter(col("vec_id") < nQ)
+      .selectExpr("vec_id AS qid", "qv AS qe", "n2 AS qn2",
+        s"stack(${MpBands * h}, $stackArgs) AS (band, probe, bkt)")
+    val admitted = probes.join(standing, Seq("band", "bkt"))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("adm", row_number().over(
+        Window.partitionBy("qid", "band")
+          .orderBy(col("probe").asc, col("vid").asc)))
+      .filter(col("adm") <= MpBudget)
+    val cand = admitted.dropDuplicates("qid", "vid")
+      .withColumn("cos", qcos(G.dotl(col("qe"), col("ve")), col("qn2"), col("vn2")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("qid", "vid", "cos", "rank")
+  }
+
+  /** Budgeted multi-probe ANN, driver-checked: top-5 standing neighbors
+    * for the 5 probe vectors through the 4×6 multi-probe geometry. At
+    * corpus scale the candidate volume is probedBuckets · n/2⁶ per band
+    * hard-capped by [[MpBudget]] — HALF the single-probe family's
+    * n/2⁴ per band at 4× the bucket resolution; the ScaleStress leg
+    * records that its brute-force recall at 10× is ≥ the single-probe
+    * control's at the same admitted budget.
+    */
+  def qEmbedAnnMultiprobe(s: SparkSession, dir: String): DataFrame =
+    multiProbeNeighbors(s, dir, 5L, MpRows, MpH, 5).orderBy("qid", "rank")
+
+  /** ScaleStress instrumentation: (multi-probe recall, equal-budget
+    * single-probe recall, multi-probe admitted-candidate max per
+    * (query, band)) against the brute-force top-`topK` truth over the
+    * first `nQ` vectors. One count/collect each — gate-only.
+    */
+  private[graft] def multiProbeRecallProfile(s: SparkSession, dir: String,
+      nQ: Long, topK: Int): (Double, Double, Long) = {
+    val emb = quantized(s, dir)
+    val q = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"), col("n2").as("qn2"))
+    val truth = broadcast(q)
+      .crossJoin(emb.select(col("vec_id").as("vid"), col("qv").as("ve"),
+        col("n2").as("vn2")))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cos", qcos(G.dotl(col("qe"), col("ve")), col("qn2"), col("vn2")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)))
+      .filter(col("rank") <= topK)
+      .select("qid", "vid")
+    val nTruth = truth.count().toDouble
+    def recallOf(leg: DataFrame): Double =
+      truth.join(leg.select("qid", "vid"), Seq("qid", "vid"), "left_semi")
+        .count().toDouble / nTruth
+    val mp = recallOf(multiProbeNeighbors(s, dir, nQ, MpRows, MpH, topK))
+    val sp = recallOf(multiProbeNeighbors(s, dir, nQ, 4, 1, topK))
+    val fanout = multiProbeNeighbors(s, dir, nQ, MpRows, MpH, Int.MaxValue)
+      .groupBy("qid").agg(count(lit(1)).as("c"))
+      .agg(max("c")).first().getLong(0)
+    (mp, sp, fanout)
+  }
+
+  /** ScaleStress hook — append∘append ≡ rebuild for the standing band
+    * index: both legs probe the last-20% batch, one against an 80%
+    * standing index assembled by TWO successive appends (0–60%, then
+    * 60–80% — band rows are a per-vector map, so index maintenance is
+    * a pure row append), the other against the from-scratch 80% index.
+    */
+  private[graft] def embedAppendTwiceLegs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val bands = banded(s, dir)
+    val n = Tables.embeddings(s, dir).count()
+    val s1 = (n * 6L) / 10L
+    val s2 = (n * 8L) / 10L
+    def probe(standing: DataFrame): DataFrame = {
+      val st = standing.select(col("vec_id").as("vid"), col("qv").as("ve"),
+        col("n2").as("vn2"), col("band"), col("bkt"))
+      val batch = bands.filter(col("vec_id") >= s2)
+        .select(col("vec_id").as("qid"), col("qv").as("qe"),
+          col("n2").as("qn2"), col("band"), col("bkt"))
+      val cand = batch.join(st, Seq("band", "bkt"))
+        .dropDuplicates("qid", "vid")
+        .withColumn("cos", qcos(G.dotl(col("qe"), col("ve")), col("qn2"), col("vn2")))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)
+      cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= GraphK)
+        .select("qid", "vid", "cos", "rank")
+    }
+    val chained = bands.filter(col("vec_id") < s1)
+      .unionByName(bands.filter(col("vec_id") >= s1 && col("vec_id") < s2))
+    (probe(chained), probe(bands.filter(col("vec_id") < s2)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_ann_multiprobe" -> (qEmbedAnnMultiprobe(_, _)),
     "q_embed_incremental" -> (qEmbedIncremental(_, _)),
     "q_walk_mass" -> (qWalkMass(_, _)),
     "q_ann_recall" -> (qAnnRecall(_, _)),
@@ -1225,6 +1392,59 @@ object Similarity extends QueryModule {
          |  FROM c)
          |SELECT qid, vid, cos, rank FROM r WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin,
+    "q_embed_ann_multiprobe" -> {
+      val dotDefs = (for (b <- 0 until MpBands; k <- 0 until MpRows) yield
+        s"""list_sum(list_transform(range(0, 64),
+           |    i -> qv[i + 1] * (${planeSqlLit(MpPlaneOff + b * MpRows + k)})[i + 1])) AS d${b}_$k""".stripMargin)
+        .mkString(",\n  ")
+      val bktDefs = (0 until MpBands).map { b =>
+        (0 until MpRows).map(k =>
+          s"(CASE WHEN d${b}_$k > 0 THEN ${1 << k} ELSE 0 END)").mkString(" + ") +
+          s" AS bkt$b"
+      }.mkString(",\n  ")
+      def rankSql(b: Int, k: Int): String = (0 until MpRows).filter(_ != k).map { j =>
+        s"(CASE WHEN abs(d${b}_$j) < abs(d${b}_$k)" +
+          s" OR (abs(d${b}_$j) = abs(d${b}_$k) AND $j < $k) THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+      def probeSql(b: Int, p: Int): String =
+        if (p == 0) s"bkt$b"
+        else {
+          val bit = (0 until MpRows).map(k =>
+            s"($k * (CASE WHEN (${rankSql(b, k)}) = ${p - 1} THEN 1 ELSE 0 END))")
+            .mkString(" + ")
+          s"xor(bkt$b, 1 << ($bit))"
+        }
+      val standingSelects = (0 until MpBands)
+        .map(b => s"SELECT vec_id AS vid, qv AS ve, n2 AS vn2, $b AS band, bkt$b AS bkt FROM eb")
+        .mkString("\n  UNION ALL ")
+      val probeSelects = (for (b <- 0 until MpBands; p <- 0 until MpH) yield
+        s"SELECT vec_id AS qid, qv AS qe, n2 AS qn2, $b AS band, $p AS probe, ${probeSql(b, p)} AS bkt FROM eb WHERE vec_id < 5")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, $sqlQvec AS qv, $sqlQnorm AS n2 FROM embeddings),
+         |d AS (SELECT vec_id, qv, n2,
+         |  $dotDefs
+         |FROM e),
+         |eb AS (SELECT *,
+         |  $bktDefs
+         |FROM d),
+         |standing AS (
+         |  $standingSelects),
+         |probes AS (
+         |  $probeSelects),
+         |cand AS (
+         |  SELECT q.qid, v.vid,
+         |    ${sqlQcos("q.qe", "v.ve", "q.qn2", "v.vn2")} AS cos,
+         |    row_number() OVER (PARTITION BY q.qid, q.band
+         |      ORDER BY q.probe ASC, v.vid ASC) AS adm
+         |  FROM probes q JOIN standing v ON q.band = v.band AND q.bkt = v.bkt
+         |  WHERE q.qid <> v.vid),
+         |ded AS (SELECT DISTINCT qid, vid, cos FROM cand WHERE adm <= $MpBudget),
+         |r AS (SELECT qid, vid, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INTEGER) AS rank
+         |  FROM ded)
+         |SELECT qid, vid, cos, rank FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin
+    },
     "q_embed_ann" -> {
       val bandSelects = (0 until AnnBands)
         .map(b => s"SELECT vec_id, qv, n2, $b AS band, bkt$b AS bkt FROM eb")
