@@ -234,6 +234,57 @@ object StreamingQ extends QueryModule {
       graft.Tables.events(s, dir).select("event_type", "user_id"))
   }
 
+  /** The late-drop fixture, one file per entry: [A = the whole events
+    * table plus a far-future heartbeat (max ts + 2 h, the watermark
+    * driver), spacer = one more heartbeat a minute later, late = ONE
+    * planted too-late row (a clone of the corpus's earliest event under
+    * a fresh event_id), tail = a final heartbeat (+3 h)]. The spacer
+    * batch exists because Spark's late-event filter deliberately uses
+    * the PREVIOUS batch's watermark (`watermarkForLateEvents` — lenient
+    * by one batch so replay is deterministic), while eviction uses the
+    * current one: a row landing in the very next batch after the
+    * watermark-advancing one is still admitted; the batch after that is
+    * where "beyond the watermark" is enforceable. Staged as separate
+    * files so the batch boundaries — the only places a watermark
+    * advances — are part of the fixture.
+    */
+  private[graft] def lateDropStages(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val ev = graft.Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    def hb(seconds: Long, id: Long) =
+      ev.orderBy(col("ts").desc, col("event_id").desc).limit(1)
+        .select(lit(id).as("event_id"), lit(-1L).as("user_id"),
+          lit("hb").as("event_type"), lit(0.0).as("value"),
+          (col("ts") + expr(s"INTERVAL $seconds seconds")).as("ts"))
+    val late = ev.orderBy(col("ts").asc, col("event_id").asc).limit(1)
+      .select(lit(-2L).as("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    Seq(ev.unionByName(hb(7200L, -3L)), hb(7260L, -4L), late, hb(10800L, -5L))
+  }
+
+  /** Watermark LATE-DROP negative control, driver-checked: the tumbling
+    * ledger runs in APPEND mode with a 0-second watermark over the
+    * staged fixture ([[lateDropStages]], one file per micro-batch), so
+    * by the planted row's batch BOTH the eviction watermark and the
+    * one-batch-lagged late-event watermark sit at the heartbeat (max ts
+    * + 2 h) and the planted row — event time at the corpus MINIMUM,
+    * i.e. arbitrarily far beyond the watermark — is deterministically
+    * EXCLUDED: its window's state was already finalized and freed, the
+    * bounded-state guarantee that lets the ledger run forever. The
+    * drained table therefore equals the batch tumbling aggregate over
+    * `events` alone (the planted row never lands; heartbeats filter
+    * out), which is exactly what the oracle recomputes. A spec proves
+    * the negative control is live: delivering A∪B in ONE batch (no
+    * watermark advance in between) admits the planted row and flips the
+    * result.
+    */
+  def qStreamLateDrop(s: SparkSession, dir: String): DataFrame =
+    StreamDrain.drainedStaged(s, dir, "stream_late_drop",
+        lateDropStages(s, dir), perTrigger = 1, mode = "append")(st =>
+        StreamOps.tumblingCounts(st, watermark = "0 seconds"))
+      .filter(col("event_type") =!= "hb")
+      .orderBy("bucket", "event_type")
+
   /** STREAMING quantile sketch, driver-checked against the batch
     * sketch's oracle verbatim: the bucket build
     * ([[GroupBys.quantileBuckets]] — one groupBy-count) runs as a
@@ -347,6 +398,7 @@ object StreamingQ extends QueryModule {
       () => qStreamUpsert(s, dir).count(),
       () => qStreamHll(s, dir).count(),
       () => qStreamQuantile(s, dir).count(),
+      () => qStreamLateDrop(s, dir).count(),
       () => qStreamShardSink(s, dir).count())
     // Each drain parks its thread in awaitTermination (up to 300 s) —
     // `blocking` tells the global fork-join pool to grow past its core
@@ -367,6 +419,7 @@ object StreamingQ extends QueryModule {
     "q_stream_upsert" -> (qStreamUpsert(_, _)),
     "q_stream_hll" -> (qStreamHll(_, _)),
     "q_stream_quantile" -> (qStreamQuantile(_, _)),
+    "q_stream_late_drop" -> (qStreamLateDrop(_, _)),
     "q_stream_shard_sink" -> (qStreamShardSink(_, _)),
     "q_stream_neardup_gate" -> (qStreamNeardupGate(_, _)),
     "q_sink_compaction" -> (qSinkCompaction(_, _)),
@@ -421,6 +474,14 @@ object StreamingQ extends QueryModule {
     "q_stream_hll" -> GroupBys.oracleSql("q_hll_distinct"),
     // the batch quantile-sketch oracle VERBATIM — stream ≡ batch buckets
     "q_stream_quantile" -> GroupBys.oracleSql("q_quantile_sketch"),
+    // the tumbling oracle over events ALONE — green exactly when the
+    // planted beyond-watermark row was dropped and only it
+    "q_stream_late_drop" ->
+      s"""WITH e AS (${Windows.evSql})
+         |SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+         |  count(*) AS n, ${Q.sqlDsum("value")} AS sum_value
+         |FROM e GROUP BY bucket, event_type
+         |ORDER BY bucket, event_type""".stripMargin,
     // final upsert state = each user's latest event, one window
     "q_stream_upsert" ->
       s"""WITH e AS (${Windows.evSql}),

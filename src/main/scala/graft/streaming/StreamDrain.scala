@@ -70,6 +70,53 @@ object StreamDrain {
       s.table(qname)
     }
 
+  /** STAGED drain — the arrival-order-controlled variant of [[drained]]:
+    * each element of `stages` lands as ONE parquet file with strictly
+    * increasing (fixed, deterministic) modification times, and the file
+    * source reads `perTrigger` files per micro-batch, so the BATCH
+    * BOUNDARIES are part of the test fixture. This is what a
+    * watermark-semantics claim needs: the watermark only advances
+    * between batches, so "a row arriving after the watermark passed its
+    * event time" is only expressible by pinning which rows share a
+    * batch. Memoized like the other drains.
+    */
+  def drainedStaged(s: SparkSession, dir: String, kind: String,
+      stages: Seq[DataFrame], perTrigger: Int, mode: String)(
+      build: DataFrame => DataFrame): DataFrame =
+    graft.Caches.memo(s, dir, kind) {
+      val watch = StreamScratch.dirFor(s, s"stream_$kind")
+      val schema = stages.head.schema
+      stages.zipWithIndex.foreach { case (df, i) =>
+        val tmp = StreamScratch.dirFor(s, s"stage_${kind}_$i")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/w")
+        val it = Files.list(Paths.get(s"$tmp/w")).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            val dst = watch.resolve(f"stage_$i%03d.parquet")
+            Files.copy(p, dst)
+            // deterministic strictly-increasing mtimes: oldest-first is
+            // the file source's default read order
+            Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(
+                1700000000000L + i * 600000L))
+          }
+        }
+      }
+      val qname = kind + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = build(s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", perTrigger.toString)
+          .parquet(watch.toString))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(300000),
+        s"availableNow staged drain of $kind timed out")
+      finally q.stop()
+      s.table(qname)
+    }
+
   /** FILE-sink drain: run the caller's (stateless, append-mode)
     * streaming transform into an exactly-once PARQUET sink — path plus
     * checkpoint write-ahead log plus the sink's `_spark_metadata`

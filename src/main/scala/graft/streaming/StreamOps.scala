@@ -314,6 +314,21 @@ object StreamOps {
     * pass its `ts + gap`) so it stays invisibly open — on an infinite
     * stream the heartbeat is just the upstream liveness tick every
     * event-time pipeline already carries.
+    *
+    * ORDINAL RESTART CONTRACT (unbounded streams): the timeout flush
+    * removes the user's whole state, including the emitted-session
+    * counter — keeping a per-user tombstone would make state grow with
+    * users EVER seen, forfeiting the active-users bound that justifies
+    * this operator. So a user who returns after a flush restarts
+    * session_id at 1, and the append ledger's (user_id, session_id) can
+    * repeat across flush epochs. Consumers needing a globally unique
+    * session key must use (user_id, session_start) — unique by
+    * construction, since consecutive sessions of one user are separated
+    * by > gap and the watermark guarantees no two flushes overlap a
+    * start. The bounded drains the gate checks can never hit the
+    * restart (the heartbeat rides last), and the batch twin's running
+    * ordinal matches exactly there; on the runs-forever contract the
+    * ordinal is an EPOCH-LOCAL sequence number, by design.
     */
   def sessionizeFull(events: Dataset[Event], gapUs: Long): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._

@@ -421,6 +421,44 @@ class StreamingSpec extends SparkSpec {
       s"full ledger ${got.size} rows vs batch ${want.size}")
   }
 
+  test("late-drop: beyond-watermark row excluded; merging its batch admits it (negative control)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    // the checked query: staged one-file-per-batch → planted row dropped,
+    // ledger ≡ the batch tumbling aggregate over events alone
+    val got = graft.queries.StreamingQ.qStreamLateDrop(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
+      .orderBy("bucket", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want,
+      s"late-drop ledger ${got.size} rows vs batch ${want.size}")
+    // NEGATIVE CONTROL: two files per batch puts the planted row in the
+    // very next batch after the watermark-advancing one — inside the
+    // late filter's one-batch leniency — so it IS admitted and exactly
+    // one (bucket, event_type) row gains one event. Removing the batch
+    // split flips the result: the drop above is the watermark working,
+    // not the fixture being inert.
+    val ctl = StreamDrain.drainedStaged(spark, sf, "stream_late_drop_ctl",
+        graft.queries.StreamingQ.lateDropStages(spark, sf),
+        perTrigger = 2, mode = "append")(st =>
+        StreamOps.tumblingCounts(st, watermark = "0 seconds"))
+      .filter(col("event_type") =!= "hb")
+      .orderBy("bucket", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(ctl.size == want.size, "control ledger changed shape")
+    val diff = ctl.zip(want).filter { case (a, b) => a != b }
+    assert(diff.size == 1, s"control must differ in exactly one row, got ${diff.size}")
+    val cN = diff.head._1.apply(2).asInstanceOf[Long]
+    val wN = diff.head._2.apply(2).asInstanceOf[Long]
+    assert(cN == wN + 1L,
+      "the admitted late row must add exactly one event to its window")
+  }
+
   test("upsert merge is batching-independent and equals the one-window latest-row") {
     import org.apache.spark.sql.functions.col
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
