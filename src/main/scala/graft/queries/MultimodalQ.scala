@@ -103,12 +103,81 @@ object MultimodalQ extends QueryModule {
       .orderBy("id_a", "id_b")
   }
 
+  /** CROSS-MODAL consistency check — the mismatched-pair telemetry a
+    * multimodal corpus prep needs before trusting either modality's
+    * dedup alone: every pair flagged near-dup by EITHER the text path
+    * (MinHash candidates + exact-Jaccard ≥ 0.5 confirm — the standing
+    * `confirmed_pairs` artifact the text dedup already maintains) or
+    * the media path (48-bit perceptual hash, hamming ≤ 7 — the
+    * [[qMultimodalDedup]] pair set), labeled `both` / `text_only`
+    * (text near-dup, images differ — a re-captioned or re-encoded
+    * asset) / `image_only` (same imagery under different text — alt-
+    * text spam or translation), with the perceptual hamming attached
+    * to every pair so the text_only rows carry the evidence of HOW far
+    * the images drifted.
+    *
+    * 100 TB shape: both inputs are banded candidate joins over standing
+    * artifacts (no all-pairs leg; payload bytes never shuffle — only
+    * 16-byte (id, phash) rows and id pairs), the full-outer join is
+    * keyed on the tiny pair sets, and the hash attach is two id
+    * equi-joins. The oracle replays both modalities from `documents`
+    * alone and the brute-force hamming scan.
+    */
+  def qMultimodalCrosscheck(s: SparkSession, dir: String): DataFrame = {
+    val text = Fingerprints.confirmedPairsForProf(s, dir)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("text_dup"))
+    val img = qMultimodalDedup(s, dir)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        lit(true).as("img_dup"))
+    val ph = Multimodal.perceptualHashes(Multimodal.syntheticMedia(s, dir))
+    text.join(img, Seq("doc_a", "doc_b"), "full_outer")
+      .na.fill(false, Seq("text_dup", "img_dup"))
+      .join(ph.select(col("id").as("doc_a"), col("phash").as("pa")), "doc_a")
+      .join(ph.select(col("id").as("doc_b"), col("phash").as("pb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        when(col("text_dup") && col("img_dup"), "both")
+          .when(col("text_dup"), "text_only")
+          .otherwise("image_only").as("verdict"),
+        bit_count(expr("pa ^ pb")).as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_crosscheck" -> (qMultimodalCrosscheck(_, _)),
     "q_multimodal_meta" -> (qMultimodalMeta(_, _)),
     "q_multimodal_resize" -> (qMultimodalResize(_, _)),
     "q_multimodal_frames" -> (qMultimodalFrames(_, _)),
     "q_multimodal_dedup" -> (qMultimodalDedup(_, _)),
     "q_multimodal_pipeline" -> (qMultimodalPipeline(_, _)))
+
+  /** Shared DuckDB CTE chain `m, b, h`: documents → payload bytes (hex
+    * pairs) → 48-bit perceptual hash — ONE spelling for every oracle
+    * that reads phashes (dedup + crosscheck), per the no-hand-sync rule.
+    */
+  private val sqlPhashCtes: String =
+    """m AS (
+      |  SELECT doc_id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+      |    hex(encode(text)) AS hx
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, nb,
+      |    list_transform(range(1, CAST(nb AS INTEGER) + 1),
+      |      i -> (strpos('0123456789ABCDEF', substring(hx, CAST(2*i - 1 AS INTEGER), 1)) - 1) * 16
+      |         + (strpos('0123456789ABCDEF', substring(hx, CAST(2*i AS INTEGER), 1)) - 1)) AS bytes
+      |  FROM m),
+      |h AS (
+      |  SELECT doc_id,
+      |    CASE WHEN nb = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE CAST(COALESCE(list_sum(list_transform(range(0, 48), bb ->
+      |        CASE WHEN ((bb + 1) * nb) // 48 > (bb * nb) // 48
+      |          AND COALESCE(list_sum(
+      |                bytes[CAST((bb * nb) // 48 + 1 AS INTEGER)
+      |                      : CAST(((bb + 1) * nb) // 48 AS INTEGER)]), 0) * nb
+      |              >= COALESCE(list_sum(bytes), 0) * (((bb + 1) * nb) // 48 - (bb * nb) // 48)
+      |        THEN CAST(1 AS BIGINT) << CAST(bb AS INTEGER) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)
+      |    END AS phash
+      |  FROM b)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_meta" ->
@@ -177,34 +246,46 @@ object MultimodalQ extends QueryModule {
     // pair scan the banded Spark plan must equal. DuckDB list slices
     // are 1-based inclusive, so block [lo, hi) is bytes[lo+1 : hi].
     "q_multimodal_dedup" ->
-      """WITH m AS (
-        |  SELECT doc_id,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
-        |    hex(encode(text)) AS hx
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, nb,
-        |    list_transform(range(1, CAST(nb AS INTEGER) + 1),
-        |      i -> (strpos('0123456789ABCDEF', substring(hx, CAST(2*i - 1 AS INTEGER), 1)) - 1) * 16
-        |         + (strpos('0123456789ABCDEF', substring(hx, CAST(2*i AS INTEGER), 1)) - 1)) AS bytes
-        |  FROM m),
-        |h AS (
-        |  SELECT doc_id,
-        |    CASE WHEN nb = 0 THEN CAST(0 AS BIGINT)
-        |    ELSE CAST(COALESCE(list_sum(list_transform(range(0, 48), bb ->
-        |        CASE WHEN ((bb + 1) * nb) // 48 > (bb * nb) // 48
-        |          AND COALESCE(list_sum(
-        |                bytes[CAST((bb * nb) // 48 + 1 AS INTEGER)
-        |                      : CAST(((bb + 1) * nb) // 48 AS INTEGER)]), 0) * nb
-        |              >= COALESCE(list_sum(bytes), 0) * (((bb + 1) * nb) // 48 - (bb * nb) // 48)
-        |        THEN CAST(1 AS BIGINT) << CAST(bb AS INTEGER) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)
-        |    END AS phash
-        |  FROM b)
+      s"""WITH $sqlPhashCtes
         |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
         |  CAST(bit_count(xor(a.phash, c.phash)) AS INTEGER) AS hamming
         |FROM h a JOIN h c ON a.doc_id < c.doc_id
         |WHERE bit_count(xor(a.phash, c.phash)) <= 7
         |ORDER BY id_a, id_b""".stripMargin,
+    // Both modalities recomputed from documents alone: the minhash CTE
+    // chain + the exact-Jaccard confirm (the corpus-clean spelling) for
+    // text, the brute-force phash hamming scan for media, full-outer
+    // joined with the verdict CASE and the hamming attached pairwise.
+    "q_multimodal_crosscheck" ->
+      s"""${Fingerprints.sqlMinhashCtes},
+        |dhs AS (SELECT doc_id, n, list_distinct(hs) AS dh FROM hashed),
+        |confirmed AS (
+        |  SELECT p.doc_a, p.doc_b
+        |  FROM pairs p
+        |  JOIN dhs a ON a.doc_id = p.doc_a
+        |  JOIN dhs b ON b.doc_id = p.doc_b
+        |  WHERE len(list_intersect(a.dh, b.dh))
+        |    / (a.n + b.n - len(list_intersect(a.dh, b.dh))) >= 0.5),
+        |$sqlPhashCtes,
+        |ip AS (
+        |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM h a JOIN h c ON a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.phash, c.phash)) <= 7),
+        |u AS (
+        |  SELECT coalesce(t.doc_a, i.doc_a) AS doc_a,
+        |    coalesce(t.doc_b, i.doc_b) AS doc_b,
+        |    t.doc_a IS NOT NULL AS text_dup,
+        |    i.doc_a IS NOT NULL AS img_dup
+        |  FROM confirmed t FULL OUTER JOIN ip i
+        |    ON t.doc_a = i.doc_a AND t.doc_b = i.doc_b)
+        |SELECT u.doc_a, u.doc_b,
+        |  CASE WHEN text_dup AND img_dup THEN 'both'
+        |    WHEN text_dup THEN 'text_only'
+        |    ELSE 'image_only' END AS verdict,
+        |  CAST(bit_count(xor(ha.phash, hb.phash)) AS INTEGER) AS hamming
+        |FROM u JOIN h ha ON ha.doc_id = u.doc_a
+        |  JOIN h hb ON hb.doc_id = u.doc_b
+        |ORDER BY u.doc_a, u.doc_b""".stripMargin,
     // DuckDB reimplementation of the WHOLE stub pipeline: byte values
     // recovered from hex(payload) pairs; StubCodec.decode's width and
     // StubCodec.features' f0 (fraction of bytes ≡ 0 mod 16, single
