@@ -163,27 +163,59 @@ object ScaleStress {
     */
   private val GenVersion = "2"
 
-  def generate(s: SparkSession, dir: String): Unit = {
+  private def writeTables(s: SparkSession, dir: String, version: String,
+      todo: Seq[(String, () => DataFrame)]): Unit = {
     import java.nio.file.{Files, Paths}
     val vfile = Paths.get(dir, "_GEN_VERSION")
     val stale = !Files.exists(vfile) ||
-      new String(Files.readAllBytes(vfile)).trim != GenVersion
-    val todo = Seq(
-      ("documents", () => genDocuments(s, DocN)),
-      ("embeddings", () => genEmbeddings(s, EmbN)),
-      ("events", () => genEvents(s, EvtN)),
-      ("orders", () => genOrders(s, OrdN)))
+      new String(Files.readAllBytes(vfile)).trim != version
     todo.foreach { case (name, make) =>
       val path = s"$dir/$name.parquet"
       if (stale || !Files.exists(Paths.get(s"$path/_SUCCESS"))) {
         val t0 = System.nanoTime()
         make().write.mode("overwrite").parquet(path)
-        println(f"GEN $name%-12s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        println(f"GEN $dir/$name ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
     }
     Files.createDirectories(Paths.get(dir))
-    Files.write(vfile, GenVersion.getBytes)
+    Files.write(vfile, version.getBytes); ()
   }
+
+  def generate(s: SparkSession, dir: String): Unit =
+    writeTables(s, dir, GenVersion, Seq(
+      ("documents", () => genDocuments(s, DocN)),
+      ("embeddings", () => genEmbeddings(s, EmbN)),
+      ("events", () => genEvents(s, EvtN)),
+      ("orders", () => genOrders(s, OrdN))))
+
+  // ~100× sf0.1 on the documents/embeddings axis — the dedup/banding
+  // chain's tables; the 10× fixture keeps events/orders.
+  val Doc100 = 500000L
+  val Emb100 = 200000L
+
+  /** The 100× fixture: same generators (identical planting rules, so
+    * the parameterized planted-truth bodies run unchanged), 10× the
+    * rows of the 10× fixture.
+    */
+  def generate100(s: SparkSession, dir: String): Unit =
+    writeTables(s, dir, "1", Seq(
+      ("documents", () => genDocuments(s, Doc100)),
+      ("embeddings", () => genEmbeddings(s, Emb100))))
+
+  /** Events with ONE whale: the base generator's 30% hot share lands
+    * entirely on user 42 (vs spread over 50 hot users) — the planted
+    * hot key the skewed streaming-state legs must absorb: one group
+    * holds ~300k of the 1M events.
+    */
+  def genEventsSkewed(s: SparkSession, n: Long): DataFrame =
+    genEvents(s, n).withColumn("user_id",
+      expr("CASE WHEN pmod(xxhash64(event_id, 'hot'), 10) < 3 " +
+        "THEN CAST(42 AS BIGINT) " +
+        "ELSE 50 + pmod(xxhash64(event_id, 'u'), 20000) END"))
+
+  def generateSkew(s: SparkSession, dir: String): Unit =
+    writeTables(s, dir, "1", Seq(
+      ("events", () => genEventsSkewed(s, EvtN))))
 
   /** Order-independent result fingerprint: (row count, commutative
     * DECIMAL(38,0) sum of per-row xxhash64 over all columns). Identical
@@ -203,6 +235,9 @@ object ScaleStress {
   private var failures = 0
   private val results =
     scala.collection.mutable.LinkedHashMap[String, (Boolean, Double)]()
+  // scale100 per-leg wall costs: query -> (secs at 10×, secs at 100×)
+  private val legTimes =
+    scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
 
   private def check(name: String)(body: => Boolean): Unit = {
     val t0 = System.nanoTime()
@@ -225,6 +260,85 @@ object ScaleStress {
     Caches.clear(s)
     try fingerprint(SparkEntry.queries(q)(s, dir))
     finally s.conf.set("spark.sql.shuffle.partitions", "32")
+  }
+
+  // ---- parameterized planted-truth bodies — ONE spelling shared by
+  // the 10× and 100× phases, so the scales cannot drift ----
+
+  private def plantedExactOk(s: SparkSession, dir: String, minPairs: Long): Boolean = {
+    val got = SparkEntry.queries("q_dedup_exact")(s, dir)
+      .filter(col("n_copies") > 1)
+    val base = Tables.documents(s, dir).groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+    val (gn, gs) = fingerprint(got.select("keep_id", "n_copies"))
+    val (bn, bs) = fingerprint(base.select("keep_id", "n_copies"))
+    gn > minPairs && (gn, gs) == (bn, bs)
+  }
+
+  /** Planted near-dups whose base doc kept its own text (neither leg of
+    * the pair rewritten by the exact-dup rule).
+    */
+  private def plantedNearPairs(s: SparkSession, docN: Long): DataFrame =
+    s.range(docN).toDF("doc_b")
+      .filter(col("doc_b") % 89 === 7 && col("doc_b") >= 89
+        && col("doc_b") % 97 =!= 3 && (col("doc_b") - 7) % 97 =!= 3)
+      .select((col("doc_b") - 7).as("doc_a"), col("doc_b"))
+
+  private def plantedJaccardOk(s: SparkSession, dir: String, docN: Long,
+      minPairs: Long): Boolean = {
+    val planted = plantedNearPairs(s, docN)
+    val found = SparkEntry.queries("q_dedup_jaccard")(s, dir)
+      .select("doc_a", "doc_b")
+    val missing = planted.join(found, Seq("doc_a", "doc_b"), "left_anti").count()
+    planted.count() > minPairs && missing == 0
+  }
+
+  private def plantedMinhashRecallOk(s: SparkSession, dir: String, docN: Long,
+      minPairs: Long): Boolean = {
+    val planted = plantedNearPairs(s, docN)
+    val found = SparkEntry.queries("q_dedup_minhash")(s, dir)
+      .select("doc_a", "doc_b")
+    val nPlanted = planted.count()
+    val missing = planted.join(found, Seq("doc_a", "doc_b"), "left_anti").count()
+    println(f"  minhash recall: ${nPlanted - missing}/$nPlanted planted pairs candidated")
+    nPlanted > minPairs && missing.toDouble / nPlanted <= 0.02
+  }
+
+  /** Clean copy pairs (copy id, seed id): exact-dup copies whose SEED
+    * was not itself rewritten by the near-dup rule.
+    */
+  private def cleanCopyPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 97 === 3 && col("doc_id") >= 97)
+      .filter(!((col("doc_id") - 3) % 89 === 7 && col("doc_id") - 3 >= 89))
+      .select(col("doc_id").as("copy_id"), (col("doc_id") - 3).as("seed_id"))
+
+  private def plantedRewriteOk(s: SparkSession, dir: String, minPairs: Long): Boolean = {
+    val pairs = cleanCopyPairs(s, dir)
+    val rw = SparkEntry.queries("q_dedup_substring_rewrite")(s, dir)
+    val seedsIntact = rw.join(pairs.select(col("seed_id").as("doc_id")), "doc_id")
+      .filter(col("kept_chars") =!= col("n_chars")).count()
+    val copiesEmpty = rw.join(pairs.select(col("copy_id").as("doc_id")), "doc_id")
+      .filter(col("kept_chars") =!= 0L).count()
+    pairs.count() > minPairs && seedsIntact == 0 && copiesEmpty == 0
+  }
+
+  private def plantedEmbedOk(s: SparkSession, dir: String, embN: Long,
+      minPairs: Long): Boolean = {
+    val planted = s.range(embN).toDF("idb")
+      .filter(col("idb") % 83 === 7 && col("idb") >= 83)
+      .select((col("idb") - 7).as("ida"), col("idb"))
+    val found = SparkEntry.queries("q_dedup_embed_hybrid")(s, dir)
+      .select("ida", "idb")
+    val missing = planted.join(found, Seq("ida", "idb"), "left_anti").count()
+    planted.count() > minPairs && missing == 0
+  }
+
+  private def substringAppendOk(s: SparkSession, dir: String, minRows: Long): Boolean = {
+    val a = fingerprint(SparkEntry.queries("q_dedup_substring_append")(s, dir))
+    val b = fingerprint(SparkEntry.queries("q_dedup_substring")(s, dir))
+    a._1 > minRows && a == b
   }
 
   def main(args: Array[String]): Unit = {
@@ -293,7 +407,9 @@ object ScaleStress {
       "q_sink_compaction", "q_dedup_substring_append",
       "q_bm25_multi", "q_hll_distinct", "q_stream_interval_join",
       "q_stream_sessionize_full", "q_stream_upsert",
-      "q_stream_hll").foreach { q =>
+      "q_stream_hll", "q_quantile_sketch", "q_stream_quantile",
+      "q_stream_late_drop", "q_embed_ann_multiprobe",
+      "q_multimodal_crosscheck").foreach { q =>
       check(s"invariance_$q") {
         legFp(spark, dir, q, 16) == legFp(spark, dir, q, 48)
       }
@@ -303,34 +419,15 @@ object ScaleStress {
     // 10× (the oracle proves it at sf0.01; this re-proves it where the
     // standing/increment split is 45k/5k docs)
     check("substring_append_vs_rebuild") {
-      val a = fingerprint(SparkEntry.queries("q_dedup_substring_append")(spark, dir))
-      val b = fingerprint(SparkEntry.queries("q_dedup_substring")(spark, dir))
-      a._1 > 400 && a == b
+      substringAppendOk(spark, dir, 400)
     }
 
     // ---- planted-duplicate recall ----
     check("planted_exact_dups") {
-      val got = SparkEntry.queries("q_dedup_exact")(spark, dir)
-        .filter(col("n_copies") > 1)
-      val base = Tables.documents(spark, dir).groupBy("text")
-        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-        .filter(col("n_copies") > 1)
-      val (gn, gs) = fingerprint(got.select("keep_id", "n_copies"))
-      val (bn, bs) = fingerprint(base.select("keep_id", "n_copies"))
-      gn > 400 && (gn, gs) == (bn, bs)
+      plantedExactOk(spark, dir, 400)
     }
     check("planted_jaccard_pairs") {
-      // planted near-dups whose base doc kept its own text (neither leg
-      // of the pair was rewritten by the exact-dup rule)
-      val planted = spark.range(DocN).toDF("doc_b")
-        .filter(col("doc_b") % 89 === 7 && col("doc_b") >= 89
-          && col("doc_b") % 97 =!= 3 && (col("doc_b") - 7) % 97 =!= 3)
-        .select((col("doc_b") - 7).as("doc_a"), col("doc_b"))
-      val found = SparkEntry.queries("q_dedup_jaccard")(spark, dir)
-        .select("doc_a", "doc_b")
-      val missing = planted.join(found, Seq("doc_a", "doc_b"), "left_anti").count()
-      val nPlanted = planted.count()
-      nPlanted > 400 && missing == 0
+      plantedJaccardOk(spark, dir, DocN, 400)
     }
     // Exact-dup docs are verbatim text copies, so the substring-run
     // listing must report the WHOLE document as one duplicated run for
@@ -360,24 +457,15 @@ object ScaleStress {
     }
     // keep-one rewrite at 10×: every clean pair's SEED doc (canonical —
     // lower id, no cuts from its own copy) survives verbatim and the
-    // COPY doc is emptied (it is a full duplicate of the seed text)
+    // COPY doc is emptied (it is a full duplicate of the seed text).
+    // Copies are verbatim duplicates of their seed, so every copy
+    // window is in the dup set → copiesEmpty is strict. Seeds must
+    // stay verbatim: THIS check found the 2^31 Karp–Rabin birthday
+    // collisions (77% of seeds falsely cut at 6.5M windows) that
+    // forced the positional hash to 62 bits — keep it strict so a
+    // hash-width regression trips again.
     check("planted_substring_rewrite") {
-      val pairs = Tables.documents(spark, dir)
-        .filter(col("doc_id") % 97 === 3 && col("doc_id") >= 97)
-        .filter(!((col("doc_id") - 3) % 89 === 7 && col("doc_id") - 3 >= 89))
-        .select(col("doc_id").as("copy_id"), (col("doc_id") - 3).as("seed_id"))
-      val rw = SparkEntry.queries("q_dedup_substring_rewrite")(spark, dir)
-      val seedsIntact = rw.join(pairs.select(col("seed_id").as("doc_id")), "doc_id")
-        .filter(col("kept_chars") =!= col("n_chars")).count()
-      val copiesEmpty = rw.join(pairs.select(col("copy_id").as("doc_id")), "doc_id")
-        .filter(col("kept_chars") =!= 0L).count()
-      // copies are verbatim duplicates of their seed, so every copy
-      // window is in the dup set → copiesEmpty is strict. Seeds must
-      // stay verbatim: THIS check found the 2^31 Karp–Rabin birthday
-      // collisions (77% of seeds falsely cut at 6.5M windows) that
-      // forced the positional hash to 62 bits — keep it strict so a
-      // hash-width regression trips again.
-      pairs.count() > 400 && seedsIntact == 0 && copiesEmpty == 0
+      plantedRewriteOk(spark, dir, 400)
     }
     // Packed-key wrap trap: the ≥2²⁰-char copy pair (genHugeDocs). The
     // copy must be emptied and the seed kept VERBATIM — a packed
@@ -433,13 +521,7 @@ object ScaleStress {
       bn > 1000 && (bn, bs) == (sn, ss)
     }
     check("planted_embed_pairs") {
-      val planted = spark.range(EmbN).toDF("idb")
-        .filter(col("idb") % 83 === 7 && col("idb") >= 83)
-        .select((col("idb") - 7).as("ida"), col("idb"))
-      val found = SparkEntry.queries("q_dedup_embed_hybrid")(spark, dir)
-        .select("ida", "idb")
-      val missing = planted.join(found, Seq("ida", "idb"), "left_anti").count()
-      planted.count() > 200 && missing == 0
+      plantedEmbedOk(spark, dir, EmbN, 200)
     }
     // SimHash recall floor: verbatim copy pairs have hamming distance 0,
     // so EVERY planted exact pair must appear in the simhash dedup —
@@ -480,16 +562,181 @@ object ScaleStress {
     // signatures are pure functions of the text), so the bound is a
     // regression pin, not a flaky probability.
     check("planted_minhash_recall") {
-      val planted = spark.range(DocN).toDF("doc_b")
-        .filter(col("doc_b") % 89 === 7 && col("doc_b") >= 89
-          && col("doc_b") % 97 =!= 3 && (col("doc_b") - 7) % 97 =!= 3)
-        .select((col("doc_b") - 7).as("doc_a"), col("doc_b"))
-      val found = SparkEntry.queries("q_dedup_minhash")(spark, dir)
-        .select("doc_a", "doc_b")
-      val nPlanted = planted.count()
-      val missing = planted.join(found, Seq("doc_a", "doc_b"), "left_anti").count()
-      println(f"  minhash recall: ${nPlanted - missing}/$nPlanted planted pairs candidated")
-      nPlanted > 400 && missing.toDouble / nPlanted <= 0.02
+      plantedMinhashRecallOk(spark, dir, DocN, 400)
+    }
+
+    // ---- append∘append ≡ rebuild: one-increment maintenance is proven
+    // above (substring_append_vs_rebuild) and at sf0.01 by the oracle;
+    // these prove the CHAIN — two successive increments, the production
+    // steady state — for all three maintained artifacts ----
+    check("append_twice_vs_rebuild_postings") {
+      import graft.queries.{Fingerprints => F}
+      val p = F.postings(spark, dir)
+      val n = Tables.documents(spark, dir).count()
+      val b1 = (n * 6L) / 10L
+      val b2 = (n * 8L) / 10L
+      // MERGE semantics: each batch anti-joins the standing doc set, so
+      // re-ingested docs (the 100-doc overlaps) must be dropped — the
+      // idempotence half of the maintenance contract, chained twice.
+      def mergeIn(st: DataFrame, batch: DataFrame): DataFrame =
+        st.unionByName(batch.join(
+          st.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
+      val m1 = mergeIn(p.filter(col("doc_id") < b1),
+        p.filter(col("doc_id") >= b1 - 100 && col("doc_id") < b2))
+      val m2 = mergeIn(m1, p.filter(col("doc_id") >= b2 - 100))
+      def probe(idx: DataFrame): DataFrame = {
+        val dfreq = idx.groupBy("h").agg(count(lit(1)).as("df"))
+        idx.join(dfreq, "h").groupBy("doc_id")
+          .agg(count(lit(1)).as("n_postings"), max(col("df")).as("max_df"))
+      }
+      val a = fingerprint(probe(m2))
+      val b = fingerprint(probe(p))
+      a._1 > 40000 && a == b
+    }
+    check("append_twice_vs_rebuild_substring") {
+      val chained = queries.CorpusQuality.substringRunsOverSlices(spark, dir,
+        Seq(pmod(col("doc_id"), lit(10)) <= 5,
+          pmod(col("doc_id"), lit(10)).isin(6, 7),
+          pmod(col("doc_id"), lit(10)) >= 8))
+      val a = fingerprint(chained)
+      val b = fingerprint(SparkEntry.queries("q_dedup_substring")(spark, dir))
+      a._1 > 400 && a == b
+    }
+    check("append_twice_vs_rebuild_embed") {
+      val (chained, rebuilt) = queries.Similarity.embedAppendTwiceLegs(spark, dir)
+      val a = fingerprint(chained)
+      val b = fingerprint(rebuilt)
+      a._1 > 1000 && a == b
+    }
+
+    // ---- budgeted multi-probe ANN: at the SAME admitted-candidate
+    // budget (per-(query, band) cap, 4 bands), probing the 4
+    // lowest-margin buckets of a 2⁶ geometry must recover at least the
+    // recall of the single 2⁴ bucket it replaces (equal expected
+    // candidate volume: 4·n/2⁶ per band either way), and the fan-out
+    // bound must hold ----
+    check("multiprobe_recall_vs_singleprobe") {
+      val (mp, sp, fan) =
+        queries.Similarity.multiProbeRecallProfile(spark, dir, 50L, 5)
+      println(f"  multiprobe recall=$mp%.4f singleprobe=$sp%.4f" +
+        f" max_fanout=$fan (budget ${4L * queries.Similarity.MpBudget})")
+      mp >= sp && fan <= 4L * queries.Similarity.MpBudget
+    }
+
+    // ---- planted hot-key skew: one whale user carries ~30% of 1M
+    // events; the three keyed streaming-state legs must still equal
+    // their batch twins (state correctness under skew — the whale's
+    // group is sorted/folded in one task, the single-key cliff a
+    // production stream hits) ----
+    val dirSkew = dir + "_skew"
+    generateSkew(spark, dirSkew)
+    check("skewed_fixture_live") {
+      val ev = Tables.events(spark, dirSkew)
+      val whale = ev.filter(col("user_id") === 42L).count()
+      println(s"  whale share: $whale / $EvtN")
+      whale > (EvtN * 28L) / 100L && whale < (EvtN * 32L) / 100L
+    }
+    check("skewed_stream_sessionize") {
+      val b = fingerprint(SparkEntry.queries("q_sessionize")(spark, dirSkew))
+      val st = fingerprint(
+        SparkEntry.queries("q_stream_sessionize_full")(spark, dirSkew))
+      b._1 > 1000 && b == st
+    }
+    check("skewed_stream_upsert") {
+      val ev = Tables.events(spark, dirSkew)
+        .select("user_id", "event_type", "value", "ts", "event_id")
+      val batch = graft.streaming.StreamOps
+        .upsertMerge(ev.filter(lit(false)), ev)
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"), col("ts").as("last_ts"))
+      val b = fingerprint(batch)
+      val st = fingerprint(SparkEntry.queries("q_stream_upsert")(spark, dirSkew))
+      b._1 > 1000 && b == st
+    }
+    check("skewed_stream_hll") {
+      val b = fingerprint(SparkEntry.queries("q_hll_distinct")(spark, dirSkew))
+      val st = fingerprint(SparkEntry.queries("q_stream_hll")(spark, dirSkew))
+      b._1 == 5 && b == st
+    }
+    Caches.clear(spark)
+
+    // ---- scale100: the dedup/banding chain at ~100× sf0.1 — the bug
+    // class ladder (each 10× step caught something the rung below could
+    // not see). Per-leg wall cost is measured FRESH-CACHE at both
+    // scales and the ratio must stay ≲ 12× (linear-with-logs budget);
+    // planted recall re-proven at 100× with the same bodies as 10×.
+    // Skippable for fast iterations via SPARK_GRAFT_SKIP100=1; recorded
+    // rounds run it. ----
+    if (!sys.env.get("SPARK_GRAFT_SKIP100").contains("1")) {
+      val dir100 = dir + "0"
+      generate100(spark, dir100)
+      val chain = Seq("q_dedup_substring", "q_dedup_substring_append",
+        "q_dedup_jaccard", "q_dedup_index_append", "q_dedup_embed_hybrid",
+        "q_stream_neardup_gate", "q_stream_decontaminate")
+      def timedLeg(d: String, q: String): Double = {
+        Caches.clear(spark)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, d).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      chain.foreach { q =>
+        val t10 = timedLeg(dir, q)
+        check(s"scale100_cost_$q") {
+          val t100 = timedLeg(dir100, q)
+          val ratio = t100 / t10
+          legTimes(q) = (t10, t100)
+          println(f"  LEG $q t10=$t10%.1f s t100=$t100%.1f s ratio=$ratio%.1f")
+          ratio <= 12.0
+        }
+      }
+      // planted truth at 100× (caches warm from the timed legs)
+      check("scale100_planted_exact") {
+        plantedExactOk(spark, dir100, 4000)
+      }
+      check("scale100_planted_jaccard") {
+        plantedJaccardOk(spark, dir100, Doc100, 4000)
+      }
+      check("scale100_planted_minhash_recall") {
+        plantedMinhashRecallOk(spark, dir100, Doc100, 4000)
+      }
+      check("scale100_planted_substring_rewrite") {
+        plantedRewriteOk(spark, dir100, 4000)
+      }
+      check("scale100_planted_embed") {
+        plantedEmbedOk(spark, dir100, Emb100, 2000)
+      }
+      check("scale100_substring_append_vs_rebuild") {
+        substringAppendOk(spark, dir100, 4000)
+      }
+      // the two streaming ingest gates vs their batch twins at 100×
+      check("scale100_stream_neardup_vs_batch") {
+        import graft.queries.{Fingerprints => F}
+        val docs = Tables.documents(spark, dir100)
+        val standing = F.bandTableOf(spark,
+          docs.filter(col("doc_id") % 10 =!= 7).select("doc_id", "text"))
+        val arriving = F.bandTableOf(spark,
+          docs.filter(col("doc_id") % 10 === 7).select("doc_id", "text"))
+        val batchTwin = arriving.join(
+            standing.select(col("band"), col("v1"), col("v2"),
+              col("doc_id").as("standing_doc")),
+            Seq("band", "v1", "v2"))
+          .select("doc_id", "band", "standing_doc").distinct()
+        val b = fingerprint(batchTwin)
+        val st = fingerprint(
+          SparkEntry.queries("q_stream_neardup_gate")(spark, dir100))
+        b._1 > 0 && b == st
+      }
+      check("scale100_stream_decontam_vs_batch") {
+        val st = SparkEntry.queries("q_stream_decontaminate")(spark, dir100)
+        // liveness: the gate must DROP something at 100× (an inert gate
+        // passes any equality — the round-10 lesson)
+        val total = Tables.documents(spark, dir100)
+          .filter(col("doc_id") >= 20).count()
+        val kept = st.count()
+        println(s"  decontam kept $kept / $total arriving docs")
+        kept > 0 && kept < total
+      }
+      Caches.clear(spark)
     }
 
     val wall = (System.nanoTime() - t0) / 1e9
@@ -501,13 +748,18 @@ object ScaleStress {
       val checksJson = results.map { case (k, (ok, v)) =>
         f"""    {"name":"$k","pass":$ok,"secs":$v%.1f}"""
       }.mkString(",\n")
+      val legsJson =
+        if (legTimes.isEmpty) ""
+        else legTimes.map { case (q, (t10, t100)) =>
+          f"""    {"query":"$q","t10_sec":$t10%.1f,"t100_sec":$t100%.1f,"ratio":${t100 / t10}%.1f}"""
+        }.mkString("  \"scale100\": [\n", ",\n", "\n  ],\n")
       val json =
         f"""{
            |  "dir": "$dir",
            |  "n_checks": ${results.size},
            |  "failures": $failures,
            |  "wall_sec": $wall%.1f,
-           |  "checks": [
+           |$legsJson  "checks": [
            |$checksJson
            |  ]
            |}

@@ -621,6 +621,21 @@ object CorpusQuality extends QueryModule {
       .orderBy("doc_id", "start")
   }
 
+  /** ScaleStress hook — the substring-run listing rebuilt from an
+    * arbitrary SLICING of the corpus's positional-hash table, each
+    * slice appended in turn: the ph table is append-only, so any
+    * union order must equal the one-pass rebuild (the append∘append ≡
+    * rebuild chain claim, checked by fingerprint against
+    * [[qDedupSubstring]] at 10×).
+    */
+  private[graft] def substringRunsOverSlices(s: SparkSession, dir: String,
+      slices: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ph = slices.map(c => posHashes(docs.filter(c))).reduce(_ unionByName _)
+    runsFromPositions(dupPositionsFromPh(ph), MinRun)
+      .orderBy("doc_id", "start")
+  }
+
   /** Exact-substring dedup, CUT summary: per document, how many
     * characters are covered by cross-document duplicated windows (union
     * of [pos, pos+W) intervals — windows within W positions overlap, so
