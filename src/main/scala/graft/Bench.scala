@@ -211,6 +211,11 @@ object Bench {
       } else (name, fn, t)
     }
     val seqSum = warm.collect { case (_, _, t) if t != Double.MaxValue => t }.sum
+    // The pre-re-measure sum — the single-shot discipline every round
+    // before 11 recorded. Emitting both lets a cross-round reader
+    // separate the min-of-two protocol's one-sided deflation from real
+    // plan deltas.
+    val seqSumRaw = warm0.collect { case (_, _, t) if t != Double.MaxValue => t }.sum
     // Trivial-query sentinels: q_head (limit-100 scan) and q_group_sum
     // (5-group agg) are sub-0.1 s warm on a quiet host at every SF; a
     // warm rep over ~1 s can only be host steal.
@@ -280,8 +285,14 @@ object Bench {
     // (measured ~10 on an otherwise-idle box), so it cannot separate
     // host steal from self-load — the sentinels cover mid-run spikes.
     val loadSkewed = sentinelSlow || load0 > 4.0
+    // The definitive-anchor marker (machine-readable twin of
+    // BASELINE.md's idle-host rule): start load < 0.5 and clean
+    // sentinels mean this sample's seq_sum is cross-round comparable
+    // as-is, no exegesis needed.
+    val anchor = !sentinelSlow && load0 < 0.5
     val loadJson = s""","load":[${f2(load0)},${f2(load1)}],"cpus":$cpus""" +
-      (if (loadSkewed) ""","load_skewed":true""" else "")
+      (if (loadSkewed) ""","load_skewed":true""" else "") +
+      (if (anchor) ""","anchor":true""" else "")
 
     // Full-precision detail for offline reading (best effort — the
     // printed line is the artifact of record).
@@ -296,7 +307,7 @@ object Bench {
         s""""$k":$t""" }.mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(DetailFile),
-        s"""{"protocol":2,"total":$total,"q_sum":$qSum,"seq_sum":$seqSum,"heavy_wall":$heavyWall,"light_wall":$lightWall,"pool":$poolSize,"heavy":$heavyJson,"prep":$prepSec,"prep_by_module":$prepJson,"load":[$load0,$load1],"load_skewed":$loadSkewed,"sf":"$sfDir","queries":$detail,"seq":$seqJson}\n"""
+        s"""{"protocol":2,"total":$total,"q_sum":$qSum,"seq_sum":$seqSum,"seq_sum_raw":$seqSumRaw,"heavy_wall":$heavyWall,"light_wall":$lightWall,"pool":$poolSize,"heavy":$heavyJson,"prep":$prepSec,"prep_by_module":$prepJson,"load":[$load0,$load1],"load_skewed":$loadSkewed,"anchor":$anchor,"sf":"$sfDir","queries":$detail,"seq":$seqJson}\n"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => }
 
@@ -341,7 +352,7 @@ object Bench {
       // seq_sum / the detail file's warm all-sequential "seq" map, the
       // pre-round-7 timing discipline re-measured every round.
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","protocol":2,""" +
-        s""""q_sum":${f2(qSum)},"seq_sum":${f2(seqSum)},""" +
+        s""""q_sum":${f2(qSum)},"seq_sum":${f2(seqSum)},"seq_sum_raw":${f2(seqSumRaw)},""" +
         s""""seq_wall":${f2(heavyWall)},"pool_wall":${f2(lightWall)},"pool":$poolSize,""" +
         s""""prep":${f2(prepSec)},""" +
         s""""queries":${qs.mkString("{", ",", "}")}$failedJson$loadJson,"sf":$sfJson}"""
