@@ -25,6 +25,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamDrain {
 
+  /** Bound on a single availableNow drain — a liveness backstop, not a
+    * performance budget (the 100× gate corpus legitimately needs more
+    * than the old 300 s cap; a production monitor has no cap at all).
+    */
+  private val DrainTimeoutMs: Long =
+    sys.env.get("SPARK_GRAFT_DRAIN_TIMEOUT_MS").map(_.toLong).getOrElse(1200000L)
+
   /** @param kind   cache key + memory-sink name prefix
     * @param table  corpus table name (reads `dir/table.parquet`)
     * @param mode   "complete" for aggregates (default — see object doc),
@@ -64,7 +71,7 @@ object StreamDrain {
         .outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try require(q.awaitTermination(300000),
+      try require(q.awaitTermination(DrainTimeoutMs),
         s"availableNow drain of $kind timed out")
       finally q.stop()
       s.table(qname)
@@ -111,7 +118,7 @@ object StreamDrain {
         .outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try require(q.awaitTermination(300000),
+      try require(q.awaitTermination(DrainTimeoutMs),
         s"availableNow staged drain of $kind timed out")
       finally q.stop()
       s.table(qname)
@@ -139,7 +146,7 @@ object StreamDrain {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try require(q.awaitTermination(300000),
+      try require(q.awaitTermination(DrainTimeoutMs),
         s"availableNow file drain of $kind timed out")
       finally q.stop()
       s.read.parquet(s"$out/data")
@@ -163,7 +170,7 @@ object StreamDrain {
           StreamScratch.dirFor(s, s"chk_$kind").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try require(q.awaitTermination(300000),
+      try require(q.awaitTermination(DrainTimeoutMs),
         s"availableNow foreachBatch drain of $kind timed out")
       finally q.stop()
       result

@@ -80,16 +80,30 @@ object StreamOps {
     * [[graft.queries.Fingerprints.hashOfSql]] — batch and stream cannot
     * drift (round 10 hand-synced them; the stream kept an old mod-2³¹
     * reduction and the decontamination gate went silently inert).
+    *
+    * The word split is bound ONCE per row as a lambda variable (`ws`,
+    * via a one-element `transform`), so the shingle lambda reads the
+    * bound array — the expression-level analog of the batch index's
+    * materialized `words` column. The round-12 100× gate caught the
+    * alternative: with `split(text, ' ')` spelled inline, the
+    * interpreted higher-order lambda re-ran the split per ELEMENT —
+    * O(words² · chars) per document, invisible at oracle scale and a
+    * >20-minute stall on the planted >2²⁰-char documents. A plain
+    * projection column is NOT a fix: Catalyst's filter pushdown
+    * (PushPredicateThroughNonJoin) substitutes aliases into predicates
+    * unconditionally, re-inlining the split into every lambda use —
+    * only a lambda binding is substitution-proof in every host node.
     */
   val shingleHashes: Column = expr(
-    s"""array_distinct(transform(
-      |  CASE WHEN size(split(text, ' ')) >= 3
-      |    THEN transform(sequence(0, size(split(text, ' ')) - 3),
-      |      i -> concat_ws(' ', element_at(split(text, ' '), i + 1),
-      |             element_at(split(text, ' '), i + 2),
-      |             element_at(split(text, ' '), i + 3)))
-      |    ELSE array(text) END,
-      |  sg -> ${graft.queries.Fingerprints.hashOfSql("sg")}))""".stripMargin)
+    s"""element_at(transform(array(split(text, ' ')), ws ->
+      |  array_distinct(transform(
+      |    CASE WHEN size(ws) >= 3
+      |      THEN transform(sequence(0, size(ws) - 3),
+      |        i -> concat_ws(' ', element_at(ws, i + 1),
+      |               element_at(ws, i + 2),
+      |               element_at(ws, i + 3)))
+      |      ELSE array(text) END,
+      |    sg -> ${graft.queries.Fingerprints.hashOfSql("sg")}))), 1)""".stripMargin)
 
   /** Streaming decontamination under the BATCH overlap rule (see
     * `Fingerprints.qDecontaminate`): drop an arriving document when ≥
