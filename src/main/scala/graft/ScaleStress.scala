@@ -78,8 +78,19 @@ object ScaleStress {
       .withColumn("__exact", col("doc_id") % 97 === 3 && col("doc_id") >= 97)
       .withColumn("__near",
         !col("__exact") && col("doc_id") % 89 === 7 && col("doc_id") >= 89)
+      // planted EVAL LEAKAGE: id ≡ 11 (mod 101) verbatim-copies one of
+      // the first 20 docs — the benchmark set the decontamination gates
+      // broadcast — so "the gate drops something" is a live claim on
+      // this corpus (it was vacuous before: the xxhash vocab produces
+      // no incidental ≥5-shingle overlaps, so the gates kept everything
+      // and any drift passed the stream≡batch equality trivially)
+      .withColumn("__eval",
+        !col("__exact") && !col("__near")
+          && col("doc_id") % 101 === 11 && col("doc_id") >= 101)
       .withColumn("__seed", when(col("__exact"), col("doc_id") - 3)
-        .when(col("__near"), col("doc_id") - 7).otherwise(col("doc_id")))
+        .when(col("__near"), col("doc_id") - 7)
+        .when(col("__eval"), col("doc_id") % 20)
+        .otherwise(col("doc_id")))
       .withColumn("text", expr(
         """array_join(transform(
           |  sequence(0, CAST(20 + pmod(xxhash64(__seed, 'len'), 180) AS INT)),
@@ -161,7 +172,7 @@ object ScaleStress {
     * copy pair but the cached corpus predated it: the bigdoc check
     * silently tested 0 rows and FAILED on its first recorded run).
     */
-  private val GenVersion = "2"
+  private val GenVersion = "3"
 
   private def writeTables(s: SparkSession, dir: String, version: String,
       todo: Seq[(String, () => DataFrame)]): Unit = {
@@ -198,7 +209,7 @@ object ScaleStress {
     * rows of the 10× fixture.
     */
   def generate100(s: SparkSession, dir: String): Unit =
-    writeTables(s, dir, "1", Seq(
+    writeTables(s, dir, "2", Seq(
       ("documents", () => genDocuments(s, Doc100)),
       ("embeddings", () => genEmbeddings(s, Emb100))))
 
@@ -277,12 +288,13 @@ object ScaleStress {
   }
 
   /** Planted near-dups whose base doc kept its own text (neither leg of
-    * the pair rewritten by the exact-dup rule).
+    * the pair rewritten by the exact-dup or eval-leak rules).
     */
   private def plantedNearPairs(s: SparkSession, docN: Long): DataFrame =
     s.range(docN).toDF("doc_b")
       .filter(col("doc_b") % 89 === 7 && col("doc_b") >= 89
         && col("doc_b") % 97 =!= 3 && (col("doc_b") - 7) % 97 =!= 3)
+      .filter(!((col("doc_b") - 7) % 101 === 11 && col("doc_b") - 7 >= 101))
       .select((col("doc_b") - 7).as("doc_a"), col("doc_b"))
 
   private def plantedJaccardOk(s: SparkSession, dir: String, docN: Long,
@@ -306,12 +318,15 @@ object ScaleStress {
   }
 
   /** Clean copy pairs (copy id, seed id): exact-dup copies whose SEED
-    * was not itself rewritten by the near-dup rule.
+    * was not itself rewritten by the near-dup or eval-leak rules (a
+    * rewritten seed's displayed text differs from the words the copy
+    * was generated from, so such pairs are not verbatim copies).
     */
   private def cleanCopyPairs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .filter(col("doc_id") % 97 === 3 && col("doc_id") >= 97)
       .filter(!((col("doc_id") - 3) % 89 === 7 && col("doc_id") - 3 >= 89))
+      .filter(!((col("doc_id") - 3) % 101 === 11 && col("doc_id") - 3 >= 101))
       .select(col("doc_id").as("copy_id"), (col("doc_id") - 3).as("seed_id"))
 
   private def plantedRewriteOk(s: SparkSession, dir: String, minPairs: Long): Boolean = {
@@ -435,15 +450,11 @@ object ScaleStress {
     // retain 0% of them. (Character-granular recall — stricter than the
     // doc-level exact-dup check above.)
     check("planted_substring_runs") {
-      // the copy docs plus their seed docs: both sides of each pair.
-      // Pairs whose SEED was itself rewritten by the near-dup rule are
-      // not verbatim copies (the copy reads the seed's unedited words)
-      // — exclude them, as the generator's planting rules imply.
-      val pairDocs = Tables.documents(spark, dir)
-        .filter(col("doc_id") % 97 === 3 && col("doc_id") >= 97)
-        .filter(!((col("doc_id") - 3) % 89 === 7 && col("doc_id") - 3 >= 89))
-        .select(col("doc_id"), (col("doc_id") - 3).as("seed_id"))
-      val members = pairDocs.select(col("doc_id"))
+      // the copy docs plus their seed docs: both sides of each pair
+      // ([[cleanCopyPairs]] — seeds rewritten by the near-dup or
+      // eval-leak rules are not verbatim copies and are excluded)
+      val pairDocs = cleanCopyPairs(spark, dir)
+      val members = pairDocs.select(col("copy_id").as("doc_id"))
         .union(pairDocs.select(col("seed_id").as("doc_id"))).distinct()
       val wholeRuns = SparkEntry.queries("q_dedup_substring")(spark, dir)
         .filter(col("start") === 0)
@@ -483,10 +494,8 @@ object ScaleStress {
         rw(1).getLong(2) == 0L
     }
     check("planted_substring_cut_zero") {
-      val copies = Tables.documents(spark, dir)
-        .filter(col("doc_id") % 97 === 3 && col("doc_id") >= 97)
-        .filter(!((col("doc_id") - 3) % 89 === 7 && col("doc_id") - 3 >= 89))
-        .select("doc_id")
+      val copies = cleanCopyPairs(spark, dir)
+        .select(col("copy_id").as("doc_id"))
       val notZero = SparkEntry.queries("q_dedup_substring_cut")(spark, dir)
         .join(copies, "doc_id")
         .filter(col("retained_frac") =!= 0.0).count()
@@ -530,10 +539,8 @@ object ScaleStress {
     // pins that the fingerprint itself can't drift into splitting
     // identical documents at scale).
     check("planted_simhash_exact_pairs") {
-      val planted = Tables.documents(spark, dir)
-        .filter(col("doc_id") % 97 === 3 && col("doc_id") >= 97)
-        .filter(!((col("doc_id") - 3) % 89 === 7 && col("doc_id") - 3 >= 89))
-        .select((col("doc_id") - 3).as("doc_a"), col("doc_id").as("doc_b"))
+      val planted = cleanCopyPairs(spark, dir)
+        .select(col("seed_id").as("doc_a"), col("copy_id").as("doc_b"))
       val found = SparkEntry.queries("q_dedup_simhash")(spark, dir)
         .filter(col("hamming") === 0).select("doc_a", "doc_b")
       val missing = planted.join(found, Seq("doc_a", "doc_b"), "left_anti").count()
@@ -673,16 +680,27 @@ object ScaleStress {
       val chain = Seq("q_dedup_substring", "q_dedup_substring_append",
         "q_dedup_jaccard", "q_dedup_index_append", "q_dedup_embed_hybrid",
         "q_stream_neardup_gate", "q_stream_decontaminate")
-      def timedLeg(d: String, q: String): Double = {
-        Caches.clear(spark)
-        val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, d).count()
-        (System.nanoTime() - t0) / 1e9
+      // Per-leg cost = MIN of two fresh-cache runs (the first run pays
+      // cold page-cache reads of a 10×-bigger corpus — I/O warmup, not
+      // compute, and it inflated ratios ~3× before the min); shuffle
+      // partitions scale with the corpus (32 → 128), the knob a real
+      // cluster (or AQE, which the bench config enables) turns with
+      // data volume — fixed 32 spills the 100× substring aggregation.
+      def timedLeg(d: String, q: String, parts: Int): Double = {
+        def once(): Double = {
+          spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+          Caches.clear(spark)
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, d).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        try math.min(once(), once())
+        finally spark.conf.set("spark.sql.shuffle.partitions", "32")
       }
       chain.foreach { q =>
-        val t10 = timedLeg(dir, q)
+        val t10 = timedLeg(dir, q, 32)
         check(s"scale100_cost_$q") {
-          val t100 = timedLeg(dir100, q)
+          val t100 = timedLeg(dir100, q, 128)
           val ratio = t100 / t10
           legTimes(q) = (t10, t100)
           println(f"  LEG $q t10=$t10%.1f s t100=$t100%.1f s ratio=$ratio%.1f")
@@ -727,14 +745,17 @@ object ScaleStress {
         b._1 > 0 && b == st
       }
       check("scale100_stream_decontam_vs_batch") {
-        val st = SparkEntry.queries("q_stream_decontaminate")(spark, dir100)
+        val st = fingerprint(
+          SparkEntry.queries("q_stream_decontaminate")(spark, dir100))
+        val b = fingerprint(SparkEntry.queries("q_decontaminate")(spark, dir100))
         // liveness: the gate must DROP something at 100× (an inert gate
-        // passes any equality — the round-10 lesson)
+        // passes any equality — the round-10 lesson; the planted
+        // eval-leak rule, id ≡ 11 mod 101 copying docs 0–19, is what
+        // makes this live on the synthetic corpus)
         val total = Tables.documents(spark, dir100)
           .filter(col("doc_id") >= 20).count()
-        val kept = st.count()
-        println(s"  decontam kept $kept / $total arriving docs")
-        kept > 0 && kept < total
+        println(s"  decontam kept ${st._1} / $total arriving docs (batch ${b._1})")
+        st._1 > 0 && st._1 < total && st == b
       }
       Caches.clear(spark)
     }
