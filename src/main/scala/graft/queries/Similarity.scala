@@ -1188,16 +1188,25 @@ object Similarity extends QueryModule {
       }
     val stackArgs = (for (b <- 0 until MpBands; p <- 0 until h)
       yield s"$b, $p, ${probeSql(b, p)}").mkString(", ")
+    // Only ID pairs flow through the probe join, the admission window
+    // and the dedup (the qDedupEmbedLsh discipline — vector payloads
+    // must never ride a candidate shuffle); vectors attach to the
+    // surviving candidates afterwards via two id equi-joins.
     val probes = withBkts.filter(col("vec_id") < nQ)
-      .selectExpr("vec_id AS qid", "qv AS qe", "n2 AS qn2",
+      .selectExpr("vec_id AS qid",
         s"stack(${MpBands * h}, $stackArgs) AS (band, probe, bkt)")
-    val admitted = probes.join(standing, Seq("band", "bkt"))
+    val admitted = probes
+      .join(standing.select("vid", "band", "bkt"), Seq("band", "bkt"))
       .filter(col("qid") =!= col("vid"))
       .withColumn("adm", row_number().over(
         Window.partitionBy("qid", "band")
           .orderBy(col("probe").asc, col("vid").asc)))
       .filter(col("adm") <= MpBudget)
-    val cand = admitted.dropDuplicates("qid", "vid")
+    val cand = admitted.select("qid", "vid").dropDuplicates("qid", "vid")
+      .join(emb.select(col("vec_id").as("qid"), col("qv").as("qe"),
+        col("n2").as("qn2")), "qid")
+      .join(emb.select(col("vec_id").as("vid"), col("qv").as("ve"),
+        col("n2").as("vn2")), "vid")
       .withColumn("cos", qcos(G.dotl(col("qe"), col("ve")), col("qn2"), col("vn2")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)
     cand.withColumn("rank", row_number().over(w))
