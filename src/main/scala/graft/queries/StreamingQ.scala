@@ -320,16 +320,28 @@ object StreamingQ extends QueryModule {
     // one state root shared by the per-batch merge and the final read;
     // lazy so a warm (memo-hit) construction never allocates scratch
     lazy val state = graft.streaming.StreamScratch.dirFor(s, "upsert_state")
+    // Version election via a one-line COMMIT LOG (`_LATEST`, swapped in
+    // by atomic rename after the version's data write completes), not a
+    // directory listing: listings are eventually consistent on object
+    // stores and can surface half-written version dirs — the pointer
+    // file IS the minimal table-format commit-log discipline, and
+    // readers follow it in one read. A version is visible iff the
+    // pointer names it; a crash between data write and pointer swap
+    // leaves the previous version live (write-then-swap, never torn).
     def latest: Option[String] = {
-      var best = -1L
-      val it = java.nio.file.Files.list(state).iterator()
-      while (it.hasNext) {
-        val p = it.next().getFileName.toString
-        if (p.startsWith("v") &&
-            java.nio.file.Files.exists(state.resolve(p).resolve("_SUCCESS")))
-          best = math.max(best, p.drop(1).toLong)
-      }
-      if (best < 0) None else Some(s"$state/v$best")
+      val ptr = state.resolve("_LATEST")
+      if (!java.nio.file.Files.exists(ptr)) None
+      else Some(s"$state/v" +
+        new String(java.nio.file.Files.readAllBytes(ptr),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+    }
+    def commit(id: Long): Unit = {
+      val tmp = state.resolve(s"_LATEST.tmp$id")
+      java.nio.file.Files.write(tmp,
+        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, state.resolve("_LATEST"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
     }
     StreamDrain.drainedBatches(s, dir, "stream_upsert", "events") { (b, id) =>
       val bb = normTs(b)
@@ -337,6 +349,7 @@ object StreamingQ extends QueryModule {
       val cur = latest.map(s.read.parquet(_)).getOrElse(bb.filter(lit(false)))
       StreamOps.upsertMerge(cur, bb)
         .write.mode("overwrite").parquet(s"$state/v$id")
+      commit(id)
     } {
       s.read.parquet(latest.getOrElse(
         sys.error("stream_upsert drain produced no state version")))
