@@ -93,7 +93,40 @@ object Bench {
 
   private def f2(v: Double): String = String.format(Locale.ROOT, "%.2f", v)
 
+  /** Counts Janino compile failures (logged at ERROR by Spark's
+    * CodeGenerator just before it silently falls back to interpreted
+    * eval) for the whole run — the round-12 bench tail carried such a
+    * stack trace truncated past its header, which left the failing query
+    * unidentifiable. The count is emitted as `codegen_fallbacks` in the
+    * JSON line (0 expected: an interpreted fallback does no common-
+    * subexpression elimination and can hide an O(n²), the round-12 100×
+    * lesson). Log4j2 appender on the root logger: level ERROR always
+    * reaches it regardless of the session's log level.
+    */
+  private val codegenFails = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def installCodegenFailCounter(): Unit = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    try {
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val app = new AbstractAppender("graft-codegen-fail-counter", null,
+          null, true, Property.EMPTY_ARRAY) {
+        override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
+          val msg = e.getMessage.getFormattedMessage
+          if (e.getLoggerName.endsWith("CodeGenerator") &&
+              msg.contains("Failed to compile")) { codegenFails.incrementAndGet(); () }
+        }
+      }
+      app.start()
+      ctx.getConfiguration.getRootLogger.addAppender(app, Level.ERROR, null)
+      ctx.updateLoggers()
+    } catch { case _: Throwable => } // best effort — never fail the bench
+  }
+
   def main(args: Array[String]): Unit = {
+    installCodegenFailCounter()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val poolSize = sys.env.getOrElse("SPARK_GRAFT_POOL", "8").toInt
@@ -232,9 +265,13 @@ object Bench {
     // the JSON's "failed" array.
     val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     def timedRun(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // Label the jobs (guide §1.5) — thread-local, so pooled workers
+      // tag their own queries correctly in the UI / event log.
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => failed.add(name); false }
+      spark.sparkContext.setJobDescription(null)
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
 
@@ -307,7 +344,7 @@ object Bench {
         s""""$k":$t""" }.mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(DetailFile),
-        s"""{"protocol":2,"total":$total,"q_sum":$qSum,"seq_sum":$seqSum,"seq_sum_raw":$seqSumRaw,"heavy_wall":$heavyWall,"light_wall":$lightWall,"pool":$poolSize,"heavy":$heavyJson,"prep":$prepSec,"prep_by_module":$prepJson,"load":[$load0,$load1],"load_skewed":$loadSkewed,"anchor":$anchor,"sf":"$sfDir","queries":$detail,"seq":$seqJson}\n"""
+        s"""{"protocol":2,"total":$total,"q_sum":$qSum,"seq_sum":$seqSum,"seq_sum_raw":$seqSumRaw,"heavy_wall":$heavyWall,"light_wall":$lightWall,"pool":$poolSize,"heavy":$heavyJson,"prep":$prepSec,"prep_by_module":$prepJson,"load":[$load0,$load1],"load_skewed":$loadSkewed,"anchor":$anchor,"codegen_fallbacks":${codegenFails.get},"sf":"$sfDir","queries":$detail,"seq":$seqJson}\n"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => }
 
@@ -354,7 +391,7 @@ object Bench {
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","protocol":2,""" +
         s""""q_sum":${f2(qSum)},"seq_sum":${f2(seqSum)},"seq_sum_raw":${f2(seqSumRaw)},""" +
         s""""seq_wall":${f2(heavyWall)},"pool_wall":${f2(lightWall)},"pool":$poolSize,""" +
-        s""""prep":${f2(prepSec)},""" +
+        s""""prep":${f2(prepSec)},"codegen_fallbacks":${codegenFails.get},""" +
         s""""queries":${qs.mkString("{", ",", "}")}$failedJson$loadJson,"sf":$sfJson}"""
     }
     val full = line(entries, 0, 0.0)

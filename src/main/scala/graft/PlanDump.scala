@@ -5,14 +5,22 @@ import org.apache.spark.sql.SparkSession
 /** Prints the executed physical plan of named SparkEntry queries —
   * the evidence feed for docs/PLANS.md.
   *
-  * Usage: runMain graft.PlanDump <sfDir> [query1,query2,...]
-  * (no list → every registered query).
+  * Usage: runMain graft.PlanDump <sfDir> [query1,query2,...] [outDir suffix]
+  * (no list → every registered query). With a 3rd arg, additionally
+  * writes each query's `.explain("formatted")` output to
+  * `<outDir>/<query>_<suffix>.txt` — the before/after evidence files
+  * the optimization rounds commit under plans/rNN/ (outDir and suffix
+  * split on the last ':', e.g. `plans/r13:before`).
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = args.drop(1).headOption.map(_.split(",").toSeq)
+    val names = args.drop(1).headOption.filter(_.nonEmpty).map(_.split(",").toSeq)
       .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
+    val outSpec = args.drop(2).headOption.map { spec =>
+      val i = spec.lastIndexOf(':')
+      if (i < 0) (spec, "") else (spec.substring(0, i), "_" + spec.substring(i + 1))
+    }
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-plandump")
@@ -29,10 +37,18 @@ object PlanDump {
     names.foreach { n =>
       SparkEntry.queries.get(n) match {
         case Some(fn) =>
+          val df = fn(spark, sfDir)
           println(s"## $n\n")
           println("```")
-          println(fn(spark, sfDir).queryExecution.executedPlan.toString.trim)
+          println(df.queryExecution.executedPlan.toString.trim)
           println("```\n")
+          outSpec.foreach { case (dir, suffix) =>
+            val formatted = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            val p = java.nio.file.Paths.get(dir, s"$n$suffix.txt")
+            java.nio.file.Files.createDirectories(p.getParent)
+            java.nio.file.Files.write(p, formatted.getBytes("UTF-8"))
+          }
         case None => System.err.println(s"[plandump] unknown query: $n")
       }
     }

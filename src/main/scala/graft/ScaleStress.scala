@@ -209,7 +209,10 @@ object ScaleStress {
     * rows of the 10× fixture.
     */
   def generate100(s: SparkSession, dir: String): Unit =
-    writeTables(s, dir, "2", Seq(
+    // version derived from the shared GenVersion (ADVICE r12): one bump
+    // invalidates every derived fixture — a hardcoded literal here left
+    // this fixture stale when the generators changed.
+    writeTables(s, dir, s"$GenVersion-100x", Seq(
       ("documents", () => genDocuments(s, Doc100)),
       ("embeddings", () => genEmbeddings(s, Emb100))))
 
@@ -225,7 +228,7 @@ object ScaleStress {
         "ELSE 50 + pmod(xxhash64(event_id, 'u'), 20000) END"))
 
   def generateSkew(s: SparkSession, dir: String): Unit =
-    writeTables(s, dir, "1", Seq(
+    writeTables(s, dir, s"$GenVersion-skew", Seq(
       ("events", () => genEventsSkewed(s, EvtN))))
 
   /** Order-independent result fingerprint: (row count, commutative
@@ -705,8 +708,11 @@ object ScaleStress {
         finally spark.conf.set("spark.sql.shuffle.partitions", "32")
       }
       chain.foreach { q =>
-        val t10 = timedLeg(dir, q, 32)
+        // both legs INSIDE the check (ADVICE r12): an exception while
+        // timing the 10× leg is recorded as this check's failure
+        // instead of aborting the whole gate run uncaught.
         check(s"scale100_cost_$q") {
+          val t10 = timedLeg(dir, q, 32)
           val t100 = timedLeg(dir100, q, 128)
           val ratio = t100 / t10
           legTimes(q) = (t10, t100)

@@ -555,9 +555,16 @@ object CorpusQuality extends QueryModule {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
 
   private[queries] def dupPositionsFromPh(ph: DataFrame): DataFrame = {
+    // "≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id): a plain min/max
+    // hash aggregate with map-side partials and ONE exchange on h. The
+    // previous count_distinct spelling planned a two-exchange distinct
+    // aggregate — Exchange hashpartitioning(h, doc_id) over the FULL
+    // per-character table, then Exchange(h) — i.e. one extra corpus-
+    // chars-sized shuffle on the heaviest table in the repo (and the
+    // leading superlinear-cost suspect in the 100× substring budget).
     val dup = ph.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("h")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select("h")
     ph.join(dup, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos"))
   }
@@ -702,10 +709,16 @@ object CorpusQuality extends QueryModule {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
     // Two-field lexicographic min — Spark structs order field-by-field,
     // so this is exact at ANY document length (no packed-key wrap).
+    // "≥2 distinct docs" is min(doc_id) ≠ max(doc_id); min(doc_id) is
+    // already canon.doc_id, so one extra max(doc_id) suffices. The
+    // previous count_distinct + min(struct) MIXED distinct and plain
+    // aggregates, which plans an Expand (2× the per-character rows
+    // through the aggregate) plus the two-exchange distinct shape —
+    // this is one plain hash aggregate, one exchange, no Expand.
     val canon = ph.groupBy("h").agg(
-        count_distinct(col("doc_id")).as("nd"),
-        min(struct(col("doc_id"), col("pos"))).as("canon"))
-      .filter(col("nd") >= 2).select("h", "canon")
+        min(struct(col("doc_id"), col("pos"))).as("canon"),
+        max(col("doc_id")).as("mx"))
+      .filter(col("canon.doc_id") =!= col("mx")).select("h", "canon")
     val cut = ph.join(canon, "h")
       .filter(col("doc_id") =!= col("canon.doc_id")
         || col("pos") =!= col("canon.pos"))

@@ -291,6 +291,7 @@ object Fingerprints extends QueryModule {
     confirmedPairs(s, dir).count()
     componentLabels(s, dir).count()
     standingIndex(s, dir).count()
+    withSimhash(s, dir).count()
     val docs = Tables.documents(s, dir)
     val b = math.floor(docs.count() * 0.8).toLong
     graft.Caches.memo(s, dir, "append_batch_demo")(
@@ -420,18 +421,26 @@ object Fingerprints extends QueryModule {
     * carries to any corpus size; shuffle volume is docs × one 48-column
     * row.
     */
-  private def withSimhash(s: SparkSession, dir: String): DataFrame = {
-    val wordHashes = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"),
-        expr("CAST(conv(substring(md5(w), 1, 12), 16, 10) AS BIGINT)").as("h"))
-    val voteCols = (0 until 48).map(b =>
-      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L).otherwise(-1L)).as(s"v$b"))
-    val fp = (0 until 48).map(b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    wordHashes.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
-  }
+  private def withSimhash(s: SparkSession, dir: String): DataFrame =
+    // MATERIALIZED once per (session, corpus) like the posting index —
+    // at scale the per-doc fingerprint is a written artifact, not
+    // something recomputed per query; locally this also stops
+    // qDedupSimhash's self-join computing the word-explode + 48-vote
+    // aggregate TWICE (once per join side — the broadcast side is a
+    // fully recomputed subtree, ReuseExchange cannot dedupe a broadcast
+    // exchange against a shuffle exchange).
+    graft.Caches.memo(s, dir, "simhash_table") {
+      val wordHashes = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(w), 1, 12), 16, 10) AS BIGINT)").as("h"))
+      val voteCols = (0 until 48).map(b =>
+        sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L).otherwise(-1L)).as(s"v$b"))
+      val fp = (0 until 48).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+      wordHashes.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+        .select(col("doc_id"), fp.as("simhash"))
+    }
 
   def qFingerprintSimhash(s: SparkSession, dir: String): DataFrame =
     withSimhash(s, dir).select("doc_id", "simhash").orderBy("doc_id")

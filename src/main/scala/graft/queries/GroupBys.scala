@@ -301,7 +301,14 @@ object GroupBys extends QueryModule {
     * be the one spelling divergence).
     */
   private[graft] def quantileBuckets(df: DataFrame): DataFrame =
-    df.select(col("event_type"), expr(s"($qsUnscaled) DIV $QsW").as("bucket"))
+    // TRUE floor division via pmod (ADVICE r12): `u DIV W` truncates
+    // toward zero, DuckDB's `//` floors — identical on the non-negative
+    // domain, divergent below it; (u − pmod(u, W)) DIV W floors on both
+    // domains, so the cross-engine agreement no longer rests on a
+    // documented-but-unchecked domain assumption.
+    df.select(col("event_type"), expr(qsUnscaled).as("u"))
+      .select(col("event_type"),
+        expr(s"(u - pmod(u, $QsW)) DIV $QsW").as("bucket"))
       .groupBy("event_type", "bucket").agg(count(lit(1)).as("cnt"))
 
   /** Batch finisher over a bucket table: per group, the estimate for

@@ -100,6 +100,7 @@ object Similarity extends QueryModule {
 
   override def prewarm(s: SparkSession, dir: String): Unit = {
     quantized(s, dir).count()
+    bandIds(s, dir).count()
     hybridVecs(s, dir).count()
     knnEdges(s, dir).count(); ()
   }
@@ -198,23 +199,40 @@ object Similarity extends QueryModule {
       "vec_id", "qv", "n2", s"stack($AnnBands, $stackArgs) AS (band, bkt)")
   }
 
+  /** The standing BAND INDEX (vec_id, band, bkt) — materialized once
+    * per (session, corpus), the artifact an ANN ingest pipeline
+    * maintains at scale (and deliberately WITHOUT the vectors: band
+    * rows are the shuffle/probe structure, the vector store is
+    * [[quantized]] — the ID-only discipline applied to storage, not
+    * just shuffles; materializing band rows WITH vectors would persist
+    * 8 copies of every embedding).
+    */
+  private def bandIds(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, dir, "band_index")(
+      banded(s, dir).select("vec_id", "band", "bkt"))
+
   /** LSH-banded ANN: B×r fixed hyperplanes → per-band sign buckets;
     * candidates share ≥1 band bucket with the query (equi-join on
-    * (band, bucket)), then exact-cosine rank, top-5.
+    * (band, bucket)), then exact-cosine rank, top-5. ID pairs only in
+    * the candidate join/dedup; vectors attach to survivors via two id
+    * equi-joins (same discipline as [[multiProbeNeighbors]]).
     */
   def qEmbedAnn(s: SparkSession, dir: String): DataFrame = {
-    val bands = banded(s, dir)
+    val bands = bandIds(s, dir)
+    val emb = quantized(s, dir)
     val q = bands.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("qv").as("qe"),
-        col("n2").as("qn2"), col("band"), col("bkt"))
+      .select(col("vec_id").as("qid"), col("band"), col("bkt"))
     val cand = broadcast(q).join(
-        bands.select(col("vec_id").as("vid"), col("qv").as("ve"),
-          col("n2").as("vn2"), col("band"), col("bkt")),
+        bands.select(col("vec_id").as("vid"), col("band"), col("bkt")),
         Seq("band", "bkt"))
       .filter(col("qid") =!= col("vid"))
       // a pair matching several bands carries identical payloads — one
       // row per (qid, vid) survives, the dot computed once
       .dropDuplicates("qid", "vid")
+      .join(emb.select(col("vec_id").as("qid"), col("qv").as("qe"),
+        col("n2").as("qn2")), "qid")
+      .join(emb.select(col("vec_id").as("vid"), col("qv").as("ve"),
+        col("n2").as("vn2")), "vid")
       .withColumn("cos", qcos(G.dotl(col("qe"), col("ve")), col("qn2"), col("vn2")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)
     cand.withColumn("rank", row_number().over(w))
@@ -1108,15 +1126,25 @@ object Similarity extends QueryModule {
     // construction runs zero jobs — pinned by ConstructionSpec.
     val split = Tables.embeddings(s, dir)
       .agg(floor(count(lit(1)) * 0.8).cast("long").as("__split"))
-    val bands = banded(s, dir).crossJoin(broadcast(split))
+    // ID-pairs-only candidate shuffles (the [[multiProbeNeighbors]] /
+    // qDedupEmbedLsh discipline): the (band, bkt) equi-join and the
+    // (qid, vid) dedup exchange carry two ids per row, not the 64-long
+    // quantized vectors — at 1024-dim production embeddings the payload
+    // ride multiplies candidate shuffle bytes by ~2 orders of magnitude
+    // on the one ANN path that runs per ingest batch. Vectors attach to
+    // the surviving pairs afterwards via two corpus-∝ id equi-joins.
+    val bands = bandIds(s, dir).crossJoin(broadcast(split))
     val standing = bands.filter(col("vec_id") < col("__split"))
-      .select(col("vec_id").as("vid"), col("qv").as("ve"),
-        col("n2").as("vn2"), col("band"), col("bkt"))
+      .select(col("vec_id").as("vid"), col("band"), col("bkt"))
     val batch = bands.filter(col("vec_id") >= col("__split"))
-      .select(col("vec_id").as("qid"), col("qv").as("qe"),
-        col("n2").as("qn2"), col("band"), col("bkt"))
+      .select(col("vec_id").as("qid"), col("band"), col("bkt"))
+    val emb = quantized(s, dir)
     val cand = batch.join(standing, Seq("band", "bkt"))
-      .dropDuplicates("qid", "vid")
+      .select("qid", "vid").dropDuplicates("qid", "vid")
+      .join(emb.select(col("vec_id").as("qid"), col("qv").as("qe"),
+        col("n2").as("qn2")), "qid")
+      .join(emb.select(col("vec_id").as("vid"), col("qv").as("ve"),
+        col("n2").as("vn2")), "vid")
       .withColumn("cos", qcos(G.dotl(col("qe"), col("ve")), col("qn2"), col("vn2")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)
     cand.withColumn("rank", row_number().over(w))
@@ -1173,26 +1201,32 @@ object Similarity extends QueryModule {
       .select(col("vec_id").as("vid"), col("qv").as("ve"),
         col("n2").as("vn2"), col("band"), col("bkt"))
     // probe p ≥ 1 flips the bit whose |dot| has rank p−1 (ties by bit
-    // index) — all integer comparisons, identical on both engines
-    def rankSql(b: Int, k: Int): String = (0 until rows).filter(_ != k).map { j =>
-      s"(CASE WHEN abs(d${b}_$j) < abs(d${b}_$k)" +
-        s" OR (abs(d${b}_$j) = abs(d${b}_$k) AND $j < $k) THEN 1 ELSE 0 END)"
-    }.mkString(" + ")
+    // index) — all integer comparisons, identical on both engines.
+    // The flip ORDER is precomputed once per (row, band) as a sorted
+    // (|dot|, bit) struct array: sort_array's lexicographic ascending
+    // order IS the rank ladder (|dot| asc, tie by smaller bit), so
+    // element p of ord$b names the bit probe p flips. The previous
+    // spelling re-derived every rank inline per probe — ~30 CASE
+    // comparisons × 16 stack branches — which grew the Generate node's
+    // whole-stage-codegen'd consume method past Janino's 64 KB limit
+    // (generator expressions read local variables, so codegen cannot
+    // split them into helper methods) and silently dropped the whole
+    // subtree to interpreted eval. Same integers, ~30× smaller code.
+    val withOrd = (0 until MpBands).foldLeft(withBkts) { (df, b) =>
+      if (h <= 1) df else df.withColumn(s"ord$b",
+        sort_array(array((0 until rows).map(k =>
+          struct(abs(col(s"d${b}_$k")).as("m"), lit(k).as("k"))): _*)))
+    }
     def probeSql(b: Int, p: Int): String =
       if (p == 0) s"bkt$b"
-      else {
-        val bit = (0 until rows).map(k =>
-          s"($k * (CASE WHEN (${rankSql(b, k)}) = ${p - 1} THEN 1 ELSE 0 END))")
-          .mkString(" + ")
-        s"(bkt$b ^ shiftleft(1, $bit))"
-      }
+      else s"(bkt$b ^ shiftleft(1, element_at(ord$b, $p).k))"
     val stackArgs = (for (b <- 0 until MpBands; p <- 0 until h)
       yield s"$b, $p, ${probeSql(b, p)}").mkString(", ")
     // Only ID pairs flow through the probe join, the admission window
     // and the dedup (the qDedupEmbedLsh discipline — vector payloads
     // must never ride a candidate shuffle); vectors attach to the
     // surviving candidates afterwards via two id equi-joins.
-    val probes = withBkts.filter(col("vec_id") < nQ)
+    val probes = withOrd.filter(col("vec_id") < nQ)
       .selectExpr("vec_id AS qid",
         s"stack(${MpBands * h}, $stackArgs) AS (band, probe, bkt)")
     val admitted = probes

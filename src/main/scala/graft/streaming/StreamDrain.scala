@@ -96,19 +96,28 @@ object StreamDrain {
       stages.zipWithIndex.foreach { case (df, i) =>
         val tmp = StreamScratch.dirFor(s, s"stage_${kind}_$i")
         df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/w")
-        val it = Files.list(Paths.get(s"$tmp/w")).iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.endsWith(".parquet")) {
-            val dst = watch.resolve(f"stage_$i%03d.parquet")
-            Files.copy(p, dst)
-            // deterministic strictly-increasing mtimes: oldest-first is
-            // the file source's default read order
-            Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(
-                1700000000000L + i * 600000L))
+        // exactly ONE part file per stage (explicit, was implicit in the
+        // coalesce(1) above — ADVICE r12): a multi-part stage would
+        // have thrown FileAlreadyExistsException on the fixed dst name,
+        // an empty stage would silently stage nothing.
+        val parts = {
+          val it = Files.list(Paths.get(s"$tmp/w")).iterator()
+          var l = List.empty[java.nio.file.Path]
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet")) l ::= p
           }
+          l
         }
+        require(parts.length == 1,
+          s"staged drain of $kind: stage $i wrote ${parts.length} part files (want exactly 1)")
+        val dst = watch.resolve(f"stage_$i%03d.parquet")
+        Files.copy(parts.head, dst)
+        // deterministic strictly-increasing mtimes: oldest-first is
+        // the file source's default read order
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + i * 600000L))
       }
       val qname = kind + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = build(s.readStream.schema(schema)

@@ -43,6 +43,39 @@ class PlanGuardSpec extends SparkSpec {
     assert(bad.isEmpty, s"cartesian product in: $bad")
   }
 
+  test("no registered query falls back to interpreted eval (codegen compiles)") {
+    // A Janino compile failure (e.g. a generated method past the 64 KB
+    // JVM limit) is logged once and silently drops the whole-stage
+    // subtree to interpreted eval — which does no common-subexpression
+    // elimination and can hide an O(n²) (the round-12 100× lesson, and
+    // the round-12 bench tail's unexplained Janino stack: the multiprobe
+    // Generate node's inlined rank ladder). Running every query with
+    // codegen fallback DISABLED turns that silent degradation into a
+    // loud test failure. The noop sink computes every column of every
+    // row (count() could prune the failing subtree away).
+    val sf = "/root/testdata/sf0.001"
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        try {
+          fn(spark, sf).write.format("noop").mode("overwrite").save()
+          None
+        } catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName} ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
+      }
+      assert(bad.isEmpty, s"codegen-fallback (or execution) failures:\n${bad.mkString("\n")}")
+    } finally {
+      prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
   test("query construction is action-free once shared artifacts are warm") {
     // Interactive sessions and bench passes CONSTRUCT queries far more
     // often than they execute them — any driver action at build time
