@@ -135,6 +135,16 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Let AQE swap sort-merge for shuffled-hash joins from RUNTIME
+      // sizes (guide §3.1): when a join's build side exceeds the
+      // broadcast threshold, the sort-merge fallback SORTS both sides —
+      // at the 100× gate that was two full sorts of the 10⁹-row
+      // positional-hash table against a 10⁷-row duplicated-hash build
+      // side. 64 MB per post-shuffle build partition bounds each task's
+      // hash map (× cores = ≤2 GB concurrent build memory); the default
+      // (0) never converts. Scale-adaptive by construction — small
+      // builds still broadcast, oversized builds still sort-merge.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       // Concurrent query legs (prep prewarms; the pooled timed leg)
       // share the executor fairly instead of FIFO head-of-line blocking.
       .config("spark.scheduler.mode", "FAIR")

@@ -365,6 +365,9 @@ object ScaleStress {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
+      // same runtime SMJ→shuffled-hash conversion as the bench session
+      // (Bench.scala) — the gate must measure the plans the bench runs
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

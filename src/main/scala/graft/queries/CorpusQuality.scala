@@ -550,23 +550,46 @@ object CorpusQuality extends QueryModule {
     * whose map-side partials touch the increment).
     */
   private[queries] def posHashes(docs: DataFrame): DataFrame =
+    // pos stays the generator's INT ordinal inside the heavy table
+    // (guide §2.3, narrower types — cast back to LONG at the small
+    // duplicated-position output so downstream schemas are unchanged).
+    // h must stay LONG: it is the deliberately WIDE 62-bit two-family
+    // hash (h1·P2 + h2, [[graft.functions.SpanHashMath.spanHashesPos]])
+    // — a 31-bit truncation birthday-collides at 10× scale, the exact
+    // bug the round-11 gate caught and the width was added to fix (an
+    // int-narrowing attempt this round was caught by the sf0.01 oracle
+    // within minutes: rewrite/cut cut extra spans from collided hashes).
     docs.select(col("doc_id"),
         posexplode(spanhashesPos(col("text"))).as(Seq("pos", "h")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+      .select(col("doc_id"), col("pos"), col("h"))
 
   private[queries] def dupPositionsFromPh(ph: DataFrame): DataFrame = {
     // "≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id): a plain min/max
-    // hash aggregate with map-side partials and ONE exchange on h. The
-    // previous count_distinct spelling planned a two-exchange distinct
-    // aggregate — Exchange hashpartitioning(h, doc_id) over the FULL
-    // per-character table, then Exchange(h) — i.e. one extra corpus-
-    // chars-sized shuffle on the heaviest table in the repo (and the
-    // leading superlinear-cost suspect in the 100× substring budget).
-    val dup = ph.groupBy("h")
+    // hash aggregate (the count_distinct spelling planned a TWO-exchange
+    // distinct aggregate — an extra corpus-chars-sized shuffle keyed
+    // (h, doc_id) on the heaviest table in the repo).
+    //
+    // The detector aggregates BEHIND an explicit repartition(h) instead
+    // of a plain groupBy: window hashes are near-unique, so groupBy's
+    // map-side partial pass builds corpus-character-sized hash tables
+    // that reduce almost nothing and then shuffles (h, mn, mx) partials
+    // anyway — the repartition ships the raw 16-byte (doc_id, h) pairs
+    // and aggregates once, partition-local, after the exchange (plan:
+    // REPARTITION_BY_COL → partial+final HashAggregate in one stage).
+    // ONLY the aggregate input is repartitioned: the semi-join PROBE
+    // stays raw ph, so at scales where the duplicated-hash set fits a
+    // broadcast the probe has NO exchange at all (routing the probe
+    // through the same user repartition re-added a full ph exchange to
+    // the broadcast regime and doubled the 10× leg — measured, then
+    // reverted; exchange SHARING is impossible anyway, column pruning
+    // specializes the two subtrees). With the session's runtime
+    // SMJ→shuffled-hash conversion neither join side is sorted at any
+    // scale where the build side outgrows a broadcast.
+    val dup = ph.repartition(col("h")).groupBy("h")
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx")).select("h")
     ph.join(dup, Seq("h"), "left_semi")
-      .select(col("doc_id"), col("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
   }
 
   /** Exact-substring dedup, run LISTING: maximal cross-document
@@ -714,8 +737,12 @@ object CorpusQuality extends QueryModule {
     // previous count_distinct + min(struct) MIXED distinct and plain
     // aggregates, which plans an Expand (2× the per-character rows
     // through the aggregate) plus the two-exchange distinct shape —
-    // this is one plain hash aggregate, one exchange, no Expand.
-    val canon = ph.groupBy("h").agg(
+    // this is one plain hash aggregate, no Expand, aggregated behind an
+    // explicit repartition(h) (the dupPositionsFromPh shape: raw rows
+    // through the exchange, no useless near-unique-key partial pass;
+    // probe side stays raw ph so the broadcast regime keeps zero probe
+    // exchanges).
+    val canon = ph.repartition(col("h")).groupBy("h").agg(
         min(struct(col("doc_id"), col("pos"))).as("canon"),
         max(col("doc_id")).as("mx"))
       .filter(col("canon.doc_id") =!= col("mx")).select("h", "canon")
