@@ -104,6 +104,13 @@ object Bench {
     * reaches it regardless of the session's log level.
     */
   private val codegenFails = new java.util.concurrent.atomic.AtomicInteger(0)
+  // false ⇒ the appender never attached (non-log4j2-core binding, cast
+  // failure, ...) and codegen_fallbacks is emitted as -1 — "unknown",
+  // distinguishable from a genuine zero (ADVICE r13).
+  private val codegenCounterInstalled =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def codegenFallbacks: Int =
+    if (codegenCounterInstalled.get) codegenFails.get else -1
   private def installCodegenFailCounter(): Unit = {
     import org.apache.logging.log4j.{Level, LogManager}
     import org.apache.logging.log4j.core.LoggerContext
@@ -122,6 +129,7 @@ object Bench {
       app.start()
       ctx.getConfiguration.getRootLogger.addAppender(app, Level.ERROR, null)
       ctx.updateLoggers()
+      codegenCounterInstalled.set(true)
     } catch { case _: Throwable => } // best effort — never fail the bench
   }
 
@@ -354,7 +362,7 @@ object Bench {
         s""""$k":$t""" }.mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(DetailFile),
-        s"""{"protocol":2,"total":$total,"q_sum":$qSum,"seq_sum":$seqSum,"seq_sum_raw":$seqSumRaw,"heavy_wall":$heavyWall,"light_wall":$lightWall,"pool":$poolSize,"heavy":$heavyJson,"prep":$prepSec,"prep_by_module":$prepJson,"load":[$load0,$load1],"load_skewed":$loadSkewed,"anchor":$anchor,"codegen_fallbacks":${codegenFails.get},"sf":"$sfDir","queries":$detail,"seq":$seqJson}\n"""
+        s"""{"protocol":2,"total":$total,"q_sum":$qSum,"seq_sum":$seqSum,"seq_sum_raw":$seqSumRaw,"heavy_wall":$heavyWall,"light_wall":$lightWall,"pool":$poolSize,"heavy":$heavyJson,"prep":$prepSec,"prep_by_module":$prepJson,"load":[$load0,$load1],"load_skewed":$loadSkewed,"anchor":$anchor,"codegen_fallbacks":$codegenFallbacks,"sf":"$sfDir","queries":$detail,"seq":$seqJson}\n"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => }
 
@@ -401,7 +409,7 @@ object Bench {
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","protocol":2,""" +
         s""""q_sum":${f2(qSum)},"seq_sum":${f2(seqSum)},"seq_sum_raw":${f2(seqSumRaw)},""" +
         s""""seq_wall":${f2(heavyWall)},"pool_wall":${f2(lightWall)},"pool":$poolSize,""" +
-        s""""prep":${f2(prepSec)},"codegen_fallbacks":${codegenFails.get},""" +
+        s""""prep":${f2(prepSec)},"codegen_fallbacks":$codegenFallbacks,""" +
         s""""queries":${qs.mkString("{", ",", "}")}$failedJson$loadJson,"sf":$sfJson}"""
     }
     val full = line(entries, 0, 0.0)

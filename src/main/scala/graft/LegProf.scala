@@ -29,15 +29,20 @@ object LegProf {
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
         Caches.clear(spark)
         spark.sparkContext.setJobDescription(s"$q@$d")
-        val df = SparkEntry.queries(q)(spark, d)
+        // t0 BEFORE construction — ScaleStress.timedLeg times
+        // construction+count, so driver-side construction work (e.g.
+        // memo actions on cold caches) must land inside the window here
+        // too or the ratios can disagree with the gate (ADVICE r13).
         val t0 = System.nanoTime()
+        val df = SparkEntry.queries(q)(spark, d)
         df.count()
         val dt = (System.nanoTime() - t0) / 1e9
-        // final adaptive plan: count() clones the plan, so noop-execute
-        // THIS df (guide §1.4) — afterwards its AdaptiveSparkPlan prints
-        // isFinalPlan=true with reused exchanges / runtime join swaps
+        // final adaptive plan: count() REPLANS into a fresh
+        // QueryExecution (r13's noop-write spelling did too — its dumps
+        // still printed isFinalPlan=false), so execute THIS df's own
+        // QueryExecution to finalize the plan it prints.
         if (sys.env.get("SPARK_GRAFT_LEGPLAN").contains("1")) {
-          df.write.format("noop").mode("overwrite").save()
+          df.queryExecution.toRdd.count()
           println(s"### $q@$d final plan\n" +
             df.queryExecution.executedPlan.toString.take(12000))
         }

@@ -17,9 +17,13 @@ object PlanDump {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = args.drop(1).headOption.filter(_.nonEmpty).map(_.split(",").toSeq)
       .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
-    val outSpec = args.drop(2).headOption.map { spec =>
+    // The ':' separating outDir from the filename suffix is required —
+    // a bare/empty third arg would yield dir="" and make
+    // createDirectories throw on a null parent (ADVICE r13).
+    val outSpec = args.drop(2).headOption.filter(_.nonEmpty).map { spec =>
       val i = spec.lastIndexOf(':')
-      if (i < 0) (spec, "") else (spec.substring(0, i), "_" + spec.substring(i + 1))
+      require(i > 0, s"outSpec must be '<outDir>:<suffix>', got '$spec'")
+      (spec.substring(0, i), "_" + spec.substring(i + 1))
     }
     val spark = SparkSession.builder()
       .master("local[4]")

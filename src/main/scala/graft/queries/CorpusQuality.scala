@@ -564,31 +564,27 @@ object CorpusQuality extends QueryModule {
       .select(col("doc_id"), col("pos"), col("h"))
 
   private[queries] def dupPositionsFromPh(ph: DataFrame): DataFrame = {
-    // "≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id): a plain min/max
-    // hash aggregate (the count_distinct spelling planned a TWO-exchange
-    // distinct aggregate — an extra corpus-chars-sized shuffle keyed
-    // (h, doc_id) on the heaviest table in the repo).
-    //
-    // The detector aggregates BEHIND an explicit repartition(h) instead
-    // of a plain groupBy: window hashes are near-unique, so groupBy's
-    // map-side partial pass builds corpus-character-sized hash tables
-    // that reduce almost nothing and then shuffles (h, mn, mx) partials
-    // anyway — the repartition ships the raw 16-byte (doc_id, h) pairs
-    // and aggregates once, partition-local, after the exchange (plan:
-    // REPARTITION_BY_COL → partial+final HashAggregate in one stage).
-    // ONLY the aggregate input is repartitioned: the semi-join PROBE
-    // stays raw ph, so at scales where the duplicated-hash set fits a
-    // broadcast the probe has NO exchange at all (routing the probe
-    // through the same user repartition re-added a full ph exchange to
-    // the broadcast regime and doubled the 10× leg — measured, then
-    // reverted; exchange SHARING is impossible anyway, column pruning
-    // specializes the two subtrees). With the session's runtime
-    // SMJ→shuffled-hash conversion neither join side is sorted at any
-    // scale where the build side outgrows a broadcast.
-    val dup = ph.repartition(col("h")).groupBy("h")
-      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-      .filter(col("mn") =!= col("mx")).select("h")
-    ph.join(dup, Seq("h"), "left_semi")
+    // "≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id), evaluated as two
+    // unbounded WINDOW aggregates over ONE h-partitioned exchange — not
+    // as an aggregate + self-semi-join. The join spelling (r13) scanned
+    // and span-hashed the corpus TWICE (column pruning specializes the
+    // agg/probe subtrees, so the exchange can never be shared) and paid
+    // a second full-table exchange whenever the duplicated-hash set
+    // outgrew a broadcast — the scale cliff behind the r13
+    // scale100_cost gate failure. The window spelling is
+    // structurally scale-free: one scan, one exchange carrying the raw
+    // (doc_id, pos-as-INT, h) triple, one partition-local sort on h
+    // (what the sort-merge probe paid anyway), zero joins — the same
+    // plan shape at sf0.1 and at 100 TB. Per-h groups are bounded by a
+    // hash's cross-document recurrence (planted max ≈ hundreds), so the
+    // unbounded frame buffers trivially. Row set identical to the
+    // semi-join by construction: the filter keeps exactly the rows
+    // whose h recurs in ≥2 distinct documents.
+    val w = Window.partitionBy("h")
+    ph
+      .withColumn("mn", min(col("doc_id")).over(w))
+      .withColumn("mx", max(col("doc_id")).over(w))
+      .filter(col("mn") =!= col("mx"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"))
   }
 
@@ -727,28 +723,29 @@ object CorpusQuality extends QueryModule {
 
   private[queries] def substringRewrite(docs: DataFrame): DataFrame = {
     val W = SpanHashMathW
+    // pos rides the heavy table as the generator's INT ordinal (guide
+    // §2.3 narrower types — 20 % off the one full-table exchange) and
+    // widens to LONG only after the cut filter shrinks the row set.
     val ph = docs.select(col("doc_id"),
         posexplode(spanhashesPos(col("text"))).as(Seq("pos", "h")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+      .select(col("doc_id"), col("pos"), col("h"))
     // Two-field lexicographic min — Spark structs order field-by-field,
     // so this is exact at ANY document length (no packed-key wrap).
     // "≥2 distinct docs" is min(doc_id) ≠ max(doc_id); min(doc_id) is
-    // already canon.doc_id, so one extra max(doc_id) suffices. The
-    // previous count_distinct + min(struct) MIXED distinct and plain
-    // aggregates, which plans an Expand (2× the per-character rows
-    // through the aggregate) plus the two-exchange distinct shape —
-    // this is one plain hash aggregate, no Expand, aggregated behind an
-    // explicit repartition(h) (the dupPositionsFromPh shape: raw rows
-    // through the exchange, no useless near-unique-key partial pass;
-    // probe side stays raw ph so the broadcast regime keeps zero probe
-    // exchanges).
-    val canon = ph.repartition(col("h")).groupBy("h").agg(
-        min(struct(col("doc_id"), col("pos"))).as("canon"),
-        max(col("doc_id")).as("mx"))
-      .filter(col("canon.doc_id") =!= col("mx")).select("h", "canon")
-    val cut = ph.join(canon, "h")
+    // already canon.doc_id, so one extra max(doc_id) suffices. Both run
+    // as unbounded WINDOW aggregates over one h-partitioned exchange
+    // (the dupPositionsFromPh shape): no aggregate + join-back, no
+    // second corpus scan, no broadcast-to-shuffle join cliff at scale —
+    // and no Expand (the r12 count_distinct + min(struct) mix planned
+    // one).
+    val wh = Window.partitionBy("h")
+    val cut = ph
+      .withColumn("canon", min(struct(col("doc_id"), col("pos"))).over(wh))
+      .withColumn("mx", max(col("doc_id")).over(wh))
+      .filter(col("canon.doc_id") =!= col("mx"))
       .filter(col("doc_id") =!= col("canon.doc_id")
         || col("pos") =!= col("canon.pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val intervals = cut
       .withColumn("brk",

@@ -175,30 +175,32 @@ object Joins extends QueryModule {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
-  /** TPC-H-Q18-shaped large-volume-customer query — the
-    * agg-driven-semi-join plan Q3/Q5 don't exercise: the qualifying
-    * order set comes from an AGGREGATE over the fact table itself
-    * (sum(l_quantity) > 200 per order), which then semi-join-gates a
-    * 3-table join re-reading the same fact. At 100 TB both lineitem
-    * passes shuffle on l_orderkey, so AQE reuses one exchange layout;
-    * the qualifying-order list (≈1% of orders) broadcasts into the
-    * gate, and customer arrives on the already-shuffled o_custkey. The
-    * final top-100 is TakeOrderedAndProject.
+  /** TPC-H-Q18-shaped large-volume-customer query. The HAVING aggregate
+    * IS the output aggregate: a group of the final GROUP BY is exactly
+    * one o_orderkey (unique in orders; the customer and order keys are
+    * functionally dependent on it), so the group's sum_qty ≡ the dsum
+    * the qualifying filter already computed — both exact decimal sums,
+    * bit-identical. Keeping that sum drops the second lineitem scan,
+    * the fact-side gate join and the wide re-aggregation exchange the
+    * r13 shape paid (guide §2.4 — don't recompute what an earlier
+    * aggregate already proved). Remaining shape: one lineitem pass into
+    * a per-order aggregate (map-side partials, one exchange), the ≈1%
+    * qualifying set joins dimension-style against orders/customer, and
+    * the top-100 is TakeOrderedAndProject.
     */
   def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
-    val hot = li.groupBy("l_orderkey")
-      .agg(Q.dsum(col("l_quantity")).as("__sq"))
-      .filter(col("__sq") > 200.0)
-      .select("l_orderkey")
-    li.join(broadcast(hot), "l_orderkey")
+    val hot = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(Q.dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 200.0)
+    hot
       .join(Tables.orders(s, dir)
           .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
         col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, dir).select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
-      .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-      .agg(Q.dsum(col("l_quantity")).as("sum_qty"))
+      .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        "o_totalprice", "sum_qty")
       .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
         col("o_orderkey").asc)
       .limit(100)

@@ -1297,18 +1297,28 @@ object Similarity extends QueryModule {
     * a pure row append), the other against the from-scratch 80% index.
     */
   private[graft] def embedAppendTwiceLegs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val bands = banded(s, dir)
+    // ID-pairs-only candidate shuffles, the qEmbedIncremental discipline:
+    // the appended/rebuilt standing index is the payload-free band_index
+    // artifact, the (band, bkt) join and (qid, vid) dedup carry two ids
+    // per row, and vectors re-attach to survivors via two id equi-joins
+    // against the memoized quantized table (was: qv/n2 riding every
+    // candidate exchange — this check was the most expensive in the gate
+    // at 255 s/run purely from that payload ride).
+    val bands = bandIds(s, dir)
     val n = Tables.embeddings(s, dir).count()
     val s1 = (n * 6L) / 10L
     val s2 = (n * 8L) / 10L
+    val emb = quantized(s, dir)
     def probe(standing: DataFrame): DataFrame = {
-      val st = standing.select(col("vec_id").as("vid"), col("qv").as("ve"),
-        col("n2").as("vn2"), col("band"), col("bkt"))
+      val st = standing.select(col("vec_id").as("vid"), col("band"), col("bkt"))
       val batch = bands.filter(col("vec_id") >= s2)
-        .select(col("vec_id").as("qid"), col("qv").as("qe"),
-          col("n2").as("qn2"), col("band"), col("bkt"))
+        .select(col("vec_id").as("qid"), col("band"), col("bkt"))
       val cand = batch.join(st, Seq("band", "bkt"))
-        .dropDuplicates("qid", "vid")
+        .select("qid", "vid").dropDuplicates("qid", "vid")
+        .join(emb.select(col("vec_id").as("qid"), col("qv").as("qe"),
+          col("n2").as("qn2")), "qid")
+        .join(emb.select(col("vec_id").as("vid"), col("qv").as("ve"),
+          col("n2").as("vn2")), "vid")
         .withColumn("cos", qcos(G.dotl(col("qe"), col("ve")), col("qn2"), col("vn2")))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)
       cand.withColumn("rank", row_number().over(w))

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
@@ -393,10 +394,20 @@ object TextAnalysis extends QueryModule {
     * cross join, top-k as TakeOrderedAndProject.
     */
   def qCollocationsPmi(s: SparkSession, dir: String): DataFrame = {
+    // The explicit isNotNull filter is a semantic no-op (words[i] for
+    // i ≤ size−2 is never null) but load-bearing for the PLAN: the
+    // `pairs` subtree is cloned four times (pairs/left/right/n), and
+    // without it the two inner joins push DIFFERENT inferred
+    // isnotnull(w1)/isnotnull(w2) filters into each clone — the clones
+    // stop canonicalizing equal and AQE stage reuse dies, re-running
+    // the corpus scan + bigram explode + pair aggregate 4×. With it,
+    // all four clones share ONE ShuffleQueryStage (verified in the
+    // final adaptive plan: one scan, three ReusedQueryStage readers).
     val bg = Tables.documents(s, dir)
       .select(split(col("text"), " ").as("words"))
       .select(col("words"), explode(expr(bigramIdxExpr)).as("i"))
       .select(expr("words[i]").as("w1"), expr("words[i + 1]").as("w2"))
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
     val pairs = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
     val left = pairs.groupBy("w1").agg(sum(col("c_ab")).as("cl"))
     val right = pairs.groupBy("w2").agg(sum(col("c_ab")).as("cr"))
@@ -491,10 +502,19 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term").isin(Bm25Terms: _*))
     val tf = hits.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = hits.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // df DERIVES from tf — one row per distinct (doc, term) by
+    // construction, so a per-term row count over tf ≡ the old
+    // distinct().groupBy(term) over raw hits (exact same counts).
+    // Spelled as an unbounded window COUNT so it attaches in place:
+    // the r13 aggregate + broadcast-join-back spelling cloned the tf
+    // subtree, and the clones always re-specialized under column
+    // pruning / inferred-filter pushdown (no stage reuse) — the corpus
+    // was scanned and token-exploded TWICE. Now: one scan, one explode,
+    // one hits-sized exchange on term (guide §2.4).
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("term")))
     val tot = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tl"))
-    tf.join(broadcast(dfreq), "term")
+    withDf
       .join(lens, "doc_id")
       .crossJoin(broadcast(tot))
       .withColumn("s_micro", expr(microScore("DIV", "DECIMAL(38,0)")))
@@ -529,13 +549,14 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term").isin(allTerms: _*))
     val tf = hits.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = hits.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // df from tf as an unbounded window count (see bm25Scores): same
+    // counts, one corpus scan + explode instead of two, no join-back.
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("term")))
     val tot = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tl"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"))
-    tf.join(broadcast(qterms), "term")
-      .join(broadcast(dfreq), "term")
+    withDf.join(broadcast(qterms), "term")
       .join(lens, "doc_id")
       .crossJoin(broadcast(tot))
       .withColumn("s_micro", expr(microScore("DIV", "DECIMAL(38,0)")))

@@ -406,17 +406,21 @@ object Windows extends QueryModule {
     * bucketed by first-seen week, activity counted per (cohort,
     * week-offset) cell, one row per cell with its distinct-user count.
     * All bucketing is integer epoch-micros division (no calendar/
-    * timezone arithmetic to diverge cross-engine). Shape: first-seen
-    * is one user-keyed aggregate, the join back and the
-    * (user, cohort, offset) dedup reuse the same user partitioning
-    * (AQE collapses the exchanges), and the output is a weeks² matrix
-    * regardless of event volume.
+    * timezone arithmetic to diverge cross-engine). Shape: first-seen is
+    * an unbounded window MIN over ONE user-keyed exchange — not an
+    * aggregate joined back (the r13 shape scanned events twice and, at
+    * scales where the per-user aggregate outgrows a broadcast, paid a
+    * second full exchange for the join; guide §2.4). The
+    * (user, cohort, offset) dedup then runs exchange-free: hash
+    * partitioning on user_id already clusters every distinct key whose
+    * first component is user_id. Output is a weeks² matrix regardless
+    * of event volume.
     */
   def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("us"))
-    val first = ev.groupBy("user_id").agg(min(col("us")).as("first_us"))
-    ev.join(first, "user_id")
+    ev.withColumn("first_us",
+        min(col("us")).over(Window.partitionBy("user_id")))
       .select(col("user_id"),
         expr(s"first_us DIV $WeekUs").as("cohort_week"),
         expr(s"(us - first_us) DIV $WeekUs").as("week_offset"))

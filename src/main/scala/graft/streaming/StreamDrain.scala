@@ -57,13 +57,16 @@ object StreamDrain {
       extra.foreach { df =>
         val tmp = StreamScratch.dirFor(s, s"extra_$kind")
         df.write.mode("overwrite").parquet(s"$tmp/w")
-        val it = Files.list(Paths.get(s"$tmp/w")).iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.endsWith(".parquet"))
-            Files.copy(p,
-              Paths.get(watch).resolve("zz_extra_" + p.getFileName.toString))
-        }
+        val st = Files.list(Paths.get(s"$tmp/w"))
+        try {
+          val it = st.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet"))
+              Files.copy(p,
+                Paths.get(watch).resolve("zz_extra_" + p.getFileName.toString))
+          }
+        } finally st.close()
       }
       val qname = kind + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = build(s.readStream.schema(schema).parquet(watch))
@@ -101,13 +104,16 @@ object StreamDrain {
         // have thrown FileAlreadyExistsException on the fixed dst name,
         // an empty stage would silently stage nothing.
         val parts = {
-          val it = Files.list(Paths.get(s"$tmp/w")).iterator()
-          var l = List.empty[java.nio.file.Path]
-          while (it.hasNext) {
-            val p = it.next()
-            if (p.getFileName.toString.endsWith(".parquet")) l ::= p
-          }
-          l
+          val st = Files.list(Paths.get(s"$tmp/w"))
+          try {
+            val it = st.iterator()
+            var l = List.empty[java.nio.file.Path]
+            while (it.hasNext) {
+              val p = it.next()
+              if (p.getFileName.toString.endsWith(".parquet")) l ::= p
+            }
+            l
+          } finally st.close()
         }
         require(parts.length == 1,
           s"staged drain of $kind: stage $i wrote ${parts.length} part files (want exactly 1)")
@@ -196,12 +202,15 @@ object StreamDrain {
     val watch = StreamScratch.dirFor(s, s"stream_$kind")
     val src = Paths.get(srcPath)
     if (Files.isDirectory(src)) {
-      val it = Files.list(src).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        if (p.getFileName.toString.endsWith(".parquet"))
-          Files.copy(p, watch.resolve(p.getFileName.toString))
-      }
+      val st = Files.list(src)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet"))
+            Files.copy(p, watch.resolve(p.getFileName.toString))
+        }
+      } finally st.close()
     } else Files.copy(src, watch.resolve(s"$table.parquet"))
     (watch.toString, schema)
   }
